@@ -1,0 +1,106 @@
+"""The one expensive Arrow-UDF stage: per-format main-content extraction.
+
+Reference analog: the ``BaseParser.parse()`` dispatch loop
+(src/pipeline.py:47-54,96-101), which processes one document per Python
+call. Here a single ``mapInPandas`` stage consumes Arrow batches of pages
+and runs the same extraction functions as the single-node oracle
+(oracle.py) — Spark output is byte-identical to the oracle by construction,
+verified per-url by tests/test_extraction.py.
+
+Scale design (north rule):
+- **Per-partition parser pool**: the pool is constructed once per partition
+  iterator, not per row/batch — the Spark equivalent of the reference's lazy
+  model loading (src/hybrid_pipeline.py:118-129).
+- **No per-row Python dispatch**: one UDF invocation per Arrow batch; the
+  per-document loop lives inside the vectorized batch.
+- **Salted repartition** on ``pmod(xxhash64(url), S)`` breaks host-level
+  skew (host0 owns ~30% of a Common-Crawl-style corpus) *before* the UDF;
+  AQE only sees skew after a stage has already straggled.
+- **Column pruning**: only (url, warc_ts, html, lang) enter the UDF; the
+  noisy ``text`` column is never shipped through Arrow.
+- **Small Arrow batches** (session.py) bound batch bytes when rows carry
+  multi-MB payloads.
+- ``text_out`` stays **BINARY** end-to-end — no pandas string coercion can
+  perturb bytes (SURVEY.md §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import Extracted, extract
+from ..sources.pages import format_col
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EXTRACT_DDL = (
+    "url string, warc_ts timestamp, lang string, format string, "
+    "text_out binary, n_blocks int, ok boolean, error string, "
+    "in_bytes long, checksum long"
+)
+
+DEFAULT_SALT_BUCKETS = 4096  # >> max executor count; cheap modulo key
+
+
+class ParserPool:
+    """Per-partition reusable extraction state.
+
+    The stdlib extractors are cheap to construct, but the pool is the
+    architectural slot where heavyweight parsers (pdfium handles, ML models)
+    would live on a real cluster: built once per partition, reused across
+    every Arrow batch of that partition.
+    """
+
+    def __init__(self) -> None:
+        self.docs = 0
+        self.bytes_in = 0
+
+    def extract_one(self, payload: bytes | None) -> Extracted:
+        self.docs += 1
+        self.bytes_in += len(payload) if payload is not None else 0
+        return extract(payload)
+
+
+def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    pool = ParserPool()  # once per partition iterator
+    for pdf in batches:
+        results = [pool.extract_one(p) for p in pdf["html"]]
+        out = pdf[["url", "warc_ts", "lang"]].copy()
+        out["format"] = [r.format for r in results]
+        out["text_out"] = [r.text for r in results]
+        out["n_blocks"] = [r.n_blocks for r in results]
+        out["ok"] = [r.ok for r in results]
+        out["error"] = [r.error for r in results]
+        out["in_bytes"] = [len(p) if p is not None else 0 for p in pdf["html"]]
+        out["checksum"] = [zlib.crc32(r.text) for r in results]
+        yield out
+
+
+def salt_key(url_col: Column, buckets: int = DEFAULT_SALT_BUCKETS) -> Column:
+    """Skew-breaking shuffle key: uniform over url hash, independent of host."""
+    return F.pmod(F.xxhash64(url_col), F.lit(buckets))
+
+
+def extract_pages(
+    pages: DataFrame,
+    salt_partitions: int | None = None,
+    only_formats: list[str] | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted table.
+
+    ``only_formats`` pre-filters on the *native* sniff column so the filter
+    pushes down ahead of the UDF (reference's early rejection,
+    src/pipeline.py:88-90, as predicate pushdown).
+    """
+    df = pages.select("url", "warc_ts", "html", "lang")
+    if only_formats is not None:
+        df = df.where(format_col(F.col("html")).isin(only_formats))
+    if salt_partitions:
+        df = df.repartition(salt_partitions, salt_key(F.col("url")))
+    return df.mapInPandas(_extract_batches, schema=EXTRACT_DDL)

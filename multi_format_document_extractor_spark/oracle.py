@@ -1,0 +1,288 @@
+"""Single-node reference extractor — the byte-identical contract (T1).
+
+This module defines WHAT the engine extracts; the Spark stage
+(``operators/extract.py``) distributes exactly these functions inside a
+``mapInPandas`` UDF, so Spark output is byte-identical by construction and
+the pytest corpus verifies it stays that way.
+
+Capability parity with the reference (all citations into /root/reference):
+- format detection per document — reference detects by file extension
+  (src/config.py:32-67); here by magic bytes on the binary payload.
+- per-format parsing producing a lenient intermediate — reference's
+  ``BaseParser.parse() -> RawExtraction`` (src/parsers/base_parser.py:39-50);
+  here ``extract(html) -> Extracted`` per row.
+- HTML main-content extraction via DOM text-density heuristics
+  (link-density + text-to-tag ratio block classification,
+  Boilerpipe/trafilatura-style) — the web-text analog of the reference's
+  pdfplumber/docx text+table pulls (src/parsers/pdf_parser.py:30-59).
+- PDF layout parse: page-stream tokenize, column detection, reading-order
+  reconstruction (analog of src/parsers/pdf_parser.py page loop).
+
+Everything is pure-Python stdlib and deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# Format sniff (reference: src/config.py:32-67 maps extension → type; we map
+# magic bytes → type because table rows have no filename)
+# ---------------------------------------------------------------------------
+
+FORMAT_PDF = "pdf"
+FORMAT_HTML = "html"
+FORMAT_TEXT = "text"
+FORMAT_UNKNOWN = "unknown"
+
+
+def sniff_format(payload: bytes | None) -> str:
+    """Classify a payload by magic bytes. Mirrors the native Spark column in
+    sources/pages.py — keep the two in lockstep."""
+    if payload is None or len(payload) == 0:
+        return FORMAT_UNKNOWN
+    if payload[:5] == b"%PDF-":
+        return FORMAT_PDF
+    head = payload[:16].decode("latin-1").lstrip(" \t\r\n")
+    if head.startswith("<"):
+        return FORMAT_HTML
+    return FORMAT_TEXT
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate removal (DOM text-density block classification)
+# ---------------------------------------------------------------------------
+
+# Elements that start a new text block.
+_BLOCK_TAGS = frozenset(
+    "p div li h1 h2 h3 h4 h5 h6 td th article section blockquote pre "
+    "main figcaption dd dt".split()
+)
+# Subtrees dropped wholesale (structural boilerplate).
+_DROP_TAGS = frozenset(
+    "script style nav header footer aside noscript form head title".split()
+)
+_VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+
+# Classification thresholds (the contract; co-designed with corpus.py).
+LINK_DENSITY_MAX = 0.33  # block is boilerplate if >1/3 of chars are link text
+MIN_CONTENT_CHARS = 25  # very short isolated blocks are boilerplate
+TEXT_DENSITY_MIN = 8.0  # chars per tag; tag-soup blocks are boilerplate
+
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class _Block:
+    text_parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    n_tags: int = 0
+
+    def text(self) -> str:
+        return _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+
+
+class _BlockParser(HTMLParser):
+    """Segment an HTML document into text blocks with per-block stats."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block()
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        if self._cur.text_parts or self._cur.n_tags:
+            self.blocks.append(self._cur)
+        self._cur = _Block()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link_depth += 1
+            self._cur.n_tags += 1
+        elif tag not in _VOID_TAGS:
+            self._cur.n_tags += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._drop_depth or tag in _DROP_TAGS:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self._cur.text_parts.append(data)
+        if self._link_depth:
+            self._cur.link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def classify_block(text_chars: int, link_chars: int, n_tags: int) -> bool:
+    """True iff a block is main content. Pure function of block stats so the
+    same rule is testable in isolation and documentable as the contract."""
+    if text_chars == 0:
+        return False
+    link_density = link_chars / text_chars
+    text_density = text_chars / (1 + n_tags)
+    return (
+        text_chars >= MIN_CONTENT_CHARS
+        and link_density <= LINK_DENSITY_MAX
+        and text_density >= TEXT_DENSITY_MIN
+    )
+
+
+def extract_html(payload: bytes) -> tuple[bytes, int]:
+    """Main-content bytes + number of kept blocks."""
+    parser = _BlockParser()
+    parser.feed(payload.decode("utf-8", errors="replace"))
+    parser.close()
+    kept: list[str] = []
+    for b in parser.blocks:
+        t = b.text()
+        if classify_block(len(t), b.link_chars, b.n_tags):
+            kept.append(t)
+    return "\n\n".join(kept).encode("utf-8"), len(kept)
+
+
+# ---------------------------------------------------------------------------
+# PDF layout parse (constrained subset: uncompressed text-op content streams,
+# as emitted by corpus.py — generator and parser are co-designed because the
+# sandbox has no pdfplumber; SURVEY.md §7 M0)
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXTOP_RE = re.compile(
+    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*\(((?:\\.|[^()\\])*)\)\s*Tj", re.DOTALL
+)
+_PDF_ESCAPES = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")", b"\\n": b"\n"}
+
+COLUMN_GAP_PT = 150.0  # x-gap that separates layout columns
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    out = raw
+    for esc, rep in _PDF_ESCAPES.items():
+        out = out.replace(esc, rep)
+    return out.decode("utf-8", errors="replace")
+
+
+def extract_pdf(payload: bytes) -> tuple[bytes, int]:
+    """Tokenize page content streams, detect columns by x-gap clustering,
+    rebuild reading order (columns left→right, lines top→bottom)."""
+    pages: list[str] = []
+    for stream in _STREAM_RE.findall(payload):
+        spans: list[tuple[float, float, str]] = []
+        # Td operands in our subset are absolute per-BT positions.
+        for xs, ys, txt in _TEXTOP_RE.findall(stream):
+            spans.append((float(xs), float(ys), _unescape_pdf_string(txt)))
+        if not spans:
+            continue
+        # Column detection: split sorted unique x at gaps >= COLUMN_GAP_PT.
+        xs_sorted = sorted({x for x, _, _ in spans})
+        col_starts = [xs_sorted[0]]
+        for a, b in zip(xs_sorted, xs_sorted[1:]):
+            if b - a >= COLUMN_GAP_PT:
+                col_starts.append(b)
+
+        def col_of(x: float) -> int:
+            c = 0
+            for i, s in enumerate(col_starts):
+                if x >= s:
+                    c = i
+            return c
+
+        cols: dict[int, list[tuple[float, float, str]]] = {}
+        for x, y, t in spans:
+            cols.setdefault(col_of(x), []).append((x, y, t))
+        col_texts = []
+        for c in sorted(cols):
+            # reading order: top (large y) to bottom; stable tiebreak on x
+            lines = sorted(cols[c], key=lambda s: (-s[1], s[0]))
+            col_texts.append("\n".join(t for _, _, t in lines))
+        pages.append("\n".join(col_texts))
+    n_pages = len(pages)
+    return "\n\n".join(pages).encode("utf-8"), n_pages
+
+
+# ---------------------------------------------------------------------------
+# Plain text: passthrough with whitespace normalization at line granularity
+# ---------------------------------------------------------------------------
+
+
+def extract_text(payload: bytes) -> tuple[bytes, int]:
+    text = payload.decode("utf-8", errors="replace")
+    lines = [ln.rstrip() for ln in text.splitlines()]
+    # drop leading/trailing empty lines, keep interior structure
+    while lines and not lines[0]:
+        lines.pop(0)
+    while lines and not lines[-1]:
+        lines.pop()
+    n_blocks = sum(1 for ln in lines if ln)
+    return "\n".join(lines).encode("utf-8"), n_blocks
+
+
+# ---------------------------------------------------------------------------
+# Dispatch — the single-row contract the Spark UDF distributes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Extracted:
+    format: str
+    text: bytes  # extracted main content (utf-8)
+    n_blocks: int
+    ok: bool
+    error: str | None = None
+
+    @property
+    def checksum(self) -> int:
+        return zlib.crc32(self.text)
+
+
+_EXTRACTORS = {
+    FORMAT_HTML: extract_html,
+    FORMAT_PDF: extract_pdf,
+    FORMAT_TEXT: extract_text,
+}
+
+
+def extract(payload: bytes | None) -> Extracted:
+    """Detect format and extract main content. Errors are data, never
+    exceptions (reference turns ParseError into an error dict,
+    src/pipeline.py:171-180)."""
+    fmt = sniff_format(payload)
+    if fmt == FORMAT_UNKNOWN:
+        return Extracted(fmt, b"", 0, False, "empty or missing payload")
+    try:
+        text, n_blocks = _EXTRACTORS[fmt](payload)  # type: ignore[arg-type]
+        return Extracted(fmt, text, n_blocks, True)
+    except Exception as exc:  # noqa: BLE001 — error path is part of the data model
+        return Extracted(fmt, b"", 0, False, f"{type(exc).__name__}: {exc}")

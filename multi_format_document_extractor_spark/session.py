@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Scale notes (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime coalescing + skew-join splitting for straggler pages.
+- Small Arrow batches: pages carry multi-MB ``html BINARY`` payloads; the
+  default 10k records/batch would make a single Arrow batch gigabytes.
+- UTC session TZ so timestamp semantics match the DuckDB oracle.
+- shuffle.partitions sized to cores locally; on a real cluster this is set
+  per-job (or left to AQE's coalescing from a higher initial number).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS_PER_BATCH = 128  # pages are large; bound batch bytes
+
+
+def make_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip this package for shipping to executors (spark-submit --py-files).
+
+    Called automatically by get_spark so Python workers can unpickle the
+    extraction UDF regardless of the driver's cwd; pass the returned path to
+    ``spark-submit --py-files`` for cluster launches (north rule).
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    if out_path is None:
+        out_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    with zipfile.ZipFile(out_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    return out_path
+
+
+def get_spark(
+    app_name: str = "multi_format_document_extractor_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cores`` may be an int (local[N]) or "*" — on a real cluster pass
+    ``None`` and launch via spark-submit with master/executors configured
+    externally; every config here is master-agnostic.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(8, int(n))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ship the package to Python workers so UDFs unpickle anywhere —
+    # the local-mode equivalent of spark-submit --py-files.
+    spark.sparkContext.addPyFile(make_pyfiles_zip())
+    return spark

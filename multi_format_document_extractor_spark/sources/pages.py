@@ -1,0 +1,41 @@
+"""Pages source: parquet scan + native magic-byte format sniff.
+
+Reference analog: extension-based ``get_file_type`` (src/config.py:32-67).
+Here the sniff is a pure Catalyst expression over the first bytes of the
+``html BINARY`` column — no UDF, so it folds into whole-stage codegen and
+filters on ``format`` push down ahead of the expensive extraction UDF.
+
+Must stay in lockstep with ``oracle.sniff_format``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def format_col(html: Column) -> Column:
+    """Magic-byte format classification as a native expression.
+
+    latin-1 decode never fails, so the head probe is total; ltrim tolerates
+    leading whitespace before '<'.
+    """
+    head = F.ltrim(F.decode(F.substring(html, 1, 16), "ISO-8859-1"))
+    return (
+        F.when(html.isNull() | (F.length(html) == 0), F.lit("unknown"))
+        .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(head.startswith("<"), F.lit("html"))
+        .otherwise(F.lit("text"))
+    )
+
+
+def with_format(df: DataFrame) -> DataFrame:
+    return df.withColumn("format", format_col(F.col("html")))
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a pages table (parquet dir or file) with the fixed input schema
+    (never infer — BASELINE.json input_hint is the contract)."""
+    return spark.read.schema(PAGES_DDL).parquet(path)

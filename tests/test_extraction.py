@@ -1,0 +1,64 @@
+"""T1: the distributed Spark extraction is byte-identical to the single-node
+oracle per url (north rule), and the plan has the right shape."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from multi_format_document_extractor_spark.operators.extract import extract_pages
+from multi_format_document_extractor_spark.sources.pages import read_pages, with_format
+
+
+def test_native_sniff_matches_oracle(spark, corpus_dir, corpus_rows):
+    got = {
+        r["url"]: r["format"]
+        for r in with_format(read_pages(spark, corpus_dir + "/pages.parquet"))
+        .select("url", "format")
+        .collect()
+    }
+    for row in corpus_rows:
+        assert got[row.url] == row.format, row.url
+
+
+def test_spark_extraction_byte_identical(spark, corpus_dir, corpus_rows):
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    out = extract_pages(pages, salt_partitions=8)
+    got = {r["url"]: r for r in out.collect()}
+    assert len(got) == len(corpus_rows)
+    for row in corpus_rows:
+        g = got[row.url]
+        assert g["format"] == row.format, row.url
+        assert bytes(g["text_out"]) == row.text_expected, row.url
+        assert g["checksum"] == zlib.crc32(row.text_expected)
+        if row.format != "unknown":
+            assert g["ok"], row.url
+
+
+def test_extraction_matches_expected_table_via_join(spark, corpus_dir):
+    """Distributed self-check: anti-join style — zero mismatching urls."""
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    expected = spark.read.parquet(corpus_dir + "/expected.parquet").withColumnRenamed(
+        "format", "format_exp"
+    )
+    out = extract_pages(pages)
+    mism = (
+        out.join(expected, "url")
+        .where(
+            (F.col("format") != F.col("format_exp"))
+            | (F.col("text_out") != F.col("text_expected"))
+        )
+        .count()
+    )
+    assert mism == 0
+
+
+def test_format_filter_pushes_down_before_udf(spark, corpus_dir):
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    out = extract_pages(pages, only_formats=["pdf"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the filter must appear below (after in the printed tree) the UDF stage
+    assert "Filter" in plan
+    assert plan.index("MapInPandas") < plan.index("Filter")
+    assert out.select(F.countDistinct("format")).first()[0] == 1

@@ -1,0 +1,79 @@
+"""M0: the single-node extractor honors the generator's golden expectations
+(two independent implementations of the contract — FIXTURES.md §1-2)."""
+
+from __future__ import annotations
+
+import zlib
+
+from multi_format_document_extractor_spark import oracle
+
+
+def test_sniff_format():
+    assert oracle.sniff_format(None) == "unknown"
+    assert oracle.sniff_format(b"") == "unknown"
+    assert oracle.sniff_format(b"%PDF-1.4\n...") == "pdf"
+    assert oracle.sniff_format(b"<!DOCTYPE html><html>") == "html"
+    assert oracle.sniff_format(b"  \n\t<html><body>") == "html"
+    assert oracle.sniff_format(b"plain words here") == "text"
+    assert oracle.sniff_format(b"\xff\xfe binary-ish") == "text"
+
+
+def test_classify_block_rules():
+    # density must win over length: long but link-heavy block is boilerplate
+    assert not oracle.classify_block(text_chars=2000, link_chars=1500, n_tags=40)
+    # short block is boilerplate even with zero links
+    assert not oracle.classify_block(text_chars=10, link_chars=0, n_tags=0)
+    # tag soup (low text density) is boilerplate
+    assert not oracle.classify_block(text_chars=100, link_chars=0, n_tags=30)
+    # real content
+    assert oracle.classify_block(text_chars=300, link_chars=10, n_tags=2)
+
+
+def test_html_edge_cases():
+    # empty body
+    t, n = oracle.extract_html(b"<html><head><title>x</title></head><body></body></html>")
+    assert t == b"" and n == 0
+    # single content paragraph with nested inline tags
+    words = "alpha beta gamma delta " * 10
+    page = f"<html><body><p>{words[:50]}<b>bold</b> {words[50:]}</p></body></html>"
+    t, n = oracle.extract_html(page.encode())
+    assert n == 1 and b"bold" in t
+
+
+def test_pdf_two_column_reading_order():
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    stream = (
+        b"BT /F1 12 Tf\n"
+        b"320 720 Td (right top) Tj\n"
+        b"50 720 Td (left top) Tj\n"
+        b"50 704 Td (left bottom) Tj\n"
+        b"320 704 Td (right bottom) Tj\n"
+        b"ET"
+    )
+    payload = _build_pdf([stream])
+    t, n_pages = oracle.extract_pdf(payload)
+    assert n_pages == 1
+    assert t == b"left top\nleft bottom\nright top\nright bottom"
+
+
+def test_pdf_escapes():
+    from multi_format_document_extractor_spark.corpus import _build_pdf, _pdf_escape
+
+    s = "parens (x) and \\backslash"
+    stream = f"BT /F1 12 Tf\n50 720 Td ({_pdf_escape(s)}) Tj\nET".encode()
+    t, _ = oracle.extract_pdf(_build_pdf([stream]))
+    assert t.decode() == s
+
+
+def test_corpus_golden_byte_identity(corpus_rows):
+    for r in corpus_rows:
+        e = oracle.extract(r.html)
+        assert e.format == r.format, r.url
+        assert e.text == r.text_expected, r.url
+        assert e.checksum == zlib.crc32(r.text_expected)
+
+
+def test_error_path_is_data():
+    e = oracle.extract(None)
+    assert not e.ok and e.format == "unknown" and e.text == b""
