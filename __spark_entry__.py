@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (see multi_format_document_extractor_spark/plans/queries.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from multi_format_document_extractor_spark.plans.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+)
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Session prep: UTC (oracle parity), package shipped to executors,
+    small Arrow batches for binary-heavy rows."""
+    from multi_format_document_extractor_spark.session import make_pyfiles_zip
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass  # already added in this context
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents(sf0.001) as payloads → full extraction pipeline
+    (sniff → mapInPandas extract → confidence-style stats)."""
+    _prepare(spark)
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-07-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = extract_pages(pages, salt_partitions=8)
+    return out.select(
+        "url",
+        "format",
+        "n_blocks",
+        "ok",
+        "checksum",
+        F.length("text_out").alias("out_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,1367 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_query, duckdb_oracle_sql) pair over the driver's testdata tables.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the
+matching SQL string runs on DuckDB views of the same parquet files. Column
+names and value rounding are aligned on both sides so the driver's
+order-insensitive value-hash comparison is exact.
+
+Engine-portability rules observed throughout:
+- doubles rounded (2-6 dp); no transcendental functions in checked outputs
+  (entropy is registered rows-only); md5 is the only hash (xxhash64/crc32
+  are Spark-specific).
+- DuckDB ``mod`` keeps the dividend's sign → nonneg operands only (or
+  double-mod); DuckDB ``sum(int)`` is HUGEINT → cast to BIGINT.
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  global-by-default.
+- dates/timestamps compared as formatted strings (session TZ pinned UTC).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+from ..functions import confidence as C
+from ..functions import normalize as N
+from ..functions import textstats as TS
+from ..operators import dedup, fusion, sampling, similarity
+from ..operators.routing import two_pass_escalation
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =========================================================================
+# Corpus / batch metrics (SURVEY S9, A11)
+# =========================================================================
+
+
+@q(
+    "corpus_stats",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """S9: corpus listing stats (reference: mcp_server/tools.py:99-124)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "batch_metrics",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value,
+           round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 4) AS success_rate
+    FROM events GROUP BY event_type
+    """,
+)
+def batch_metrics(spark, sf_dir):
+    """A11: per-mode batch counters (reference: src/pipeline.py:199-216,
+    compare_modes.py:163-192) — event_type stands in for mode."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+            rnd(
+                F.avg(F.when(F.col("value") > 100, 1.0).otherwise(0.0)), 4
+            ).alias("success_rate"),
+        )
+    )
+
+
+@q(
+    "daily_mode_matrix",
+    """
+    SELECT event_type, strftime(ts::date, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, day
+    """,
+)
+def daily_mode_matrix(spark, sf_dir):
+    """A11 per-file×per-mode matrix analog (compare_modes.py:113-215),
+    long form (pivot-free so the oracle hash is stable)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =========================================================================
+# Grouped order rollups (SURVEY A1, A2, F24, F25)
+# =========================================================================
+
+
+@q(
+    "order_rollup",
+    """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def order_rollup(spark, sf_dir):
+    """A2: the canonical hash agg — group line items to one order
+    (reference: src/parsers/csv_parser.py:170-225)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("total"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        )
+    )
+
+
+@q(
+    "total_reconcile",
+    """
+    WITH li AS (
+      SELECT l_orderkey, round(sum(l_extendedprice), 2) AS calc_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           round(CASE WHEN o.o_totalprice IS NOT NULL AND o.o_totalprice > 0
+                       AND abs(o.o_totalprice - li.calc_total) < 1.0
+                      THEN o.o_totalprice ELSE li.calc_total END, 2) AS final_total,
+           (abs(o.o_totalprice - li.calc_total) < 1.0) AS used_raw
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    """,
+)
+def total_reconcile(spark, sf_dir):
+    """F25: stated-vs-computed order total reconciliation
+    (src/processors/data_transformer.py:111-124)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(rnd(F.sum("l_extendedprice"), 2).alias("calc_total"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        N.reconcile_order_total(F.col("o_totalprice"), F.col("calc_total")).alias(
+            "final_total"
+        ),
+        (F.abs(F.col("o_totalprice") - F.col("calc_total")) < 1.0).alias("used_raw"),
+    )
+
+
+@q(
+    "item_recompute",
+    """
+    WITH it AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             round(l_extendedprice / l_quantity, 2) AS unit_price,
+             CASE WHEN mod(l_orderkey + l_linenumber, 7) = 0
+                  THEN round(l_extendedprice + 5.0, 2)
+                  ELSE round(l_extendedprice, 2) END AS claimed_total
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN abs(claimed_total - l_quantity * unit_price) > 0.01
+                     AND l_quantity * unit_price > 0
+                THEN round(l_quantity * unit_price, 2) ELSE claimed_total
+           END AS fixed_total,
+           (abs(claimed_total - l_quantity * unit_price) > 0.01
+            AND l_quantity * unit_price > 0) AS was_fixed
+    FROM it
+    """,
+)
+def item_recompute(spark, sf_dir):
+    """F24: per-item total recompute beyond ±0.01 tolerance
+    (src/processors/data_transformer.py:92-101); mismatches injected
+    deterministically on every 7th (orderkey+linenumber)."""
+    it = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            rnd(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+                "unit_price"
+            ),
+            F.when(
+                F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(7)) == 0,
+                rnd(F.col("l_extendedprice") + 5.0, 2),
+            )
+            .otherwise(rnd(F.col("l_extendedprice"), 2))
+            .alias("claimed_total"),
+        )
+    )
+    calc = F.col("l_quantity") * F.col("unit_price")
+    fixable = (F.abs(F.col("claimed_total") - calc) > 0.01) & (calc > 0)
+    return it.select(
+        "l_orderkey",
+        "l_linenumber",
+        N.recompute_item_total(
+            F.col("l_quantity"), F.col("unit_price"), F.col("claimed_total")
+        ).alias("fixed_total"),
+        fixable.alias("was_fixed"),
+    )
+
+
+# =========================================================================
+# Normalization scalars (SURVEY F5, F6, F8, F9, F11)
+# =========================================================================
+
+
+@q(
+    "date_normalize",
+    """
+    WITH messy AS (
+      SELECT o_orderkey,
+             CASE mod(o_orderkey, 3)
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+               ELSE strftime(o_orderdate, '%B %-d, %Y') END AS raw_date
+      FROM orders
+    )
+    SELECT o_orderkey, raw_date,
+           strftime(coalesce(try_strptime(raw_date, '%Y-%m-%d'),
+                             try_strptime(raw_date, '%-m/%-d/%Y'),
+                             try_strptime(raw_date, '%B %-d, %Y'))::date,
+                    '%Y-%m-%d') AS norm_date,
+           strftime((coalesce(try_strptime(raw_date, '%Y-%m-%d'),
+                              try_strptime(raw_date, '%-m/%-d/%Y'),
+                              try_strptime(raw_date, '%B %-d, %Y'))::date
+                     + INTERVAL 7 DAY)::date, '%Y-%m-%d') AS delivery_date
+    FROM messy
+    """,
+)
+def date_normalize(spark, sf_dir):
+    """F5+F6: multi-format date normalization + default delivery (+7 days)
+    (src/processors/data_transformer.py:126-155). Messy inputs synthesized
+    deterministically from o_orderdate in 3 formats."""
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.date_format("o_orderdate", "M/d/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "MMMM d, yyyy"))
+    )
+    messy = o.select("o_orderkey", raw.alias("raw_date"))
+    norm = N.normalize_date(F.col("raw_date"), ("yyyy-MM-dd", "M/d/yyyy", "MMMM d, yyyy"))
+    return messy.select(
+        "o_orderkey",
+        "raw_date",
+        N.iso_date(norm).alias("norm_date"),
+        N.iso_date(F.date_add(norm, 7)).alias("delivery_date"),
+    )
+
+
+@q(
+    "number_parse",
+    """
+    WITH messy AS (
+      SELECT o_orderkey,
+             ' ' || CASE mod(o_orderkey, 3) WHEN 0 THEN '$' WHEN 1 THEN '€' ELSE '£' END
+                 || (o_totalprice::DECIMAL(12,2))::VARCHAR || ' ' AS raw_amount,
+             CASE mod(o_orderkey, 3) WHEN 0 THEN '$' WHEN 1 THEN '€' ELSE '£' END AS symbol
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round(try_cast(regexp_replace(raw_amount, '[^0-9.\\-]', '', 'g') AS DOUBLE), 2)
+             AS parsed,
+           CASE symbol WHEN '$' THEN 'USD' WHEN '€' THEN 'EUR' WHEN '£' THEN 'GBP'
+                ELSE 'USD' END AS currency
+    FROM messy
+    """,
+)
+def number_parse(spark, sf_dir):
+    """F8+F9+F11: currency-string parse + symbol→ISO mapping
+    (src/parsers/pdf_parser.py:333-346, data_transformer.py:171-189)."""
+    o = _t(spark, sf_dir, "orders")
+    symbol = (
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, "$")
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, "€")
+        .otherwise("£")
+    )
+    messy = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit(" "), symbol, F.col("o_totalprice").cast("decimal(12,2)").cast("string"), F.lit(" ")
+        ).alias("raw_amount"),
+        symbol.alias("symbol"),
+    )
+    return messy.select(
+        "o_orderkey",
+        rnd(N.parse_number(F.col("raw_amount")), 2).alias("parsed"),
+        N.currency_code(F.col("symbol")).alias("currency"),
+    )
+
+
+# =========================================================================
+# Confidence scoring + buckets (SURVEY A4-A6, P8, F32)
+# =========================================================================
+
+_CONF_SQL_CORE = """
+      SELECT doc_id,
+        least(((CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END
+              + CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 0 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+              + CASE WHEN n_chars >= 400 THEN 0.5 ELSE 0.0 END) / 6.0, 1.0)
+          AS completeness,
+        0.8 + mod(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 16) / 100.0
+          AS source_conf,
+        (CASE WHEN n_chars < 50 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars > 5000 THEN 1 ELSE 0 END
+         + CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_errors
+      FROM documents
+"""
+
+_CONF_SQL = f"""
+    WITH core AS ({_CONF_SQL_CORE}),
+    scored AS (
+      SELECT doc_id, completeness, source_conf, n_errors,
+             greatest(0.2, 1.0 - least(0.8, n_errors * 0.15)) AS val_penalty,
+             round(least(greatest(0.4 * completeness + 0.4 * source_conf
+                                  + 0.2 * greatest(0.2, 1.0 - least(0.8, n_errors * 0.15)),
+                                  0.0), 1.0), 2) AS confidence
+      FROM core
+    )
+"""
+
+
+def _confidence_df(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    required = [
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.col("lang").isNotNull(),
+        F.col("source").isNotNull(),
+        F.col("n_chars") > 0,
+        F.col("n_chars") >= 200,
+    ]
+    comp = C.completeness_score(required, F.col("n_chars") >= 400)
+    src_conf = 0.8 + F.pmod(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("int"), F.lit(16)
+    ) / 100.0
+    n_errors = (
+        (F.col("n_chars") < 50).cast("int")
+        + (F.col("n_chars") > 5000).cast("int")
+        + (F.col("text").isNull() | (F.trim("text") == "")).cast("int")
+    )
+    pen = C.validation_penalty(n_errors)
+    return d.select(
+        "doc_id",
+        comp.alias("completeness"),
+        src_conf.alias("source_conf"),
+        n_errors.alias("n_errors"),
+        C.composite_confidence(comp, src_conf, pen).alias("confidence"),
+    )
+
+
+@q(
+    "confidence_score",
+    _CONF_SQL
+    + """
+    SELECT doc_id, round(completeness, 4) AS completeness,
+           round(source_conf, 2) AS source_conf,
+           CAST(n_errors AS INT) AS n_errors, confidence
+    FROM scored
+    """,
+)
+def confidence_score(spark, sf_dir):
+    """A4+A5+A6: completeness, validation penalty, weighted composite
+    (src/processors/confidence_scorer.py:41-115)."""
+    df = _confidence_df(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        rnd("completeness", 4).alias("completeness"),
+        rnd("source_conf", 2).alias("source_conf"),
+        F.col("n_errors").cast("int").alias("n_errors"),
+        "confidence",
+    )
+
+
+@q(
+    "confidence_buckets",
+    _CONF_SQL
+    + """
+    SELECT CASE WHEN confidence >= 0.9 THEN 'HIGH'
+                WHEN confidence >= 0.7 THEN 'MEDIUM' ELSE 'LOW' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(confidence), 4) AS avg_conf
+    FROM scored GROUP BY bucket
+    """,
+)
+def confidence_buckets(spark, sf_dir):
+    """P8+F32: threshold buckets (confidence_scorer.py:117-150)."""
+    df = _confidence_df(spark, sf_dir)
+    return (
+        df.select(C.confidence_bucket(F.col("confidence")).alias("bucket"), "confidence")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), rnd(F.avg("confidence"), 4).alias("avg_conf"))
+    )
+
+
+@q(
+    "routing_two_pass",
+    _CONF_SQL
+    + """
+    SELECT doc_id,
+           CASE WHEN confidence >= 0.7 THEN 'rule_based' ELSE 'escalated' END AS mode,
+           CASE WHEN confidence >= 0.7 THEN confidence
+                ELSE round(least(confidence + 0.25, 0.99), 2) END AS final_conf
+    FROM scored
+    """,
+)
+def routing_two_pass(spark, sf_dir):
+    """§3.2 hybrid escalation as a two-pass job: cheap pass everywhere,
+    expensive pass re-processes only confidence < 0.7
+    (src/hybrid_pipeline.py:308-360)."""
+    def cheap(df):
+        return _confidence_df(spark, sf_dir).select("doc_id", "confidence")
+
+    def expensive(df):
+        return df.withColumn(
+            "confidence", rnd(F.least(F.col("confidence") + 0.25, F.lit(0.99)), 2)
+        )
+
+    routed = two_pass_escalation(
+        _t(spark, sf_dir, "documents"), cheap, expensive, "confidence", 0.7
+    )
+    return routed.select("doc_id", "mode", F.col("confidence").alias("final_conf"))
+
+
+# =========================================================================
+# Validation rules (SURVEY P1-P9, schema_validator)
+# =========================================================================
+
+
+@q(
+    "validation_rules",
+    """
+    WITH li AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+             round(sum(l_extendedprice), 2) AS items_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           coalesce(li.n_items, 0) AS n_items,
+           ((CASE WHEN NOT (o.o_totalprice > 0) THEN 1 ELSE 0 END)
+          + (CASE WHEN NOT (coalesce(li.n_items, 0) >= 1) THEN 1 ELSE 0 END)
+          + (CASE WHEN o.o_orderdate IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN NOT (abs(o.o_totalprice - coalesce(li.items_total, 0.0)) <= 1.0)
+                  THEN 1 ELSE 0 END)) AS n_errors,
+           ((o.o_totalprice > 0) AND (coalesce(li.n_items, 0) >= 1)
+            AND (o.o_orderdate IS NOT NULL)
+            AND (abs(o.o_totalprice - coalesce(li.items_total, 0.0)) <= 1.0)) AS is_valid
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    """,
+)
+def validation_rules(spark, sf_dir):
+    """Business-rule validation as data (src/validators/schema_validator.py:
+    38-127): positive total, ≥1 item, date present, order total within ±1.00
+    of Σ items. Errors are counts, not exceptions."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum("l_extendedprice"), 2).alias("items_total"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    n_items = F.coalesce(F.col("n_items"), F.lit(0))
+    items_total = F.coalesce(F.col("items_total"), F.lit(0.0))
+    r1 = F.col("o_totalprice") > 0
+    r2 = n_items >= 1
+    r3 = F.col("o_orderdate").isNotNull()
+    r4 = F.abs(F.col("o_totalprice") - items_total) <= 1.0
+    n_errors = sum(((~r).cast("int") for r in (r1, r2, r3, r4)), F.lit(0))
+    return j.select(
+        "o_orderkey",
+        n_items.alias("n_items"),
+        n_errors.alias("n_errors"),
+        (r1 & r2 & r3 & r4).alias("is_valid"),
+    )
+
+
+@q(
+    "resume_antijoin",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_pending
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders c
+      WHERE mod(c.o_orderkey, 10) < 7 AND c.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def resume_antijoin(spark, sf_dir):
+    """J4: idempotent-resume anti-join — pending = input ∖ committed
+    (SURVEY §2.3; the reference reprocesses everything, main.py:70-72)."""
+    o = _t(spark, sf_dir, "orders")
+    committed = o.where(F.pmod("o_orderkey", F.lit(10)) < 7).select("o_orderkey")
+    return (
+        o.join(committed, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+# =========================================================================
+# Ensemble fusion (SURVEY A7-A10, J2) — predictions synthesized from events
+# =========================================================================
+
+_PREDS_SQL = """
+    WITH preds AS (
+      SELECT user_id,
+             event_type AS model,
+             CAST(mod(event_id, 5) AS INT) AS field,
+             CAST(mod(CAST(floor(value) AS BIGINT), 7) AS VARCHAR) AS value,
+             round(mod(CAST(floor(value * 100) AS BIGINT), 100) / 100.0, 2) AS conf,
+             CASE event_type WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.3
+                  WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.8
+                  ELSE 0.2 END AS weight
+      FROM events
+    )
+"""
+
+
+def _preds_df(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    weight = F.element_at(
+        F.create_map(
+            F.lit("click"), F.lit(0.5), F.lit("view"), F.lit(0.3),
+            F.lit("purchase"), F.lit(1.0), F.lit("signup"), F.lit(0.8),
+            F.lit("error"), F.lit(0.2),
+        ),
+        F.col("event_type"),
+    )
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("model"),
+        F.pmod("event_id", F.lit(5)).cast("int").alias("field"),
+        F.pmod(F.floor("value").cast("bigint"), F.lit(7)).cast("string").alias("value"),
+        rnd(F.pmod(F.floor(F.col("value") * 100).cast("bigint"), F.lit(100)) / 100.0, 2).alias("conf"),
+        weight.alias("weight"),
+    )
+
+
+@q(
+    "fusion_majority",
+    _PREDS_SQL
+    + """
+    , votes AS (
+      SELECT user_id, field, value, CAST(count(*) AS BIGINT) AS votes
+      FROM preds GROUP BY user_id, field, value
+    ), totals AS (
+      SELECT user_id, field, CAST(count(*) AS BIGINT) AS n_preds
+      FROM preds GROUP BY user_id, field
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, field
+                                   ORDER BY votes DESC, value ASC) AS rn
+      FROM votes
+    )
+    SELECT r.user_id, r.field, r.value, r.votes,
+           round(r.votes / (1.0 * t.n_preds), 4) AS vote_conf
+    FROM ranked r JOIN totals t ON r.user_id = t.user_id AND r.field = t.field
+    WHERE r.rn = 1
+    """,
+)
+def fusion_majority(spark, sf_dir):
+    """A7: per-field majority vote (src/ai_models/ensemble.py:296-343)."""
+    return fusion.majority_vote(_preds_df(spark, sf_dir), key="user_id")
+
+
+@q(
+    "fusion_maxconf",
+    _PREDS_SQL
+    + """
+    SELECT user_id, field, value, conf FROM (
+      SELECT user_id, field, value, conf,
+             row_number() OVER (PARTITION BY user_id, field
+                                ORDER BY conf DESC, value ASC) AS rn
+      FROM preds) WHERE rn = 1
+    """,
+)
+def fusion_maxconf(spark, sf_dir):
+    """A8: most-confident model wins (ensemble.py:249-294)."""
+    return fusion.max_confidence(_preds_df(spark, sf_dir), key="user_id")
+
+
+@q(
+    "fusion_weighted",
+    _PREDS_SQL
+    + """
+    , scored AS (
+      SELECT user_id, field, value, round(sum(weight * conf), 6) AS score
+      FROM preds GROUP BY user_id, field, value
+    )
+    SELECT user_id, field, value, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, field
+                                   ORDER BY score DESC, value ASC) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+)
+def fusion_weighted(spark, sf_dir):
+    """A9: weighted-vote fusion Σ w·conf argmax (ensemble.py:191-247)."""
+    return fusion.weighted_vote(_preds_df(spark, sf_dir), key="user_id")
+
+
+# =========================================================================
+# Uncertainty sampling + calibration (SURVEY W1-W3, F27-F29, A13-A15)
+# Probabilities derived rationally from embeddings (first 4 dims) so every
+# score is engine-exact; entropy (transcendental) is registered rows-only.
+# =========================================================================
+
+_PROBS_SQL = """
+    WITH raw AS (
+      SELECT vec_id, label,
+             abs(CAST(embedding[1] AS DOUBLE)) AS a1,
+             abs(CAST(embedding[2] AS DOUBLE)) AS a2,
+             abs(CAST(embedding[3] AS DOUBLE)) AS a3,
+             abs(CAST(embedding[4] AS DOUBLE)) AS a4
+      FROM embeddings
+    ), probs AS (
+      SELECT vec_id, label,
+             a1 / (a1 + a2 + a3 + a4) AS p1, a2 / (a1 + a2 + a3 + a4) AS p2,
+             a3 / (a1 + a2 + a3 + a4) AS p3, a4 / (a1 + a2 + a3 + a4) AS p4
+      FROM raw WHERE (a1 + a2 + a3 + a4) > 0
+    ), scored AS (
+      SELECT vec_id, label,
+             list_sort([p1, p2, p3, p4])[4] AS m1,
+             list_sort([p1, p2, p3, p4])[3] AS m2,
+             1.0 - (p1*p1 + p2*p2 + p3*p3 + p4*p4) AS gini
+      FROM probs
+    ), unc AS (
+      SELECT vec_id, label, m1, m2, gini,
+             round(0.4 * (1.0 - m1) + 0.3 * (1.0 - (m1 - m2)) + 0.3 * gini, 6)
+               AS combined
+      FROM scored
+    )
+"""
+
+
+def _probs_df(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a = [
+        F.abs(F.element_at("embedding", i).cast("double")).alias(f"a{i}")
+        for i in range(1, 5)
+    ]
+    raw = e.select("vec_id", "label", *a)
+    s = F.col("a1") + F.col("a2") + F.col("a3") + F.col("a4")
+    probs = raw.where(s > 0).select(
+        "vec_id", "label", *[(F.col(f"a{i}") / s).alias(f"p{i}") for i in range(1, 5)]
+    )
+    return probs.withColumn(
+        "probs", F.array("p1", "p2", "p3", "p4")
+    )
+
+
+def _uncertainty_df(spark, sf_dir) -> DataFrame:
+    p = _probs_df(spark, sf_dir)
+    return p.select(
+        "vec_id",
+        "label",
+        "probs",
+        sampling.combined_uncertainty(F.col("probs")).alias("combined"),
+    )
+
+
+@q(
+    "uncertainty_scores",
+    _PROBS_SQL
+    + """
+    SELECT vec_id, round(1.0 - m1, 6) AS least_conf,
+           round(1.0 - (m1 - m2), 6) AS margin,
+           round(gini, 6) AS gini, combined
+    FROM unc
+    """,
+)
+def uncertainty_scores(spark, sf_dir):
+    """F27-F29/W2: least-confidence, margin, Gini, combined uncertainty
+    (src/ai_models/active_learning.py:96-118; Gini replaces entropy so the
+    composite stays engine-exact — entropy itself: see entropy_scores)."""
+    p = _probs_df(spark, sf_dir)
+    return p.select(
+        "vec_id",
+        rnd(sampling.least_confidence(F.col("probs")), 6).alias("least_conf"),
+        rnd(sampling.margin(F.col("probs")), 6).alias("margin"),
+        rnd(sampling.gini_impurity(F.col("probs")), 6).alias("gini"),
+        sampling.combined_uncertainty(F.col("probs")).alias("combined"),
+    )
+
+
+@q("entropy_scores")  # rows-only: ln() is not bit-reproducible across engines
+def entropy_scores(spark, sf_dir):
+    """F28: normalized entropy (active_learning.py:106-111)."""
+    p = _probs_df(spark, sf_dir)
+    return p.select(
+        "vec_id", rnd(sampling.entropy(F.col("probs")), 6).alias("entropy")
+    )
+
+
+@q(
+    "topk_uncertain",
+    _PROBS_SQL
+    + """
+    SELECT vec_id, combined FROM unc
+    ORDER BY combined DESC, vec_id ASC LIMIT 20
+    """,
+)
+def topk_uncertain(spark, sf_dir):
+    """W1/O1: global annotation-budget selection
+    (active_learning.py:120-143)."""
+    u = _uncertainty_df(spark, sf_dir)
+    return sampling.top_k_uncertain(u, "combined", "vec_id", 20).select(
+        "vec_id", "combined"
+    )
+
+
+@q(
+    "stratified_topk",
+    _PROBS_SQL
+    + """
+    SELECT label, vec_id, combined, CAST(rank AS INT) AS rank FROM (
+      SELECT label, vec_id, combined,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY combined DESC, vec_id ASC) AS rank
+      FROM unc) WHERE rank <= 3
+    """,
+)
+def stratified_topk(spark, sf_dir):
+    """W3: rank-per-group selection (active_learning.py:179-191)."""
+    u = _uncertainty_df(spark, sf_dir)
+    return sampling.stratified_top_k(u, "combined", "vec_id", "label", 3).select(
+        "label", "vec_id", "combined", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@q(
+    "ece_bins",
+    _PROBS_SQL
+    + """
+    SELECT CAST(least(floor(m1 * 10), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(m1), 6) AS avg_conf,
+           round(avg(CASE WHEN label = mod(vec_id, 10) THEN 1.0 ELSE 0.0 END), 6)
+             AS avg_acc
+    FROM unc GROUP BY bin
+    """,
+)
+def ece_bins_q(spark, sf_dir):
+    """A15: 10-bin reliability table for Expected Calibration Error
+    (src/ai_models/confidence.py:461-524)."""
+    u = _probs_df(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.array_max("probs").alias("conf"),
+        (F.col("label") == F.pmod("vec_id", F.lit(10))).alias("correct"),
+    )
+    return sampling.ece_bins(u, "conf", "correct")
+
+
+# =========================================================================
+# Sessionization — gaps-and-islands (SURVEY W4)
+# =========================================================================
+
+
+@q(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """W4: the running-sum segmentation pattern (BIO-tag scan,
+    src/ai_models/document_encoder.py:333-399) as gaps-and-islands
+    sessionization over the events table (30-min gap)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# =========================================================================
+# Deduplication suite (exact / MinHash-LSH / SimHash / Jaccard)
+# over documents augmented with deterministic exact + near duplicates
+# =========================================================================
+
+_AUG_SQL = """
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE mod(doc_id, 25) = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' trailing marker tokens appended here'
+      FROM documents WHERE mod(doc_id, 25) = 1
+    )
+"""
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_WORDS_SQL = f"""
+    , norm AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs_aug
+    ), shingled AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM norm
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || shingle)) AS b0, min(md5('1:' || shingle)) AS b1,
+             min(md5('2:' || shingle)) AS b2, min(md5('3:' || shingle)) AS b3
+      FROM shingled GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, b0 AS band_min FROM sig
+      UNION ALL SELECT doc_id, 1, b1 FROM sig
+      UNION ALL SELECT doc_id, 2, b2 FROM sig
+      UNION ALL SELECT doc_id, 3, b3 FROM sig
+    )
+"""
+
+
+def _docs_aug(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.pmod("doc_id", F.lit(25)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.where(F.pmod("doc_id", F.lit(25)) == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker tokens appended here")).alias(
+            "text"
+        ),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@q(
+    "dedup_exact",
+    _AUG_SQL
+    + f"""
+    SELECT md5({_NORM}) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM docs_aug GROUP BY text_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-content md5 (one shuffle)."""
+    return dedup.exact_dedup_groups(_docs_aug(spark, sf_dir), "text", "doc_id")
+
+
+@q(
+    "minhash_lsh",
+    _AUG_SQL
+    + _WORDS_SQL
+    + """
+    SELECT band, band_min, CAST(count(*) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band, band_min HAVING count(*) > 1
+    """,
+)
+def minhash_lsh(spark, sf_dir):
+    """MinHash+LSH: 3-word shingles → 4 salted-md5 band minima → bucket
+    cells with >1 doc are near-dup candidates."""
+    bands = dedup.minhash_bands(_docs_aug(spark, sf_dir), "text", "doc_id", 4)
+    return dedup.lsh_buckets(bands).select("band", "band_min", "n_docs")
+
+
+@q(
+    "jaccard_pairs",
+    _AUG_SQL
+    + _WORDS_SQL
+    + """
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_min = r.band_min AND l.doc_id < r.doc_id
+    ), toks AS (
+      SELECT DISTINCT doc_id AS doc, unnest(w) AS tok FROM norm
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN toks ta ON ta.doc = c.a
+      JOIN toks tb ON tb.doc = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.inter / (1.0 * (sa.n + sb.n - i.inter)), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc = i.a JOIN sizes sb ON sb.doc = i.b
+    WHERE round(i.inter / (1.0 * (sa.n + sb.n - i.inter)), 4) >= 0.8
+    """,
+)
+def jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup verification over LSH candidate pairs only
+    (never all-pairs)."""
+    aug = _docs_aug(spark, sf_dir)
+    bands = dedup.minhash_bands(aug, "text", "doc_id", 4)
+    pairs = dedup.candidate_pairs(bands)
+    return dedup.jaccard_verify(pairs, aug, "text", "doc_id", 0.8)
+
+
+@q(
+    "simhash",
+    _AUG_SQL
+    + """
+    , toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM docs_aug
+    ), sums AS (
+      SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {j}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".replace(
+            "{j}", str(j)
+        )
+        for j in range(1, 17)
+    )
+    + """
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(("""
+    + " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN {1 << (16 - j)} ELSE 0 END" for j in range(1, 17)
+    )
+    + """) AS INT) AS simhash
+    FROM sums
+    """,
+)
+def simhash_q(spark, sf_dir):
+    """SimHash (16-bit, md5-based) per document; identical docs share the
+    hash, near-dups differ in few bits."""
+    return dedup.simhash16(_docs_aug(spark, sf_dir), "text", "doc_id").select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
+
+
+# =========================================================================
+# Similarity search over embeddings (brute-force top-k + sign-LSH pairs)
+# =========================================================================
+
+
+def _dot_sql(a: str, b: str, n: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, n + 1)
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    dims = (1, 9, 17, 25, 33, 41, 49, 57)
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN CAST({col}[{d}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, d in enumerate(dims)
+        )
+        + ")"
+    )
+
+
+def _to_double_vec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_ANN_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(({_dot_sql('e.embedding', 'q.qv')})
+                   / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                      * sqrt({_dot_sql('q.qv', 'q.qv')})), 4) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 10
+"""
+
+
+@q("ann_topk", _ANN_SQL)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast a small query set against the
+    corpus — one scan, no shuffle of the big side (the exactness baseline
+    for the LSH path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", _to_double_vec(F.col("embedding")).alias("embedding"))
+    queries = vectors.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(vectors, queries, k=10).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_NEARDUP_SQL = f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE mod(vec_id, 50) = 0
+    ), b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM aug
+    ), pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b,
+             round(({_dot_sql('l.embedding', 'r.embedding')})
+                   / (sqrt({_dot_sql('l.embedding', 'l.embedding')})
+                      * sqrt({_dot_sql('r.embedding', 'r.embedding')})), 4) AS score
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, score FROM pairs WHERE score >= 0.95
+"""
+
+
+@q("embed_neardup", _NEARDUP_SQL)
+def embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH bucket join, cosine only within
+    buckets (the scale path vs all-pairs). Exact duplicate vectors injected
+    deterministically (every 50th id)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double_vec(F.col("embedding")).alias("embedding")
+    )
+    dup = e.where(F.pmod("vec_id", F.lit(50)) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(dup)
+    return similarity.lsh_ann_pairs(aug, threshold=0.95)
+
+
+# =========================================================================
+# Text analysis: language ID, quality, tokens, fingerprint (training-data
+# pipeline ops; SURVEY W5/P6 heuristics generalized to corpus scale)
+# =========================================================================
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    return (
+        "len(regexp_extract_all(text, '(?i)\\b(" + "|".join(markers) + ")\\b'))"
+    )
+
+
+_LANG_CODES = sorted(TS.LANG_MARKERS)
+_LANG_SQL = (
+    "WITH hits AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_marker_count_sql(TS.LANG_MARKERS[c])} AS s_{c}" for c in _LANG_CODES
+    )
+    + " FROM documents), best AS (SELECT doc_id, "
+    + ", ".join(f"s_{c}" for c in _LANG_CODES)
+    + ", greatest("
+    + ", ".join(f"s_{c}" for c in _LANG_CODES)
+    + ") AS mx FROM hits) SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN s_{c} = mx AND mx > 0 THEN '{c}'" for c in _LANG_CODES
+    )
+    + " ELSE 'und' END AS lang_pred FROM best"
+)
+
+
+@q("lang_id", _LANG_SQL)
+def lang_id_q(spark, sf_dir):
+    """Heuristic marker-word language ID with deterministic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|it)\\b'))
+          AS stop_hits,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonws,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        length(text) AS n_total
+      FROM documents
+    )
+    SELECT doc_id,
+      round(0.3 * least(n_total / 1000.0, 1.0)
+          + 0.3 * least((CASE WHEN n_words > 0 THEN stop_hits / (1.0 * n_words)
+                              ELSE 0.0 END) * 4.0, 1.0)
+          + 0.2 * (CASE WHEN n_words > 0
+                         AND n_nonws / (1.0 * n_words) >= 3.0
+                         AND n_nonws / (1.0 * n_words) <= 10.0
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.2 * greatest(0.0, 1.0 - (CASE WHEN n_total > 0
+                                            THEN n_punct / (1.0 * n_total)
+                                            ELSE 0.0 END) * 4.0), 4) AS quality
+    FROM t
+    """,
+)
+def quality_q(spark, sf_dir):
+    """Document quality scoring: length saturation + stopword presence +
+    word-length sanity + punctuation noise."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+             AS n_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("n_ws"),
+        TS.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@q(
+    "fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                           1, 8))::BIGINT AS fp64
+    FROM documents
+    """,
+)
+def fingerprint_q(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + compact 32-bit key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.fingerprint(F.col("text")).alias("fp"),
+        TS.fingerprint64(F.col("text")).alias("fp64"),
+    )
+
+
+@q(
+    "first_lines_scan",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM (
+      SELECT source,
+             list_contains(string_split_regex(trim(text), '\\s+')[1:10],
+                           'customer') AS hit
+      FROM documents)
+    GROUP BY source
+    """,
+)
+def first_lines_scan(spark, sf_dir):
+    """W5: first-N-tokens keyword scan (company-name heuristics,
+    src/parsers/pdf_parser.py:138-146) as array ops — no window needed."""
+    d = _t(spark, sf_dir, "documents")
+    hit = F.exists(
+        F.slice(TS.words(F.col("text")), 1, 10), lambda w: w == F.lit("customer")
+    )
+    return (
+        d.select("source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+@q(
+    "multi_pattern_extract",
+    """
+    SELECT doc_id,
+           coalesce(nullif(regexp_extract(text, 'order ([a-z]+)', 1), ''),
+                    nullif(regexp_extract(text, 'part ([a-z]+)', 1), ''),
+                    nullif(regexp_extract(text, 'key ([a-z]+)', 1), ''))
+             AS extracted
+    FROM documents
+    """,
+)
+def multi_pattern_extract_q(spark, sf_dir):
+    """F1/F2: first-match-wins multi-pattern regex extraction
+    (src/parsers/pdf_parser.py:114-120)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        N.multi_pattern_extract(
+            F.col("text"),
+            ["order ([a-z]+)", "part ([a-z]+)", "key ([a-z]+)"],
+        ).alias("extracted"),
+    )
+
+
+# =========================================================================
+# Windowed aggregation: batch + Structured Streaming (same oracle)
+# =========================================================================
+
+_WINDOW_SQL = """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY window_start, event_type
+"""
+
+
+@q("window_agg", _WINDOW_SQL)
+def window_agg(spark, sf_dir):
+    """Tumbling-window counts (batch form)."""
+    from ..streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+@q("streaming_window", _WINDOW_SQL)
+def streaming_window(spark, sf_dir):
+    """Same aggregation via Structured Streaming (availableNow over the
+    events parquet, memory sink) — identical results to the batch form."""
+    from ..streaming.ingest import streaming_event_window_counts
+
+    return streaming_event_window_counts(spark, sf_dir)
+
+
+# =========================================================================
+# Full extraction pipeline (flagship; byte-identity is pytest-verified,
+# so this is registered rows-only) + multimodal metadata stub
+# =========================================================================
+
+_CORPUS_CACHE: dict[tuple[int, int], str] = {}
+
+
+def _corpus_dir(n: int = 1000, seed: int = 42) -> str:
+    import tempfile
+
+    key = (n, seed)
+    if key not in _CORPUS_CACHE:
+        d = os.path.join(tempfile.gettempdir(), f"mfde_corpus_{n}_{seed}")
+        if not os.path.exists(os.path.join(d, "pages.parquet")):
+            from ..corpus import write_corpus
+
+            write_corpus(d, n, seed)
+        _CORPUS_CACHE[key] = d
+    return _CORPUS_CACHE[key]
+
+
+@q("extract_pages")  # rows-only: byte-identity has its own pytest oracle (T1)
+def extract_pages_q(spark, sf_dir):
+    """Flagship: sniff → mapInPandas extract → per-url results."""
+    from ..operators.extract import extract_pages
+    from ..sources.pages import read_pages
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    return extract_pages(pages, salt_partitions=16).select(
+        "url", "format", "n_blocks", "ok", "checksum"
+    )
+
+
+@q("multimodal_meta")  # rows-only: stubbed codec, deterministic fake decode
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload → typed metadata via a pandas-UDF
+    decoder pool (codec stubbed; see multimodal/media.py)."""
+    from ..multimodal import media_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return media_metadata(d)
+
+
+# Apply the engine-portable rounding contract to every oracle SQL string
+# (see functions/rounding.py — round() is not engine-reproducible on
+# halfway doubles).
+from ..functions.rounding import portable_rounds as _portable_rounds  # noqa: E402
+
+for _name in list(ORACLES):
+    ORACLES[_name] = _portable_rounds(ORACLES[_name])
