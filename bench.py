@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end extraction throughput (docs/sec) over a
+deterministic synthetic Common-Crawl-style corpus (BASELINE.json north rule),
+reported alongside per-query wall times for the registry's representative
+operators. Timing uses the noop sink so the full plan executes without a
+collect bottleneck on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+SEED = 42
+
+# Representative registry queries (one per operator family; the full 38-query
+# matrix is exercised by the driver's correctness pass, not the bench).
+BENCH_QUERIES = [
+    "order_rollup",        # canonical hash agg (A2)
+    "total_reconcile",     # join + reconcile (F25)
+    "validation_rules",    # rules-as-data (P*)
+    "confidence_score",    # scoring arithmetic (A4-A6)
+    "fusion_weighted",     # ensemble fusion (A9)
+    "sessionize",          # gaps-and-islands window (W4)
+    "dedup_exact",         # hash dedup
+    "minhash_lsh",         # MinHash+LSH near-dup
+    "ann_topk",            # brute-force cosine top-k
+    "embed_neardup",       # sign-LSH bucketed cosine pairs
+    "quality_score",       # text quality
+    "token_counts",        # tokenization stats
+    "window_agg",          # tumbling window (batch)
+]
+
+
+def _corpus(n: int, seed: int) -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"mfde_bench_corpus_{n}_{seed}")
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        from multi_format_document_extractor_spark.corpus import write_corpus
+
+        write_corpus(d, n, seed)
+    return d
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from multi_format_document_extractor_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_dir = _corpus(N_DOCS, SEED)  # generated outside the timed section
+
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    from multi_format_document_extractor_spark.sources.pages import read_pages
+
+    times: dict[str, float] = {}
+
+    # -- headline: full extraction pipeline over the synthetic corpus --------
+    # Warm-up measures steady state, not one-time-per-executor costs (Python
+    # worker spawn + package import — amortized to noise on a real cluster):
+    # a wide UDF stage touches every worker and imports the package in each.
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    _run(
+        extract_pages(
+            pages.limit(512), salt_partitions=int(CPUS) * 2
+        )
+    )
+    t0 = time.time()
+    _run(extract_pages(pages, salt_partitions=int(CPUS) * 4))
+    extract_sec = time.time() - t0
+    times["extract_pages"] = round(extract_sec, 3)
+    docs_per_sec = N_DOCS / extract_sec
+
+    # -- registry queries at the driver's sf dir -----------------------------
+    from multi_format_document_extractor_spark.plans.queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _run(QUERIES[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs": N_DOCS,
+                "extract_docs_per_sec": round(docs_per_sec, 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

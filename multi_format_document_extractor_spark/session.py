@@ -76,6 +76,7 @@ def get_spark(
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
