@@ -1346,6 +1346,44 @@ def extract_pages_q(spark, sf_dir):
     )
 
 
+@q("warehouse_resume")  # rows-only: filesystem snapshot side effects
+def warehouse_resume_q(spark, sf_dir):
+    """S10/S11/J4: partitioned append + lineage + idempotent resume —
+    run 1 commits one day, a crashed run stays invisible, run 2 drains the
+    rest; returns the lineage table (per day×format doc/byte/checksum)."""
+    import shutil
+    import tempfile
+
+    from ..sinks import Warehouse
+    from ..sources.pages import read_pages
+
+    root = tempfile.mkdtemp(prefix="mfde_wh_")
+    try:
+        wh = Warehouse(root)
+        pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+        first_day = pages.select(
+            F.min(F.date_format("warc_ts", "yyyy-MM-dd")).alias("d")
+        ).collect()[0]["d"]
+        wh.run(
+            spark,
+            pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == first_day),
+            run_id="day1",
+        )
+        wh.run(spark, pages, run_id="rest", fail_before_commit=True)  # crash
+        wh.run(spark, pages, run_id="resume")
+        lineage = wh.read_lineage(spark).select(
+            "run_id", "day", "format", "doc_count", "byte_count", "checksum"
+        )
+        rows = lineage.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "run_id string, day string, format string, doc_count long, "
+        "byte_count long, checksum long",
+    )
+
+
 @q("multimodal_meta")  # rows-only: stubbed codec, deterministic fake decode
 def multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata via a pandas-UDF

@@ -1,0 +1,241 @@
+"""Warehouse sink: partitioned append + per-partition lineage + idempotent
+resume.
+
+Reference analog: the one-JSON-file-per-document sink (src/pipeline.py:230-243,
+src/hybrid_pipeline.py:668-693) plus its embedded metrics sidecar
+(src/hybrid_pipeline.py:679-688). The reference has no resume at all — rerunning
+``main.py`` reprocesses every document (main.py:70-72); the north rule demands
+idempotent restart, which is genuinely new here (SURVEY.md §2.3 J4, §2.9).
+
+Design — an Iceberg-snapshot protocol over plain parquet (the sandbox has no
+iceberg-spark-runtime jar; on a real cluster swap ``Warehouse`` for
+``df.writeTo("cat.db.extracted").append()`` with hidden partitioning
+``days(warc_ts), format`` and this module's semantics map 1:1):
+
+    <root>/runs/run_id=<id>/day=<yyyy-MM-dd>/format=<f>/*.parquet   data
+    <root>/lineage/run_id=<id>/*.parquet                            metrics
+    <root>/commits/<seq>-<id>.json                                  snapshot
+
+A run is VISIBLE iff its commit marker exists; the marker is written last via
+atomic rename, so a killed run leaves invisible orphan files and the next run
+reprocesses its rows (exactly-once append, Iceberg's snapshot commit in
+miniature). Lineage is computed by reading BACK the durably written files —
+doc/byte counts and checksums describe what is actually on disk, not what the
+job intended to write.
+
+Scale notes (10^12 docs, 1000 executors):
+- The resume anti-join's build side (committed urls) is far too big to
+  broadcast at full scale. ``pending()`` therefore prunes complete days first:
+  each commit records the set of ``warc_ts`` days it fully drained, so only
+  frontier-day urls enter the shuffled anti-join — the parquet analog of
+  pruning by Iceberg snapshot high-watermark (SURVEY.md §4.4). Day pruning is
+  a partition-pruning filter Catalyst pushes into the scan.
+- Output partitioning ``day/format`` gives downstream readers partition
+  pruning on exactly the two predicates every report uses (S9/A11).
+- Single writer assumed (the driver's restart semantics); concurrent commits
+  would need Iceberg's optimistic snapshot CAS, not this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_pages
+
+RESULT_DDL = (
+    "url string, warc_ts timestamp, lang string, format string, "
+    "text_out binary, n_blocks int, ok boolean, error string, "
+    "in_bytes long, checksum long, day string"
+)
+
+LINEAGE_DDL = (
+    "run_id string, day string, format string, doc_count long, "
+    "byte_count long, checksum long, committed_at double"
+)
+
+
+def _day(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+class Warehouse:
+    """Parquet warehouse with snapshot-commit visibility and resume."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.runs_dir = os.path.join(root, "runs")
+        self.lineage_dir = os.path.join(root, "lineage")
+        self.commits_dir = os.path.join(root, "commits")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    # -- snapshot state ----------------------------------------------------
+
+    def commits(self) -> list[dict]:
+        """Committed snapshots in commit order."""
+        out = []
+        for name in sorted(os.listdir(self.commits_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.commits_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_run_ids(self) -> list[str]:
+        return [c["run_id"] for c in self.commits()]
+
+    def complete_days(self) -> set[str]:
+        """Days fully drained by some committed run (the high-watermark set).
+
+        Valid under append-by-crawl-day arrival (Common-Crawl semantics): a
+        day's rows only grow while it is the frontier; a committed run that
+        processed ALL pending rows of a day seals it.
+        """
+        days: set[str] = set()
+        for c in self.commits():
+            days.update(c.get("complete_days", []))
+        return days
+
+    # -- readers -----------------------------------------------------------
+
+    def read_extracted(self, spark: SparkSession) -> DataFrame:
+        """Union of all committed runs (invisible orphans excluded)."""
+        ids = self.committed_run_ids()
+        if not ids:
+            return spark.createDataFrame([], RESULT_DDL).withColumn(
+                "run_id", F.lit(None).cast("string")
+            )
+        paths = [os.path.join(self.runs_dir, f"run_id={i}") for i in ids]
+        return (
+            spark.read.option("basePath", self.runs_dir)
+            .schema(RESULT_DDL + ", run_id string")
+            .parquet(*paths)
+        )
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        ids = self.committed_run_ids()
+        if not ids:
+            return spark.createDataFrame([], LINEAGE_DDL)
+        paths = [os.path.join(self.lineage_dir, f"run_id={i}") for i in ids]
+        return spark.read.schema(LINEAGE_DDL).parquet(*paths)
+
+    # -- resume ------------------------------------------------------------
+
+    def pending(self, pages: DataFrame, prune_days: bool = True) -> DataFrame:
+        """Input rows not yet in any committed run.
+
+        ``prune_days`` drops sealed days with a pushdown-able filter before
+        the url anti-join, so the join's build side is only the frontier
+        (SURVEY.md §4.4). The anti-join itself is the always-correct path.
+        """
+        spark = pages.sparkSession
+        if not self.committed_run_ids():
+            return pages
+        if prune_days:
+            sealed = sorted(d for d in self.complete_days() if d is not None)
+            if sealed:
+                pages = pages.where(
+                    F.col("warc_ts").isNull()
+                    | ~_day(F.col("warc_ts")).isin(sealed)
+                )
+        committed = self.read_extracted(spark).select("url")
+        return pages.join(committed, "url", "left_anti")
+
+    # -- the job -----------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        run_id: str | None = None,
+        salt_partitions: int | None = None,
+        fail_before_commit: bool = False,
+        seal_days: bool = True,
+    ) -> dict:
+        """One resumable extraction job: pending → extract → append → commit.
+
+        ``seal_days``: after commit, mark every day this run wrote as fully
+        drained, enabling day-pruned resume. Only valid when ``pages`` holds
+        ALL rows of each day it contains (the normal restart pattern — the
+        job re-reads the whole input table). Pass False when feeding a
+        partial slice of a day (e.g. a sampled sub-corpus); the anti-join
+        then remains the sole — always correct — dedup mechanism.
+
+        ``fail_before_commit`` aborts after the data write but before the
+        snapshot marker — the crash injection used by the resume tests (T3).
+        Returns the commit record (or the would-be record on injected crash).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        todo = self.pending(pages)
+        extracted = extract_pages(todo, salt_partitions=salt_partitions)
+        result = extracted.withColumn("day", _day(F.col("warc_ts")))
+
+        data_path = os.path.join(self.runs_dir, f"run_id={run_id}")
+        (
+            result.write.partitionBy("day", "format")
+            .mode("errorifexists")
+            .parquet(data_path)
+        )
+
+        # Lineage from the durably written files (read-back, not intent).
+        # Explicit schema: a zero-pending run writes no files and inference
+        # would fail on the empty directory.
+        written = (
+            spark.read.option("basePath", data_path)
+            .schema(RESULT_DDL)
+            .parquet(data_path)
+        )
+        lineage = (
+            written.withColumn("day", F.col("day").cast("string"))
+            .withColumn("format", F.col("format").cast("string"))
+            .groupBy("day", "format")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("in_bytes").alias("byte_count"),
+                F.sum("checksum").alias("checksum"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "day",
+                "format",
+                "doc_count",
+                "byte_count",
+                "checksum",
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        lineage_path = os.path.join(self.lineage_dir, f"run_id={run_id}")
+        lineage.write.mode("errorifexists").parquet(lineage_path)
+
+        lrows = spark.read.schema(LINEAGE_DDL).parquet(lineage_path).collect()
+        # Every day this run touched was fully drained (run processes ALL
+        # pending rows), so all of them seal — plus days sealed previously.
+        record = {
+            "run_id": run_id,
+            "seq": len(self.commits()),
+            "n_docs": int(sum(r["doc_count"] for r in lrows)),
+            "n_bytes": int(sum(r["byte_count"] for r in lrows)),
+            "complete_days": sorted(
+                (
+                    {r["day"] for r in lrows if r["day"] is not None}
+                    if seal_days
+                    else set()
+                )
+                | self.complete_days()
+            ),
+            "committed_at": time.time(),
+        }
+        if fail_before_commit:
+            return record
+        marker = os.path.join(
+            self.commits_dir, f"{record['seq']:06d}-{run_id}.json"
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, marker)  # atomic: the run becomes visible here
+        return record
