@@ -362,6 +362,12 @@ def write_corpus(out_dir: str, n: int, seed: int = 42) -> list[PageRow]:
         },
         schema=EXPECTED_SCHEMA,
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # Small row groups keep the file SPLITTABLE: Spark parallelizes a parquet
+    # scan only at row-group boundaries, and a single multi-GB row group
+    # serializes the whole scan onto one task (a real crawl table is many
+    # ~100 MB files; this mirrors that in one file).
+    pq.write_table(
+        pages, os.path.join(out_dir, "pages.parquet"), row_group_size=1000
+    )
     pq.write_table(expected, os.path.join(out_dir, "expected.parquet"))
     return rows

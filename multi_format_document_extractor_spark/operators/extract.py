@@ -13,9 +13,23 @@ Scale design (north rule):
   model loading (src/hybrid_pipeline.py:118-129).
 - **No per-row Python dispatch**: one UDF invocation per Arrow batch; the
   per-document loop lives inside the vectorized batch.
-- **Salted repartition** on ``pmod(xxhash64(url), S)`` breaks host-level
-  skew (host0 owns ~30% of a Common-Crawl-style corpus) *before* the UDF;
-  AQE only sees skew after a stage has already straggled.
+- **Two balancing strategies**, chosen by shuffle economics:
+  (a) *Split-based balance* (default, ``salt_partitions=None``): the scan's
+  byte-ranged file splits (``spark.sql.files.maxPartitionBytes``) already
+  hand every task ~equal input bytes regardless of which host's pages land
+  where — zero shuffle. At 100 TB, shuffling raw payloads for balance means
+  moving the whole corpus through the network; the scan split does it for
+  free. Residual risk: single rows larger than a split are atomic (route
+  ``length(html) > cap`` to a truncating path), and *compute* skew (bytes ≠
+  cost) — measured here at <2× per-byte variance across formats.
+  (b) **Salted repartition** on ``pmod(xxhash64(url), S)``
+  (``salt_partitions=S``): breaks host/layout skew *by construction* before
+  the UDF — AQE only sees skew after a stage has straggled, and it cannot
+  split a UDF stage's input rows. Worth its full-payload shuffle only when
+  per-doc extraction cost dwarfs per-byte shuffle cost (heavy parsers, ML
+  models — the reference's AI path) or the input layout is adversarially
+  clustered (host-sorted table). The skew-bounding property is tested
+  either way (tests/test_warehouse.py::test_salt_bounds_partition_bytes).
 - **Column pruning**: only (url, warc_ts, html, lang) enter the UDF; the
   noisy ``text`` column is never shipped through Arrow.
 - **Small Arrow batches** (session.py) bound batch bytes when rows carry

@@ -1,0 +1,631 @@
+"""Registry extension: second batch of SURVEY.md §2 operators.
+
+Covers the scalar-extraction family (F12, F14-F19, F26, F30, F31), the
+remaining aggregations (A3, A12-A14), the one reference join shape (J1),
+the relational margin form (W2), and keyset union (U1). Same contract as
+plans/queries.py: each Spark query paired with DuckDB oracle SQL, column
+names and rounding aligned on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import confidence as C
+from ..functions import normalize as N
+from ..functions.rounding import rnd
+from .queries import _CONF_SQL, _PREDS_SQL, _confidence_df, _preds_df, _t, q
+
+# =========================================================================
+# F12: product-code generation (initials of first 3 words)
+# =========================================================================
+
+
+@q(
+    "product_code_gen",
+    """
+    SELECT p_partkey,
+           coalesce(nullif(list_aggr(list_transform(
+                     string_split(p_name, ' ')[1:3],
+                     w -> upper(substr(w, 1, 1))), 'string_agg', ''), ''),
+                    'ITEM') AS code
+    FROM part
+    """,
+)
+def product_code_gen(spark, sf_dir):
+    """F12: initials of the first 3 description words, upper, 'ITEM'
+    fallback (src/parsers/pdf_parser.py:348-356)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", N.product_code(F.col("p_name")).alias("code"))
+
+
+# =========================================================================
+# F14/F15: delimited item-line / markdown-table-row parse
+# =========================================================================
+
+_LINE_SQL = """
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             'SKU-' || l_partkey || ' | item ' || l_linenumber || ' | '
+               || CAST(l_quantity AS INT) || ' | $'
+               || (l_extendedprice::DECIMAL(12,2))::VARCHAR AS line
+      FROM lineitem
+    )
+"""
+
+
+@q(
+    "item_line_parse",
+    _LINE_SQL
+    + """
+    SELECT l_orderkey, l_linenumber,
+           regexp_extract(line, '^([A-Z]+-[0-9]+) \\|', 1) AS sku,
+           trim(regexp_extract(line, '\\| ([a-z 0-9]+) \\|', 1)) AS descr,
+           CAST(regexp_extract(line, '\\| ([0-9]+) \\| \\$', 1) AS INT) AS qty,
+           round(CAST(regexp_extract(line, '\\$([0-9.]+)$', 1) AS DOUBLE), 2)
+             AS price
+    FROM lines
+    """,
+)
+def item_line_parse(spark, sf_dir):
+    """F14: pipe-delimited item-line regex parse
+    (src/parsers/pdf_parser.py:280-297); lines synthesized from lineitem so
+    the parse is oracle-checkable end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    line = F.concat(
+        F.lit("SKU-"),
+        F.col("l_partkey").cast("string"),
+        F.lit(" | item "),
+        F.col("l_linenumber").cast("string"),
+        F.lit(" | "),
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit(" | $"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+    )
+    lines = li.select("l_orderkey", "l_linenumber", line.alias("line"))
+    return lines.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_extract("line", r"^([A-Z]+-[0-9]+) \|", 1).alias("sku"),
+        F.trim(F.regexp_extract("line", r"\| ([a-z 0-9]+) \|", 1)).alias("descr"),
+        F.regexp_extract("line", r"\| ([0-9]+) \| \$", 1)
+        .cast("int")
+        .alias("qty"),
+        rnd(
+            F.regexp_extract("line", r"\$([0-9.]+)$", 1).cast("double"), 2
+        ).alias("price"),
+    )
+
+
+@q(
+    "md_table_parse",
+    """
+    WITH rows_ AS (
+      SELECT p_partkey,
+             '| P-' || p_partkey || ' | ' || p_name || ' | ' || p_size
+               || ' | ' || (p_retailprice::DECIMAL(12,2))::VARCHAR || ' |'
+               AS md
+      FROM part
+    )
+    SELECT p_partkey,
+           trim(string_split(md, '|')[2]) AS code,
+           trim(string_split(md, '|')[3]) AS descr,
+           CAST(trim(string_split(md, '|')[4]) AS INT) AS size,
+           round(CAST(trim(string_split(md, '|')[5]) AS DOUBLE), 2) AS price
+    FROM rows_
+    """,
+)
+def md_table_parse(spark, sf_dir):
+    """F15: markdown-table row → cells (src/hybrid_pipeline.py:453-501).
+    NB Spark split() drops no empty leading field names — cell k is
+    element k+1 on both engines ('|a|b|' splits to ['', 'a', 'b', ''])."""
+    p = _t(spark, sf_dir, "part")
+    md = F.concat(
+        F.lit("| P-"),
+        F.col("p_partkey").cast("string"),
+        F.lit(" | "),
+        F.col("p_name"),
+        F.lit(" | "),
+        F.col("p_size").cast("string"),
+        F.lit(" | "),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string"),
+        F.lit(" |"),
+    )
+    cells = F.split(md, r"\|")
+    return p.select(
+        "p_partkey",
+        F.trim(F.element_at(cells, 2)).alias("code"),
+        F.trim(F.element_at(cells, 3)).alias("descr"),
+        F.trim(F.element_at(cells, 4)).cast("int").alias("size"),
+        rnd(F.trim(F.element_at(cells, 5)).cast("double"), 2).alias("price"),
+    )
+
+
+# =========================================================================
+# F16: item-block split (the lookahead-free form both engines share)
+# =========================================================================
+
+
+@q(
+    "item_block_parse",
+    """
+    WITH pieces AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             'Item ' || l_linenumber || ': part-' || l_partkey
+               || ' Qty: ' || CAST(l_quantity AS INT) AS piece
+      FROM lineitem
+    ), doc AS (
+      -- tiebreak on the piece STRING: (l_orderkey, l_linenumber, l_partkey)
+      -- is not unique in the synthetic lineitem, and Spark's struct
+      -- array_sort is total (falls through to the piece field)
+      SELECT l_orderkey,
+             string_agg(piece, ' '
+                        ORDER BY l_linenumber, l_partkey, piece) AS txt
+      FROM pieces GROUP BY l_orderkey
+    ), blocks AS (
+      SELECT l_orderkey,
+             list_filter(string_split(regexp_replace(txt, 'Item [0-9]+:',
+                                                     chr(1), 'g'), chr(1)),
+                         b -> trim(b) <> '') AS bs
+      FROM doc
+    )
+    SELECT l_orderkey, CAST(len(bs) AS INT) AS n_blocks,
+           regexp_extract(bs[1], 'part-([0-9]+)', 1) AS first_part,
+           CAST(regexp_extract(bs[1], 'Qty: ([0-9]+)', 1) AS INT) AS first_qty
+    FROM blocks
+    """,
+)
+def item_block_parse(spark, sf_dir):
+    """F16: 'Item N:' block segmentation + per-block field regexes
+    (src/hybrid_pipeline.py:521-581). RE2 (DuckDB) has no lookahead, so the
+    shared form is marker-substitution + split — which is also the faster
+    plan in Spark (no backtracking)."""
+    li = _t(spark, sf_dir, "lineitem")
+    doc = (
+        li.withColumn(
+            "piece",
+            F.concat(
+                F.lit("Item "),
+                F.col("l_linenumber").cast("string"),
+                F.lit(": part-"),
+                F.col("l_partkey").cast("string"),
+                F.lit(" Qty: "),
+                F.col("l_quantity").cast("int").cast("string"),
+            ),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_linenumber").alias("l"),
+                                F.col("l_partkey").alias("p"),
+                                F.col("piece").alias("piece"),
+                            )
+                        )
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("txt")
+        )
+    )
+    blocks = doc.select(
+        "l_orderkey",
+        F.filter(
+            F.split(
+                F.regexp_replace("txt", r"Item [0-9]+:", ""), ""
+            ),
+            lambda b: F.trim(b) != "",
+        ).alias("bs"),
+    )
+    first = F.element_at("bs", 1)
+    return blocks.select(
+        "l_orderkey",
+        F.size("bs").alias("n_blocks"),
+        F.regexp_extract(first, r"part-([0-9]+)", 1).alias("first_part"),
+        F.regexp_extract(first, r"Qty: ([0-9]+)", 1)
+        .cast("int")
+        .alias("first_qty"),
+    )
+
+
+# =========================================================================
+# F17+F18+F19: fence strip → embedded-JSON salvage → OCR date repair
+# =========================================================================
+
+
+@q(
+    "fence_json_salvage",
+    """
+    WITH wrapped AS (
+      SELECT event_id,
+             '```json' || chr(10) || '{"k": '
+               || json_extract_string(props, '$.k')
+               || ', "scanned": "3/25' || (2020 + mod(event_id, 6))
+               || '"}' || chr(10) || '```' AS payload
+      FROM events
+    ), stripped AS (
+      SELECT event_id,
+             regexp_replace(regexp_replace(payload, '^```(json)?\\s*', ''),
+                            '\\s*```$', '') AS body
+      FROM wrapped
+    ), salvaged AS (
+      SELECT event_id, regexp_extract(body, '\\{[\\s\\S]*\\}', 0) AS js
+      FROM stripped
+    )
+    SELECT event_id,
+           CAST(json_extract_string(js, '$.k') AS INT) AS k,
+           regexp_replace(json_extract_string(js, '$.scanned'),
+                          '([0-9]{1,2})/([0-9]{2})([0-9]{4})', '\\1/\\2/\\3',
+                          'g') AS repaired_date
+    FROM salvaged
+    """,
+)
+def fence_json_salvage(spark, sf_dir):
+    """F18 (fence strip) + F19 (embedded-JSON salvage) + F17 (OCR date
+    repair 3/2512024 → 3/25/2024) chained over the events.props JSON column
+    (src/parsers/ocr_parser.py:158-172, src/hybrid_pipeline.py:618)."""
+    e = _t(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit("```json\n"),
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "scanned": "3/25'),
+        (F.lit(2020) + F.pmod("event_id", F.lit(6))).cast("string"),
+        F.lit('"}\n```'),
+    )
+    body = N.strip_md_fence(payload)
+    js = F.regexp_extract(body, r"\{[\s\S]*\}", 0)
+    return e.select(
+        "event_id",
+        F.get_json_object(js, "$.k").cast("int").alias("k"),
+        N.repair_ocr_date(F.get_json_object(js, "$.scanned")).alias(
+            "repaired_date"
+        ),
+    )
+
+
+# =========================================================================
+# F26: labeled special-instructions extraction
+# =========================================================================
+
+
+@q(
+    "special_instructions",
+    """
+    WITH txt AS (
+      SELECT o_orderkey,
+             'Header line' || chr(10) || 'Notes: priority '
+               || lower(o_orderpriority) || chr(10)
+               || 'Instructions: status ' || o_orderstatus
+               || ' handling' AS body
+      FROM orders
+    ), hits AS (
+      SELECT o_orderkey,
+             list_filter([
+               trim(regexp_extract(body, 'Notes:([^\\n]+)', 1)),
+               trim(regexp_extract(body, 'Instructions:([^\\n]+)', 1)),
+               trim(regexp_extract(body, 'Special:([^\\n]+)', 1))
+             ], s -> length(s) >= 5) AS found
+      FROM txt
+    )
+    SELECT o_orderkey,
+           list_aggr(found[1:3], 'string_agg', '; ') AS instructions
+    FROM hits
+    """,
+)
+def special_instructions(spark, sf_dir):
+    """F26: label-pattern scan, min-length filter, top-3 join
+    (src/parsers/pdf_parser.py:315-331)."""
+    o = _t(spark, sf_dir, "orders")
+    body = F.concat(
+        F.lit("Header line\nNotes: priority "),
+        F.lower("o_orderpriority"),
+        F.lit("\nInstructions: status "),
+        F.col("o_orderstatus"),
+        F.lit(" handling"),
+    )
+    found = F.filter(
+        F.array(
+            *[
+                F.trim(F.regexp_extract(body, p, 1))
+                for p in (
+                    r"Notes:([^\n]+)",
+                    r"Instructions:([^\n]+)",
+                    r"Special:([^\n]+)",
+                )
+            ]
+        ),
+        lambda s: F.length(s) >= 5,
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.slice(found, 1, 3), "; ").alias("instructions"),
+    )
+
+
+# =========================================================================
+# A3: notes dedupe + concat
+# =========================================================================
+
+
+@q(
+    "notes_concat",
+    """
+    SELECT l_orderkey,
+           list_aggr(list_sort(list(DISTINCT l_returnflag || '-'
+                                    || l_linestatus)),
+                     'string_agg', '; ') AS notes,
+           CAST(count(DISTINCT l_returnflag || '-' || l_linestatus) AS INT)
+             AS n_distinct
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def notes_concat(spark, sf_dir):
+    """A3: unique-notes join (src/parsers/csv_parser.py:209-212) —
+    collect_set → sort → '; '-join for determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    note = F.concat_ws("-", "l_returnflag", "l_linestatus")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_set(note)), "; ").alias("notes"),
+        F.size(F.collect_set(note)).alias("n_distinct"),
+    )
+
+
+# =========================================================================
+# J1: multi-sheet consolidation as broadcast joins
+# =========================================================================
+
+
+@q(
+    "multisheet_join",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY nation, segment
+    """,
+)
+def multisheet_join(spark, sf_dir):
+    """J1: the Order_Info ⋈ Line_Items ⋈ Notes consolidation
+    (src/parsers/excel_parser.py:51-120) as relational joins; dimension
+    sides broadcast explicitly — no shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# =========================================================================
+# F30: temperature-scaled confidence (T=2 → sqrt, engine-portable)
+# =========================================================================
+
+
+@q(
+    "temp_scaled_conf",
+    _CONF_SQL
+    + """
+    SELECT doc_id,
+           round(least(sqrt(confidence), 0.99)
+                 * (CASE WHEN n_errors = 0 THEN 1.0 ELSE 0.8 END), 4)
+             AS calibrated
+    FROM scored
+    """,
+)
+def temp_scaled_conf(spark, sf_dir):
+    """F30: min(raw^(1/T), 0.99) with the ×0.8 validation-failure discount
+    (src/ai_models/confidence.py:383-405). T=2 so the power is sqrt —
+    correctly rounded on both engines (arbitrary pow is not)."""
+    df = _confidence_df(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        rnd(
+            C.temperature_scaled(
+                F.col("confidence"), 2.0, F.col("n_errors") == 0
+            ),
+            4,
+        ).alias("calibrated"),
+    )
+
+
+# =========================================================================
+# A13/A14: MC-dropout moments + ensemble disagreement
+# =========================================================================
+
+
+@q(
+    "mc_dropout_moments",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_passes,
+           round(avg(value), 4) AS mean_pred,
+           round(var_samp(value), 2) AS var_pred
+    FROM events GROUP BY user_id HAVING count(*) > 1
+    """,
+)
+def mc_dropout_moments(spark, sf_dir):
+    """A13: mean/variance over N stochastic passes
+    (src/ai_models/confidence.py:213-237); events.value stands in for the
+    per-pass prediction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_passes"),
+            rnd(F.avg("value"), 4).alias("mean_pred"),
+            rnd(F.var_samp("value"), 2).alias("var_pred"),
+        )
+        .where(F.col("n_passes") > 1)
+    )
+
+
+@q(
+    "ensemble_disagreement",
+    _PREDS_SQL
+    + """
+    SELECT user_id, field, round(var_samp(conf), 6) AS disagreement
+    FROM preds GROUP BY user_id, field HAVING count(*) > 1
+    """,
+)
+def ensemble_disagreement(spark, sf_dir):
+    """A14: prediction variance across models
+    (src/ai_models/confidence.py:279-295)."""
+    p = _preds_df(spark, sf_dir)
+    return (
+        p.groupBy("user_id", "field")
+        .agg(
+            rnd(F.var_samp("conf"), 6).alias("disagreement"),
+            F.count("*").alias("_n"),
+        )
+        .where(F.col("_n") > 1)
+        .drop("_n")
+    )
+
+
+# =========================================================================
+# A12: fields-extracted count
+# =========================================================================
+
+
+@q(
+    "fields_extracted",
+    """
+    SELECT doc_id,
+           CAST((CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS INT)
+             AS n_fields
+    FROM documents
+    """,
+)
+def fields_extracted(spark, sf_dir):
+    """A12: populated-field count (src/hybrid_pipeline.py:651-666)."""
+    d = _t(spark, sf_dir, "documents")
+    n = (
+        (F.col("text").isNotNull() & (F.trim("text") != "")).cast("int")
+        + F.col("lang").isNotNull().cast("int")
+        + F.col("source").isNotNull().cast("int")
+        + (F.col("n_chars") > 0).cast("int")
+        + (F.col("n_chars") >= 200).cast("int")
+    )
+    return d.select("doc_id", n.cast("int").alias("n_fields"))
+
+
+# =========================================================================
+# W2 relational: margin via lag window (array form in uncertainty_scores)
+# =========================================================================
+
+
+@q(
+    "margin_lag",
+    """
+    WITH raw AS (
+      SELECT vec_id,
+             abs(CAST(embedding[1] AS DOUBLE)) AS a1,
+             abs(CAST(embedding[2] AS DOUBLE)) AS a2,
+             abs(CAST(embedding[3] AS DOUBLE)) AS a3,
+             abs(CAST(embedding[4] AS DOUBLE)) AS a4
+      FROM embeddings
+    ), longp AS (
+      SELECT vec_id, p FROM (
+        SELECT vec_id, unnest([a1, a2, a3, a4] :: DOUBLE[]) / (a1+a2+a3+a4) AS p
+        FROM raw WHERE (a1+a2+a3+a4) > 0)
+    ), ranked AS (
+      SELECT vec_id, p,
+             row_number() OVER (PARTITION BY vec_id ORDER BY p DESC) AS rn,
+             lag(p) OVER (PARTITION BY vec_id ORDER BY p DESC) AS prev_p
+      FROM longp
+    )
+    SELECT vec_id, round(1.0 - (prev_p - p), 6) AS margin
+    FROM ranked WHERE rn = 2
+    """,
+)
+def margin_lag(spark, sf_dir):
+    """W2 (relational form): top-2 probability gap via lag() OVER
+    (src/ai_models/active_learning.py:100-104); the array form lives in
+    uncertainty_scores."""
+    from .queries import _probs_df
+
+    p = _probs_df(spark, sf_dir)
+    longp = p.select(
+        "vec_id", F.explode(F.array("p1", "p2", "p3", "p4")).alias("p")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("p"))
+    ranked = longp.select(
+        "vec_id",
+        "p",
+        F.row_number().over(w).alias("rn"),
+        F.lag("p").over(w).alias("prev_p"),
+    )
+    return ranked.where(F.col("rn") == 2).select(
+        "vec_id", rnd(1.0 - (F.col("prev_p") - F.col("p")), 6).alias("margin")
+    )
+
+
+# =========================================================================
+# F31/S7: base64 payload encode; U1: keyset union
+# =========================================================================
+
+
+@q(
+    "base64_payload",
+    """
+    SELECT doc_id, to_base64(encode(substr(text, 1, 64))) AS b64
+    FROM documents
+    """,
+)
+def base64_payload(spark, sf_dir):
+    """F31/S7: binary → base64 (src/parsers/ocr_parser.py:59-62).
+    Spark's base64 is MIME-chunked (CRLF every 76 chars); strip the breaks
+    for the RFC4648 form every other engine (and the reference's
+    ``base64.b64encode``) produces."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.base64(F.encode(F.substring("text", 1, 64), "utf-8")),
+            "\r\n",
+            "",
+        ).alias("b64"),
+    )
+
+
+@q(
+    "keyset_union",
+    _PREDS_SQL
+    + """
+    SELECT user_id,
+           list_aggr(list_sort(list(DISTINCT CAST(field AS VARCHAR))),
+                     'string_agg', ',') AS fields
+    FROM preds GROUP BY user_id
+    """,
+)
+def keyset_union(spark, sf_dir):
+    """U1: union of field keysets across models
+    (src/ai_models/ensemble.py:162-165)."""
+    p = _preds_df(spark, sf_dir)
+    return p.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("field").cast("string"))), ","
+        ).alias("fields")
+    )

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark (north rule evidence).
+
+The rule demands ≥0.8 throughput scaling efficiency from N to 4N executors.
+No real cluster exists in this sandbox, so the same extraction job runs at
+two parallelism levels — local[4] and local[16] — on the SAME input corpus,
+each in a fresh JVM/process, and efficiency = (thr_4N / thr_N) / 4.
+
+N=4 vs 4N=16 (not 8 vs 32) because the host has exactly 32 hardware cores:
+local[32] pins 32 JVM task threads PLUS 32 Python UDF workers plus GC and
+shuffle threads onto 32 cores, so a 32-level measurement conflates job
+scaling with machine oversubscription — a real 4N-executor cluster adds
+hardware. At 4/16 both levels run with headroom and measure the job.
+
+Per-level protocol: spawn a subprocess, build the session at local[N], warm
+every Python worker (spawn + package import are one-time per-executor costs,
+amortized to noise in any long job), then time the full extraction twice:
+the default split-balanced plan (zero shuffle — production path) and the
+salted-repartition plan (full-payload shuffle — the skew-adversarial path).
+Results go to BENCH.md.
+
+Usage:
+    python scripts/scaling_bench.py              # parent: run both, report
+    python scripts/scaling_bench.py --child N    # one level, print JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
+SEED = 42
+LEVELS = (4, 16)
+REPEATS = 3  # timed runs per level; best (min wall) reported (microVM hosts show transient neighbor contention)
+
+
+def _corpus(n: int, seed: int) -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"mfde_bench_corpus_{n}_{seed}")
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        from multi_format_document_extractor_spark.corpus import write_corpus
+
+        write_corpus(d, n, seed)
+    return d
+
+
+def child(cores: int) -> None:
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+    from multi_format_document_extractor_spark.session import get_spark
+    from multi_format_document_extractor_spark.sources.pages import read_pages
+
+    corpus_dir = _corpus(N_DOCS, SEED)
+    spark = get_spark(f"scale-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm every worker: wide UDF stage over all cores.
+    run(extract_pages(pages.limit(32 * cores), salt_partitions=cores * 2))
+
+    result = {"cores": cores, "docs": N_DOCS}
+    for label, salt in (("split", None), ("salted", cores * 4)):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.time()
+            run(extract_pages(pages, salt_partitions=salt))
+            best = min(best, time.time() - t0)
+        result[f"wall_sec_{label}"] = round(best, 3)
+        result[f"docs_per_sec_{label}"] = round(N_DOCS / best, 1)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def parent() -> None:
+    _corpus(N_DOCS, SEED)  # generate once, outside both children
+    results = {}
+    for cores in LEVELS:
+        out = subprocess.run(
+            [sys.executable, __file__, "--child", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+
+    n, n4 = LEVELS
+    effs = {}
+    for label in ("split", "salted"):
+        thr_n = results[n][f"docs_per_sec_{label}"]
+        thr_4n = results[n4][f"docs_per_sec_{label}"]
+        effs[label] = round((thr_4n / thr_n) / (n4 / n), 3)
+    summary = {
+        "metric": "scaling_efficiency_Nx4N",
+        "value": effs["split"],
+        "unit": "ratio",
+        "efficiency": effs,
+        "levels": results,
+        "docs": N_DOCS,
+    }
+    print(json.dumps(summary))
+
+    rows = "\n".join(
+        f"| local[{c}] ({t}) | {results[c]['wall_sec_split']} | "
+        f"{results[c]['docs_per_sec_split']} | {results[c]['wall_sec_salted']} | "
+        f"{results[c]['docs_per_sec_salted']} |"
+        for c, t in ((n, "N"), (n4, "4N"))
+    )
+    bench_md = REPO / "BENCH.md"
+    bench_md.write_text(
+        f"""# BENCH — extraction throughput & scaling (measured)
+
+Job: magic-byte sniff → `mapInPandas` extraction (HTML boilerplate removal /
+PDF layout parse / text passthrough) → noop sink, in both balancing modes:
+**split** (default: byte-ranged scan splits, zero shuffle — the production
+path at 100 TB) and **salted** (`repartition(4×cores, pmod(xxhash64(url),
+4096))` — the skew-adversarial path, paying a full-payload shuffle).
+Input: deterministic synthetic Common-Crawl corpus, {N_DOCS:,} pages
+(~70% HTML / 15% PDF / 10% text / 3% error-path / 2% oversized ≥1 MB;
+Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
+state (workers warm, package imported) — one-time per-executor startup
+excluded, as it amortizes on any real job. Best of {REPEATS} timed runs.
+
+N=4 vs 4N=16 on a 32-hw-core box: local[32] would pin 32 JVM task threads
++ 32 Python workers + GC/shuffle threads on 32 cores and measure machine
+oversubscription, not job scaling; at 4/16 both levels have headroom.
+
+| parallelism | split wall (s) | split docs/sec | salted wall (s) | salted docs/sec |
+|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency (N → 4N) = (thr_4N / thr_N) / 4:
+split = {effs['split']:.3f}, salted = {effs['salted']:.3f}**
+(north-rule target ≥ 0.8).
+
+Run: `python scripts/scaling_bench.py` (env `SPARK_GRAFT_SCALE_DOCS`
+overrides corpus size). Per-round driver numbers: see `BENCH_r*.json`
+(`bench.py`, sf0.1 registry queries + extraction throughput).
+"""
+    )
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+    else:
+        parent()
