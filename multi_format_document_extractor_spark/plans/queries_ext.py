@@ -610,6 +610,184 @@ def base64_payload(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Nested array-of-struct items (the reference's items: list[OrderItem],
+# src/schemas.py:41) — A1 nested fold, P5 keep-filter, F24 nested repair
+# =========================================================================
+
+
+@q(
+    "nested_items",
+    """
+    WITH per_item AS (
+      SELECT l_orderkey,
+             'SKU-' || l_partkey AS code,
+             CAST(l_quantity AS INT) AS qty,
+             round(l_extendedprice, 2) AS total,
+             CASE WHEN mod(l_partkey, 11) = 0 THEN '' ELSE 'part ' || l_partkey
+                  END AS descr
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS INT) AS n_items,
+           CAST(sum(CASE WHEN descr <> '' THEN 1 ELSE 0 END) AS INT)
+             AS n_valid,
+           round(sum(total), 2) AS order_total,
+           CAST(max(qty) AS INT) AS max_qty
+    FROM per_item GROUP BY l_orderkey
+    """,
+)
+def nested_items(spark, sf_dir):
+    """Items as a genuine ARRAY<STRUCT> column: collect per order, then all
+    reductions happen INSIDE the nested value with higher-order functions —
+    F.aggregate fold for the order total (A1 nested form,
+    src/processors/data_transformer.py:115), F.filter keep-predicate (P5,
+    src/parsers/pdf_parser.py:203-206), array_max via transform. The oracle
+    states the same semantics relationally — equal values, different plan
+    shape, which is exactly what makes the nested path checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.concat(F.lit("SKU-"), F.col("l_partkey").cast("string")).alias("code"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        rnd(F.col("l_extendedprice"), 2).alias("total"),
+        F.when(F.pmod("l_partkey", F.lit(11)) == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("part "), F.col("l_partkey").cast("string")))
+        .alias("descr"),
+    )
+    orders = li.groupBy("l_orderkey").agg(
+        F.collect_list(item).alias("items")
+    )
+    items = F.col("items")
+    return orders.select(
+        "l_orderkey",
+        F.size(items).alias("n_items"),
+        F.size(F.filter(items, lambda x: x["descr"] != "")).alias("n_valid"),
+        rnd(
+            F.aggregate(
+                items, F.lit(0.0), lambda acc, x: acc + x["total"]
+            ),
+            2,
+        ).alias("order_total"),
+        F.array_max(F.transform(items, lambda x: x["qty"])).alias("max_qty"),
+    )
+
+
+@q(
+    "nested_item_repair",
+    """
+    WITH per_item AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS INT) AS qty,
+             round(l_extendedprice / l_quantity, 2) AS unit_price,
+             CASE WHEN mod(l_orderkey + l_linenumber, 9) = 0
+                  THEN round(l_extendedprice + 3.0, 2)
+                  ELSE round(l_extendedprice, 2) END AS total
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_orderkey,
+           CAST(sum(CASE WHEN abs(total - qty * unit_price) > 0.01
+                          AND qty * unit_price > 0
+                         THEN 1 ELSE 0 END) AS INT) AS n_repaired,
+           round(sum(CASE WHEN abs(total - qty * unit_price) > 0.01
+                           AND qty * unit_price > 0
+                          THEN round(qty * unit_price, 2) ELSE total END), 2)
+             AS repaired_total
+    FROM per_item GROUP BY l_orderkey
+    """,
+)
+def nested_item_repair(spark, sf_dir):
+    """F24 in its nested form: transform() rewrites each item struct
+    in-place (total := round(q·p, 2) when |total − q·p| > 0.01), then the
+    fold re-sums — the reference's per-item repair loop
+    (src/processors/data_transformer.py:92-101) as one expression over the
+    ARRAY<STRUCT> column."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    item = F.struct(
+        F.col("l_quantity").cast("int").alias("qty"),
+        rnd(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+            "unit_price"
+        ),
+        F.when(
+            F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(9)) == 0,
+            rnd(F.col("l_extendedprice") + 3.0, 2),
+        )
+        .otherwise(rnd(F.col("l_extendedprice"), 2))
+        .alias("total"),
+    )
+    orders = li.groupBy("l_orderkey").agg(F.collect_list(item).alias("items"))
+
+    def calc(x):
+        return x["qty"] * x["unit_price"]
+
+    def needs_fix(x):
+        return (F.abs(x["total"] - calc(x)) > 0.01) & (calc(x) > 0)
+
+    repaired = F.transform(
+        F.col("items"),
+        lambda x: F.struct(
+            x["qty"].alias("qty"),
+            x["unit_price"].alias("unit_price"),
+            F.when(needs_fix(x), F.round(calc(x), 2))
+            .otherwise(x["total"])
+            .alias("total"),
+        ),
+    )
+    return orders.select(
+        "l_orderkey",
+        F.size(F.filter(F.col("items"), needs_fix)).alias("n_repaired"),
+        rnd(
+            F.aggregate(
+                repaired, F.lit(0.0), lambda acc, x: acc + x["total"]
+            ),
+            2,
+        ).alias("repaired_total"),
+    )
+
+
+@q(
+    "json_items_parse",
+    """
+    WITH js AS (
+      SELECT l_orderkey, l_linenumber,
+             '{"sku": "SKU-' || l_partkey || '", "item": {"qty": '
+               || CAST(l_quantity AS INT) || ', "price": '
+               || (l_extendedprice::DECIMAL(12,2))::VARCHAR || '}}' AS doc
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           json_extract_string(doc, '$.sku') AS sku,
+           CAST(json_extract(doc, '$.item.qty') AS INT) AS qty,
+           round(CAST(json_extract(doc, '$.item.price') AS DOUBLE), 2)
+             AS price
+    FROM js
+    """,
+)
+def json_items_parse(spark, sf_dir):
+    """F20: typed JSON → nested record via from_json with a
+    STRUCT<...,STRUCT<...>> schema (src/parsers/ocr_parser.py:145-217) —
+    null on malformed input mirrors the reference's salvage semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    doc = F.concat(
+        F.lit('{"sku": "SKU-'),
+        F.col("l_partkey").cast("string"),
+        F.lit('", "item": {"qty": '),
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit(', "price": '),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+        F.lit("}}"),
+    )
+    parsed = F.from_json(
+        doc, "struct<sku:string, item:struct<qty:int, price:double>>"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        parsed["sku"].alias("sku"),
+        parsed["item"]["qty"].alias("qty"),
+        rnd(parsed["item"]["price"], 2).alias("price"),
+    )
+
+
 @q(
     "keyset_union",
     _PREDS_SQL
