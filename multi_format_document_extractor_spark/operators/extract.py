@@ -56,7 +56,7 @@ if TYPE_CHECKING:
 EXTRACT_DDL = (
     "url string, warc_ts timestamp, lang string, format string, "
     "text_out binary, n_blocks int, ok boolean, error string, "
-    "in_bytes long, checksum long"
+    "in_bytes long, checksum long, truncated boolean"
 )
 
 DEFAULT_SALT_BUCKETS = 4096  # >> max executor count; cheap modulo key
@@ -81,19 +81,35 @@ class ParserPool:
         return extract(payload)
 
 
-def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-    pool = ParserPool()  # once per partition iterator
-    for pdf in batches:
-        results = [pool.extract_one(p) for p in pdf["html"]]
-        out = pdf[["url", "warc_ts", "lang"]].copy()
-        out["format"] = [r.format for r in results]
-        out["text_out"] = [r.text for r in results]
-        out["n_blocks"] = [r.n_blocks for r in results]
-        out["ok"] = [r.ok for r in results]
-        out["error"] = [r.error for r in results]
-        out["in_bytes"] = [len(p) if p is not None else 0 for p in pdf["html"]]
-        out["checksum"] = [zlib.crc32(r.text) for r in results]
-        yield out
+def _make_extract_batches(max_bytes: int | None):
+    def _extract_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        pool = ParserPool()  # once per partition iterator
+        for pdf in batches:
+            payloads, truncated = [], []
+            for p in pdf["html"]:
+                if max_bytes is not None and p is not None and len(p) > max_bytes:
+                    payloads.append(bytes(p[:max_bytes]))
+                    truncated.append(True)
+                else:
+                    payloads.append(p)
+                    truncated.append(False)
+            results = [pool.extract_one(p) for p in payloads]
+            out = pdf[["url", "warc_ts", "lang"]].copy()
+            out["format"] = [r.format for r in results]
+            out["text_out"] = [r.text for r in results]
+            out["n_blocks"] = [r.n_blocks for r in results]
+            out["ok"] = [r.ok for r in results]
+            out["error"] = [r.error for r in results]
+            out["in_bytes"] = [
+                len(p) if p is not None else 0 for p in pdf["html"]
+            ]
+            out["checksum"] = [zlib.crc32(r.text) for r in results]
+            out["truncated"] = truncated
+            yield out
+
+    return _extract_batches
 
 
 def salt_key(url_col: Column, buckets: int = DEFAULT_SALT_BUCKETS) -> Column:
@@ -105,16 +121,24 @@ def extract_pages(
     pages: DataFrame,
     salt_partitions: int | None = None,
     only_formats: list[str] | None = None,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted table.
 
     ``only_formats`` pre-filters on the *native* sniff column so the filter
     pushes down ahead of the UDF (reference's early rejection,
     src/pipeline.py:88-90, as predicate pushdown).
+
+    ``max_bytes`` caps per-document payload size INSIDE the UDF: a single
+    multi-GB page is atomic to any partitioning scheme (neither scan splits
+    nor salting can divide one row), so at 100 TB the cap is what bounds
+    worst-case task time. Truncation is recorded as data in the
+    ``truncated`` column (and thus in warehouse lineage), never silent;
+    default None = byte-identity contract intact.
     """
     df = pages.select("url", "warc_ts", "html", "lang")
     if only_formats is not None:
         df = df.where(format_col(F.col("html")).isin(only_formats))
     if salt_partitions:
         df = df.repartition(salt_partitions, salt_key(F.col("url")))
-    return df.mapInPandas(_extract_batches, schema=EXTRACT_DDL)
+    return df.mapInPandas(_make_extract_batches(max_bytes), schema=EXTRACT_DDL)

@@ -1312,6 +1312,20 @@ def streaming_window(spark, sf_dir):
     return streaming_event_window_counts(spark, sf_dir)
 
 
+def _register_streaming_sessionize():
+    """Custom stateful streaming op (applyInPandasWithState) sharing the
+    batch sessionize oracle — identical values via a different engine path."""
+
+    @q("streaming_sessionize", ORACLES["sessionize"])
+    def streaming_sessionize_q(spark, sf_dir):
+        from ..streaming.ingest import streaming_sessionize
+
+        return streaming_sessionize(spark, sf_dir)
+
+
+_register_streaming_sessionize()
+
+
 # =========================================================================
 # Full extraction pipeline (flagship; byte-identity is pytest-verified,
 # so this is registered rows-only) + multimodal metadata stub

@@ -19,10 +19,15 @@ PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang strin
 def format_col(html: Column) -> Column:
     """Magic-byte format classification as a native expression.
 
-    latin-1 decode never fails, so the head probe is total; ltrim tolerates
-    leading whitespace before '<'.
+    latin-1 decode never fails, so the head probe is total. The leading-
+    whitespace set is EXACTLY the oracle's ``lstrip(" \\t\\r\\n")``
+    (oracle.py sniff_format) — Spark's one-arg ltrim strips only 0x20 and
+    would diverge on tab/newline-prefixed HTML (caught by
+    tests/test_properties.py).
     """
-    head = F.ltrim(F.decode(F.substring(html, 1, 16), "ISO-8859-1"))
+    head = F.regexp_replace(
+        F.decode(F.substring(html, 1, 16), "ISO-8859-1"), "^[ \t\r\n]+", ""
+    )
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit("unknown"))
         .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))

@@ -58,6 +58,91 @@ def _stage_dir(sf_dir: str) -> str:
     return d
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min, same as the batch sessionize oracle
+
+_SESS_STATE = "last_t long, cur_n long, max_n long, n_sessions long, n_events long"
+_SESS_OUT = (
+    "user_id long, n_sessions long, n_events long, max_session_events long"
+)
+
+
+def _sessionize_group(key, pdfs, state):
+    """applyInPandasWithState update fn: classic 30-min-gap sessionization as
+    incremental state. Within a micro-batch events are sorted by (ts,
+    event_id); across batches the file source replays in order. Emits the
+    running summary each invocation; the reader keeps the last emission."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    if state.exists:
+        last_t, cur_n, max_n, n_sessions, n_events = state.get
+    else:
+        last_t, cur_n, max_n, n_sessions, n_events = (None, 0, 0, 0, 0)
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in (pdf["ts"].astype("int64") // 1000).tolist():  # ns → us
+            if last_t is None or t - last_t > SESSION_GAP_US:
+                n_sessions += 1
+                cur_n = 0
+            cur_n += 1
+            n_events += 1
+            max_n = max(max_n, cur_n)
+            last_t = t
+    state.update((last_t, cur_n, max_n, n_sessions, n_events))
+    yield __import__("pandas").DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+            "max_session_events": [max_n],
+        }
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the engine's extension point for operators
+    Structured Streaming lacks natively). Drained with availableNow; result
+    values are identical to the batch gaps-and-islands form and are checked
+    against the same DuckDB oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(_stage_dir(sf_dir))
+    sessions = (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # Update mode appends one summary row per (user, micro-batch); keep each
+    # user's final (max n_events) emission.
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("n_sessions")
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form: readStream over the events parquet → tumbling-window
     aggregation → in-memory sink, drained synchronously (availableNow).

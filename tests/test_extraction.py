@@ -54,6 +54,32 @@ def test_extraction_matches_expected_table_via_join(spark, corpus_dir):
     assert mism == 0
 
 
+def test_size_cap_truncates_only_oversized(spark, corpus_dir):
+    """max_bytes bounds atomic-row task time: oversized payloads are cut at
+    the cap and flagged; everything below the cap stays byte-identical."""
+    cap = 100_000
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    out = extract_pages(pages, max_bytes=cap).cache()
+    try:
+        n_over = pages.where(F.length("html") > cap).count()
+        assert n_over > 0  # the fixture's 2% oversized docs exist
+        flagged = out.where(F.col("truncated")).count()
+        assert flagged == n_over
+        # non-truncated rows keep the byte-identity contract
+        expected = spark.read.parquet(corpus_dir + "/expected.parquet")
+        mism = (
+            out.where(~F.col("truncated"))
+            .join(expected, "url")
+            .where(F.col("text_out") != F.col("text_expected"))
+            .count()
+        )
+        assert mism == 0
+        # truncated rows still extract deterministically (errors are data)
+        assert out.where(F.col("truncated") & F.col("text_out").isNull()).count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_format_filter_pushes_down_before_udf(spark, corpus_dir):
     pages = read_pages(spark, corpus_dir + "/pages.parquet")
     out = extract_pages(pages, only_formats=["pdf"])

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the single-node oracle — the
+module that defines the engine's byte-identity contract — plus a seeded
+randomized Spark⇄oracle agreement sweep.
+
+The oracle must be TOTAL (any bytes → Extracted, never an exception — the
+reference turns parse errors into data, src/pipeline.py:171-180) and
+DETERMINISTIC (same payload → same bytes, the precondition for distributed
+byte-identity)."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multi_format_document_extractor_spark.oracle import (
+    FORMAT_HTML,
+    FORMAT_PDF,
+    FORMAT_TEXT,
+    FORMAT_UNKNOWN,
+    extract,
+    sniff_format,
+)
+
+any_bytes = st.binary(min_size=0, max_size=4096)
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_bytes)
+def test_extract_is_total_and_deterministic(payload):
+    a = extract(payload)
+    b = extract(payload)
+    assert isinstance(a.text, bytes)
+    assert (a.format, a.text, a.n_blocks, a.ok, a.error) == (
+        b.format,
+        b.text,
+        b.n_blocks,
+        b.ok,
+        b.error,
+    )
+    assert a.checksum == zlib.crc32(a.text)
+    assert a.format in (FORMAT_HTML, FORMAT_PDF, FORMAT_TEXT, FORMAT_UNKNOWN)
+    if payload:
+        assert a.format != FORMAT_UNKNOWN
+    else:
+        assert a.format == FORMAT_UNKNOWN and not a.ok
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_bytes)
+def test_sniff_matches_magic_bytes(payload):
+    fmt = sniff_format(payload)
+    if not payload:
+        assert fmt == FORMAT_UNKNOWN
+    elif payload.startswith(b"%PDF-"):
+        assert fmt == FORMAT_PDF
+    elif payload.decode("ISO-8859-1").lstrip()[:16].lstrip().startswith("<"):
+        assert fmt == FORMAT_HTML
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=2000))
+def test_text_passthrough_properties(s):
+    payload = s.encode("utf-8")
+    if not payload or payload.startswith(b"%PDF-"):
+        return
+    r = extract(payload)
+    if r.format != FORMAT_TEXT:
+        return
+    out = r.text.decode("utf-8", errors="replace")
+    # no leading/trailing blank lines, no trailing spaces on any line
+    assert out == out.strip("\n")
+    assert all(ln == ln.rstrip() for ln in out.split("\n"))
+    # idempotence: re-extracting the extracted text is a fixed point
+    r2 = extract(r.text)
+    if r2.format == FORMAT_TEXT:
+        assert r2.text == r.text
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+        ),
+        max_size=8,
+    )
+)
+def test_html_extraction_total_on_tag_soup(parts):
+    soup = "<html><body>" + "<div>".join(parts)  # unbalanced by design
+    r = extract(soup.encode("utf-8"))
+    assert r.format == FORMAT_HTML
+    assert r.ok and isinstance(r.text, bytes)
+
+
+def test_spark_sniff_agrees_with_oracle_on_random_payloads(spark):
+    """One Spark job over 400 seeded adversarial payloads: the native
+    format_col expression and the oracle's sniff must never diverge."""
+    import pyspark.sql.functions as F
+
+    from multi_format_document_extractor_spark.sources.pages import format_col
+
+    rng = random.Random(1234)
+    payloads = []
+    for i in range(400):
+        kind = rng.randrange(6)
+        if kind == 0:
+            p = bytes(rng.getrandbits(8) for _ in range(rng.randrange(64)))
+        elif kind == 1:
+            p = b"%PDF-" + bytes(rng.getrandbits(8) for _ in range(32))
+        elif kind == 2:
+            p = b" \t\n" * rng.randrange(4) + b"<html><body>x</body>"
+        elif kind == 3:
+            p = ("word " * rng.randrange(20)).encode()
+        elif kind == 4:
+            p = b"\xff\xfe" + bytes(rng.getrandbits(8) for _ in range(16))
+        else:
+            p = b""
+        payloads.append((f"u{i}", p if p or rng.random() < 0.5 else None))
+
+    df = spark.createDataFrame(payloads, "url string, html binary")
+    got = {
+        r["url"]: r["fmt"]
+        for r in df.select("url", format_col(F.col("html")).alias("fmt")).collect()
+    }
+    for url, p in payloads:
+        assert got[url] == sniff_format(p), (url, p)
