@@ -49,9 +49,14 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str, k: int = SHINGLE_K) -> Column:
-    """Word k-shingles as an array column; <k-word docs yield no shingles."""
-    w = words(F.col(text_col))
+def shingles_of(w: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED word-array column.
+
+    ``w`` must be a bound column (projected in a previous select), never an
+    inline ``split(...)`` expression: Spark does not CSE expressions inside
+    higher-order-function lambdas, so an inline split would re-tokenize the
+    document for every ``element_at`` — O(words²) per doc (measured 40×
+    slowdown on the dedup path)."""
     n = F.size(w)
     return F.when(
         n >= k,
@@ -66,9 +71,13 @@ def shingles(text_col: str, k: int = SHINGLE_K) -> Column:
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exploded (id, shingle) pairs — the base relation for MinHash and
-    Jaccard. Shuffle-free (narrow explode)."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("shingle")
+    Jaccard. Shuffle-free (narrow explode); tokenization happens exactly
+    once per document (see shingles_of)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
+        )
+        .select("doc", F.explode(shingles_of(F.col("w"))).alias("shingle"))
     )
 
 
