@@ -788,6 +788,370 @@ def json_items_parse(spark, sf_dir):
     )
 
 
+# =========================================================================
+# W4: BIO-tag span segmentation (running-sum window + grouped concat)
+# =========================================================================
+
+
+@q(
+    "bio_segments",
+    """
+    WITH stream AS (
+      SELECT mod(event_id, 500) AS doc_id, event_id AS pos,
+             'tok' || mod(event_id, 97) AS token,
+             CASE mod(event_id, 5) WHEN 0 THEN 'B-FIELD'
+                  WHEN 1 THEN 'I-FIELD' WHEN 2 THEN 'I-FIELD'
+                  ELSE 'O' END AS tag
+      FROM events
+    ), seg AS (
+      SELECT doc_id, pos, token, tag,
+             sum(CASE WHEN tag LIKE 'B-%' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS segment
+      FROM stream
+    )
+    SELECT doc_id, CAST(segment AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(token, ' ' ORDER BY pos) AS span_text
+    FROM seg WHERE tag <> 'O' AND segment > 0
+    GROUP BY doc_id, segment
+    """,
+)
+def bio_segments(spark, sf_dir):
+    """W4: the stateful B-/I-/O span scan (src/ai_models/
+    document_encoder.py:333-399) as gaps-and-islands — running sum of
+    B- markers assigns segment ids, grouped concat rebuilds span text.
+    Token stream synthesized deterministically from events."""
+    e = _t(spark, sf_dir, "events")
+    stream = e.select(
+        F.pmod("event_id", F.lit(500)).alias("doc_id"),
+        F.col("event_id").alias("pos"),
+        F.concat(F.lit("tok"), F.pmod("event_id", F.lit(97)).cast("string")).alias(
+            "token"
+        ),
+        F.when(F.pmod("event_id", F.lit(5)) == 0, "B-FIELD")
+        .when(F.pmod("event_id", F.lit(5)).isin(1, 2), "I-FIELD")
+        .otherwise("O")
+        .alias("tag"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = stream.withColumn(
+        "segment",
+        F.sum(F.col("tag").startswith("B-").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        seg.where((F.col("tag") != "O") & (F.col("segment") > 0))
+        .groupBy("doc_id", "segment")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("segment").cast("bigint").alias("segment"),
+            "n_tokens",
+            "span_text",
+        )
+    )
+
+
+# =========================================================================
+# F34 + P6: ragged key-value table scan + header-row detection
+# (ARRAY<ARRAY<STRING>> — the reference's Table intermediate)
+# =========================================================================
+
+
+@q(
+    "ragged_kv_scan",
+    """
+    WITH sheets AS (
+      SELECT o_orderkey,
+             [['header', 'value'],
+              ['order id', CAST(o_orderkey AS VARCHAR)],
+              ['status', o_orderstatus],
+              ['total', CAST(o_totalprice::DECIMAL(12,2) AS VARCHAR)],
+              ['priority', o_orderpriority]] AS rows_
+      FROM orders
+    )
+    SELECT o_orderkey,
+           len(list_filter(rows_, r -> contains(lower(r[1]), 'header')
+                                       OR contains(lower(r[1]), 'value')))
+             > 0 AS has_header,
+           list_filter(rows_, r -> contains(lower(r[1]), 'status'))[1][2]
+             AS status_value,
+           round(CAST(list_filter(rows_,
+                      r -> contains(lower(r[1]), 'total'))[1][2] AS DOUBLE), 2)
+             AS total_value
+    FROM sheets
+    """,
+)
+def ragged_kv_scan(spark, sf_dir):
+    """F34 (key in col A, value in col B: excel_parser.py:167-175) + P6
+    (header-row keyword detect: pdf_parser.py:182-197) over a genuine
+    ARRAY<ARRAY<STRING>> ragged-table column — the reference's ``Table``
+    intermediate (SURVEY.md §1.1) as a first-class nested value."""
+    o = _t(spark, sf_dir, "orders")
+    rows_ = F.array(
+        F.array(F.lit("header"), F.lit("value")),
+        F.array(F.lit("order id"), F.col("o_orderkey").cast("string")),
+        F.array(F.lit("status"), F.col("o_orderstatus")),
+        F.array(
+            F.lit("total"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        ),
+        F.array(F.lit("priority"), F.col("o_orderpriority")),
+    )
+    sheets = o.select("o_orderkey", rows_.alias("rows_"))
+
+    def kv(key):
+        return F.element_at(
+            F.element_at(
+                F.filter(
+                    F.col("rows_"),
+                    lambda r: F.lower(F.element_at(r, 1)).contains(key),
+                ),
+                1,
+            ),
+            2,
+        )
+
+    has_header = F.exists(
+        F.col("rows_"),
+        lambda r: F.lower(F.element_at(r, 1)).contains("header")
+        | F.lower(F.element_at(r, 1)).contains("value"),
+    )
+    return sheets.select(
+        "o_orderkey",
+        has_header.alias("has_header"),
+        kv("status").alias("status_value"),
+        rnd(kv("total").cast("double"), 2).alias("total_value"),
+    )
+
+
+# =========================================================================
+# A15: Expected Calibration Error — the final weighted scalar over bins
+# =========================================================================
+
+
+@q(
+    "ece_value",
+    """
+    WITH raw AS (
+      SELECT vec_id, label,
+             abs(CAST(embedding[1] AS DOUBLE)) AS a1,
+             abs(CAST(embedding[2] AS DOUBLE)) AS a2,
+             abs(CAST(embedding[3] AS DOUBLE)) AS a3,
+             abs(CAST(embedding[4] AS DOUBLE)) AS a4
+      FROM embeddings
+    ), probs AS (
+      SELECT vec_id, label,
+             greatest(a1, a2, a3, a4) / (a1 + a2 + a3 + a4) AS conf,
+             (CASE WHEN label = mod(vec_id, 10) THEN 1.0 ELSE 0.0 END) AS acc
+      FROM raw WHERE (a1 + a2 + a3 + a4) > 0
+    ), bins AS (
+      SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(conf) AS avg_conf, avg(acc) AS avg_acc
+      FROM probs GROUP BY bin
+    )
+    SELECT round(sum((n * abs(avg_acc - avg_conf))
+                     / (SELECT sum(n) FROM bins)), 6) AS ece,
+           CAST((SELECT sum(n) FROM bins) AS BIGINT) AS n_samples
+    FROM bins
+    """,
+)
+def ece_value(spark, sf_dir):
+    """A15 second level: ECE = Σ (n_b/N)·|acc_b − conf_b| over 10 bins
+    (src/ai_models/confidence.py:461-488) — grouped agg feeding a global
+    agg, the two-level reduction shape."""
+    from .queries import _probs_df
+
+    p = _probs_df(spark, sf_dir).select(
+        "vec_id",
+        F.array_max("probs").alias("conf"),
+        (F.col("label") == F.pmod("vec_id", F.lit(10)))
+        .cast("double")
+        .alias("acc"),
+    )
+    bins = p.groupBy(
+        F.least(F.floor(F.col("conf") * 10), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("conf").alias("avg_conf"),
+        F.avg("acc").alias("avg_acc"),
+    )
+    return bins.agg(
+        rnd(
+            F.sum(
+                F.col("n") * F.abs(F.col("avg_acc") - F.col("avg_conf"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.sum("n").cast("bigint").alias("n_samples"),
+    )
+
+
+# =========================================================================
+# F33: fuzzy schema resolution (plan-time) driving a native query
+# =========================================================================
+
+
+@q(
+    "fuzzy_schema_map",
+    """
+    SELECT l_orderkey AS order_key,
+           CAST(l_quantity AS INT) AS quantity,
+           round(l_extendedprice / l_quantity, 2) AS unit_price
+    FROM lineitem WHERE l_quantity > 0
+    """,
+)
+def fuzzy_schema_map(spark, sf_dir):
+    """F33: synonym-based header resolution happens at PLAN TIME on
+    df.columns (src/parsers/csv_parser.py:86-168) — the data path below is
+    fully native. A messy-headers view is simulated by renaming lineitem
+    columns; resolve_columns maps them back."""
+    from ..functions.schema_map import resolve_columns
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_orderkey").alias("PO Number"),
+            F.col("l_quantity").alias("Qty"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("Unit Cost"),
+        )
+    )
+    m = resolve_columns(li.columns)
+    return li.select(
+        F.col(m["order_id"]).alias("order_key"),
+        F.col(m["quantity"]).cast("int").alias("quantity"),
+        rnd(F.col(m["unit_price"]), 2).alias("unit_price"),
+    )
+
+
+# =========================================================================
+# F13 / F21 / F22+F23: surrogate ids, XML-ish tag parse, token postprocess
+# =========================================================================
+
+
+@q("surrogate_ids")  # rows-only: xxhash64 is Spark-specific by design (F13)
+def surrogate_ids(spark, sf_dir):
+    """F13: the reference's ORD-{now}-{rand} id (data_transformer.py:191-198)
+    is a nondeterminism hazard; the engine's surrogate is
+    ORD-{run_date}-{pmod(xxhash64(url),900)+100} — deterministic per url and
+    run. Registered rows-only because xxhash64 deliberately stays
+    Spark-native (it is the same hash the salt key uses); uniqueness and
+    shape are asserted here instead."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
+    )
+    out = d.select(
+        "url", N.surrogate_order_id(F.col("url"), "2026-07-01").alias("order_id")
+    )
+    ok = out.where(
+        F.col("order_id").rlike(r"^ORD-20260701-[1-9][0-9]{2}$")
+    ).count()
+    assert ok == out.count(), "surrogate id shape violated"
+    return out
+
+
+@q(
+    "tag_extract",
+    """
+    WITH tagged AS (
+      SELECT o_orderkey,
+             '<order_id>ORD-' || o_orderkey || '</order_id><status>'
+               || o_orderstatus || '</status><total>'
+               || (o_totalprice::DECIMAL(12,2))::VARCHAR || '</total>' AS seq
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(seq, '<order_id>(.*?)</order_id>', 1) AS order_id,
+           regexp_extract(seq, '<status>(.*?)</status>', 1) AS status,
+           round(CAST(regexp_extract(seq, '<total>(.*?)</total>', 1) AS DOUBLE), 2)
+             AS total
+    FROM tagged
+    """,
+)
+def tag_extract(spark, sf_dir):
+    """F21: Donut-style XML-ish tag parse, one regexp_extract per field
+    (src/ai_models/ocr_free_model.py:223-258)."""
+    o = _t(spark, sf_dir, "orders")
+    seq = F.concat(
+        F.lit("<order_id>ORD-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</order_id><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</total>"),
+    )
+    tagged = o.select("o_orderkey", seq.alias("seq"))
+    return tagged.select(
+        "o_orderkey",
+        F.regexp_extract("seq", "<order_id>(.*?)</order_id>", 1).alias(
+            "order_id"
+        ),
+        F.regexp_extract("seq", "<status>(.*?)</status>", 1).alias("status"),
+        rnd(
+            F.regexp_extract("seq", "<total>(.*?)</total>", 1).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+@q(
+    "token_postprocess",
+    """
+    WITH seqs AS (
+      SELECT doc_id,
+             '[CLS] ' || lower(substr(text, 1, 40))
+               || ' ##ing [SEP] [PAD] [PAD]' AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(toks,
+                '\\[CLS\\]|\\[SEP\\]|\\[PAD\\]', '', 'g'),
+                ' ##|##', '', 'g'),
+                '<.*?>', '', 'g')) AS cleaned
+    FROM seqs
+    """,
+)
+def token_postprocess(spark, sf_dir):
+    """F22+F23: strip special tokens, merge ## subwords, drop model tags
+    (src/ai_models/ocr_free_model.py:182-185,
+    document_encoder.py:401-409)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.concat(
+        F.lit("[CLS] "),
+        F.lower(F.substring("text", 1, 40)),
+        F.lit(" ##ing [SEP] [PAD] [PAD]"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(toks, r"\[CLS\]|\[SEP\]|\[PAD\]", ""),
+                " ##|##",
+                "",
+            ),
+            "<.*?>",
+            "",
+        )
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
 @q(
     "keyset_union",
     _PREDS_SQL
@@ -806,4 +1170,142 @@ def keyset_union(spark, sf_dir):
         F.array_join(
             F.array_sort(F.collect_set(F.col("field").cast("string"))), ","
         ).alias("fields")
+    )
+
+
+# =========================================================================
+# S6: embedded-CSV column parse (split lines + from_csv, header skipped)
+# =========================================================================
+
+
+@q(
+    "csv_embedded_parse",
+    """
+    WITH payloads AS (
+      SELECT o_orderkey,
+             'order_key,status,total' || chr(10) || o_orderkey || ','
+               || o_orderstatus || ','
+               || (o_totalprice::DECIMAL(12,2))::VARCHAR AS payload
+      FROM orders
+    ), lines AS (
+      SELECT o_orderkey, string_split(payload, chr(10))[2] AS line
+      FROM payloads
+    )
+    SELECT o_orderkey,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS order_key,
+           string_split(line, ',')[2] AS status,
+           round(CAST(string_split(line, ',')[3] AS DOUBLE), 2) AS total
+    FROM lines
+    """,
+)
+def csv_embedded_parse(spark, sf_dir):
+    """S6: CSV payload embedded in a column (src/parsers/csv_parser.py:38-50)
+    — the lines split natively, the data line typed via ``from_csv`` (the
+    encoding-fallback of the reference becomes ``decode(html,'utf-8')`` at
+    the binary boundary; payloads here are already text). Header row is
+    dropped by position, mirroring pandas' header=0."""
+    o = _t(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit("order_key,status,total\n"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(","),
+        F.col("o_orderstatus"),
+        F.lit(","),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+    )
+    line = F.element_at(F.split(payload, "\n"), 2)
+    parsed = F.from_csv(
+        line, "order_key BIGINT, status STRING, total DOUBLE"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed["order_key"].alias("order_key"),
+        parsed["status"].alias("status"),
+        rnd(parsed["total"], 2).alias("total"),
+    )
+
+
+# =========================================================================
+# A16: docling field-weight confidence (map probe + conditional bonuses)
+# =========================================================================
+
+
+@q(
+    "docling_field_conf",
+    """
+    WITH flags AS (
+      SELECT o_orderkey,
+             TRUE AS has_order_id,
+             mod(o_orderkey, 3) <> 0 AS has_client,
+             mod(o_orderkey, 5) <> 0 AS has_date,
+             mod(o_orderkey, 2) = 0 AS has_delivery,
+             mod(o_orderkey, 7) <> 0 AS has_total,
+             mod(o_orderkey, 4) <> 0 AS has_tables,
+             mod(o_orderkey, 11) = 0 AS has_notes
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round((0.2 * CAST(has_order_id AS INT)
+                  + 0.15 * CAST(has_client AS INT)
+                  + 0.15 * CAST(has_date AS INT)
+                  + 0.1 * CAST(has_delivery AS INT)
+                  + 0.2 * CAST(has_total AS INT)
+                  + CASE WHEN has_tables THEN 0.1 ELSE 0 END
+                  + CASE WHEN has_notes THEN 0.1 ELSE 0 END)
+                 / (0.8 + CASE WHEN has_tables THEN 0.1 ELSE 0 END
+                        + CASE WHEN has_notes THEN 0.1 ELSE 0 END),
+                 4) AS docling_conf
+    FROM flags
+    """,
+)
+def docling_field_conf(spark, sf_dir):
+    """A16: weighted field-presence score normalized by applicable weight,
+    with table / special-instructions bonuses that also widen the
+    denominator (src/ai_models/docling_extractor.py:243-283). The field
+    dict becomes a genuine MapType column probed with map_contains_key —
+    the engine's shape for all AI-path field→value payloads."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def opt(name, cond):
+        # absent fields simply don't enter the map (reference dict semantics)
+        return F.when(cond, F.lit(name))
+
+    fields = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("order_id").alias("k"), F.lit("v").alias("v")),
+                F.struct(opt("client_name", F.pmod(k, F.lit(3)) != 0).alias("k"), F.lit("v").alias("v")),
+                F.struct(opt("order_date", F.pmod(k, F.lit(5)) != 0).alias("k"), F.lit("v").alias("v")),
+                F.struct(opt("delivery_date", F.pmod(k, F.lit(2)) == 0).alias("k"), F.lit("v").alias("v")),
+                F.struct(opt("order_total", F.pmod(k, F.lit(7)) != 0).alias("k"), F.lit("v").alias("v")),
+                F.struct(opt("special_instructions", F.pmod(k, F.lit(11)) == 0).alias("k"), F.lit("v").alias("v")),
+            ),
+            lambda s: s["k"].isNotNull(),
+        )
+    )
+    has_tables = (F.pmod(k, F.lit(4)) != 0).cast("int")
+    with_map = o.select(
+        "o_orderkey", fields.alias("fields"), has_tables.alias("has_tables")
+    )
+
+    def present(name):
+        return F.map_contains_key(F.col("fields"), F.lit(name)).cast("int")
+
+    weights = (
+        0.2 * present("order_id")
+        + 0.15 * present("client_name")
+        + 0.15 * present("order_date")
+        + 0.1 * present("delivery_date")
+        + 0.2 * present("order_total")
+    )
+    bonus = 0.1 * F.col("has_tables") + 0.1 * present("special_instructions")
+    denom = (
+        F.lit(0.8)
+        + 0.1 * F.col("has_tables")
+        + 0.1 * present("special_instructions")
+    )
+    return with_map.select(
+        "o_orderkey",
+        rnd((weights + bonus) / denom, 4).alias("docling_conf"),
     )
