@@ -15,7 +15,15 @@ from pyspark.sql import functions as F
 from ..functions import confidence as C
 from ..functions import normalize as N
 from ..functions.rounding import rnd
-from .queries import _CONF_SQL, _PREDS_SQL, _confidence_df, _preds_df, _t, q
+from .queries import (
+    _CONF_SQL,
+    _PREDS_SQL,
+    _confidence_df,
+    _preds_df,
+    _t,
+    _to_double_vec,
+    q,
+)
 
 # =========================================================================
 # F12: product-code generation (initials of first 3 words)
@@ -1308,4 +1316,76 @@ def docling_field_conf(spark, sf_dir):
     return with_map.select(
         "o_orderkey",
         rnd((weights + bonus) / denom, 4).alias("docling_conf"),
+    )
+
+
+# =========================================================================
+# IVF ANN (scale path): centroid-cell assignment, search only the query's
+# cell — complements brute_force (exact) and sign-LSH (pairs)
+# =========================================================================
+
+
+def _dotq(a: str, b: str, n: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, n + 1)
+    )
+
+
+_IVF_SQL = f"""
+    WITH c AS (
+      SELECT CAST(vec_id // 10 AS INT) AS cell, embedding AS cv
+      FROM embeddings WHERE vec_id IN (10,20,30,40,50,60,70,80)
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_dotq('e.embedding', 'c.cv')}) DESC, c.cell ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN c
+    ), cells AS (
+      SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell
+      FROM cells WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, cand.vec_id,
+             round(({_dotq('cand.embedding', 'q.qv')})
+                   / (sqrt({_dotq('cand.embedding', 'cand.embedding')})
+                      * sqrt({_dotq('q.qv', 'q.qv')})), 4) AS score
+      FROM cells cand JOIN q ON cand.cell = q.cell
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 10
+"""
+
+
+@q("ann_ivf", _IVF_SQL)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN (nprobe=1): 8 deterministic centroids (every 10th vector),
+    nearest-centroid cell assignment by dot argmax, cosine top-k only
+    within the query's cell. The corpus is never shuffled for assignment
+    (centroids broadcast); one equi-join on the cell id replaces the
+    brute-force cross join — the ~K× candidate reduction that makes ANN
+    viable at 100 TB. Recall vs the exact baseline is measured in
+    tests/test_plans.py::test_ann_ivf_recall_and_plan."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double_vec(F.col("embedding")).alias("embedding")
+    )
+    centroids = e.where(
+        F.col("vec_id").isin(10, 20, 30, 40, 50, 60, 70, 80)
+    ).select(
+        F.floor(F.col("vec_id") / 10).cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    queries = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.ivf_topk(e, queries, centroids, k=10).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )

@@ -82,6 +82,31 @@ def test_ann_topk_partial_limit_before_exchange(spark):
     assert p.index("Exchange") > p.index("WindowGroupLimit")
 
 
+def test_ann_ivf_recall_and_plan(spark):
+    """IVF (nprobe=1) must (a) keep the corpus un-shuffled for cell
+    assignment — centroids broadcast, no SortMergeJoin — and (b) hold a
+    recall@10 floor vs the exact baseline. The synthetic embeddings are
+    near-uniform random, where any 8-cell coarse quantizer caps out low
+    (~1/K overlap + shared-cell bonus); measured 0.30 at sf0.001. On
+    clustered real embeddings nprobe=1 recall is far higher; the pinned
+    floor guards the mechanism, not the ceiling."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in entry_mod.queries()["ann_topk"](spark, SF_DIR).collect()
+    }
+    ivf_df = entry_mod.queries()["ann_ivf"](spark, SF_DIR)
+    ivf = {(r.query_id, r.vec_id) for r in ivf_df.collect()}
+    qs = {q for q, _ in exact}
+    recall = sum(
+        len({v for qq, v in exact if qq == q} & {v for qq, v in ivf if qq == q})
+        for q in qs
+    ) / (10 * len(qs))
+    assert recall >= 0.25, recall
+    p = plan(ivf_df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p
+
+
 def test_resume_day_prune_reaches_scan(spark, pages, tmp_path):
     """Sealed-day pruning must appear as a pushable predicate in the
     optimized plan of pending(), ahead of the anti-join."""
