@@ -1,1 +1,7 @@
-from .media import decode_image_stub, media_metadata  # noqa: F401
+from .media import (  # noqa: F401
+    decode_image_stub,
+    extract_features,
+    media_metadata,
+    resize_images,
+    sample_frames,
+)

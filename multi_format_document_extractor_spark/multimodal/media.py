@@ -81,3 +81,101 @@ def media_metadata(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         _meta_batches, schema=MEDIA_META_DDL
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample / feature-extract: the remaining multimodal stages.
+# Same contract as metadata: REAL plumbing (schemas, Arrow batch shape,
+# per-partition pool, exploded row counts), STUBBED codec behind a
+# deterministic fake + a NotImplementedError hook.
+# ---------------------------------------------------------------------------
+
+RESIZED_DDL = "doc_id long, width int, height int, payload binary"
+FRAMES_DDL = "doc_id long, frame_idx int, ts_ms long, frame_payload binary"
+FEATURES_DDL = "doc_id long, embedding array<float>"
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """REAL-CLUSTER HOOK: pillow/libvips resample to (w, h)."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    # deterministic fake: content digest keyed by target dims — output bytes
+    # differ per (payload, w, h) exactly like a real resample would
+    seed = hashlib.sha256(payload + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
+    return seed.digest()
+
+
+def resize_images(df: DataFrame, w: int, h: int) -> DataFrame:
+    """df(doc_id, payload) → resized payloads, one mapInPandas stage.
+    1:1 row mapping; the binary column stays binary through Arrow (never
+    coerced to str — the byte-identity hazard of SURVEY.md §7)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["width"] = w
+            out["height"] = h
+            out["payload"] = [
+                _resize_stub(p, w, h) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema=RESIZED_DDL)
+
+
+def sample_frames_real(payload: bytes, every_ms: int):
+    """REAL-CLUSTER HOOK: ffmpeg/pyav keyframe sampling."""
+    raise NotImplementedError("video codec not available in this environment")
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """df(doc_id, payload) → one row PER SAMPLED FRAME (UDTF-shaped fan-out
+    inside mapInPandas; output cardinality = Σ min(max_frames, dur/every_ms)).
+    Frame count derives deterministically from the payload digest so tests
+    can assert exact exploded row counts."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd_  # worker-side import
+
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                h = hashlib.sha256(p).digest()
+                n = 1 + h[2] % max_frames  # fake "duration" → frame count
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(hashlib.sha256(p + i.to_bytes(4, "big")).digest())
+            yield pd_.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_payload": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema=FRAMES_DDL)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """df(doc_id, payload) → embedding array<float> (the input shape the
+    similarity/ANN operators consume). Fake featurizer: sha256 bytes scaled
+    to [-1, 1); a real model would run here via the predict_batch pattern
+    (one model per partition, batched Arrow input)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            embs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    embs.append(None)
+                    continue
+                h = hashlib.sha256(p).digest()
+                embs.append([(h[i % 32] - 128) / 128.0 for i in range(dim)])
+            out["embedding"] = embs
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema=FEATURES_DDL)

@@ -1389,3 +1389,29 @@ def ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(e, queries, centroids, k=10).select(
         "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+@q("multimodal_frames")  # rows-only: stubbed codec; fan-out asserted in-query
+def multimodal_frames(spark, sf_dir):
+    """Multimodal frame sampling: one input payload → N frame rows via a
+    single mapInPandas stage (UDTF-shaped fan-out; multimodal/media.py).
+    Codec stubbed — the deterministic fake pins the exploded cardinality,
+    asserted here and in tests/test_multimodal.py."""
+    import hashlib as _hl
+
+    from ..multimodal import sample_frames
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .where(F.col("doc_id") < 200)
+    )
+    out = sample_frames(d, every_ms=1000, max_frames=8)
+    expected = sum(
+        1 + _hl.sha256(r.payload).digest()[2] % 8
+        for r in d.select("doc_id", "payload").collect()
+        if r.payload is not None
+    )
+    got = out.count()
+    assert got == expected, (got, expected)
+    return out.select("doc_id", "frame_idx", "ts_ms")
