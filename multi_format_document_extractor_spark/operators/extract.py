@@ -142,3 +142,25 @@ def extract_pages(
     if salt_partitions:
         df = df.repartition(salt_partitions, salt_key(F.col("url")))
     return df.mapInPandas(_make_extract_batches(max_bytes), schema=EXTRACT_DDL)
+
+
+def enrich_extracted(extracted: DataFrame) -> DataFrame:
+    """Training-pipeline enrichment over ``text_out`` — language guess,
+    quality score, token counts, content fingerprint — as PURE NATIVE
+    columns on top of the one UDF stage. The whole enrichment folds into
+    the same whole-stage-codegen span as the post-UDF projection: zero
+    additional Python, zero additional shuffles (asserted in
+    tests/test_plans.py). This is the designed layering: pay the Arrow
+    boundary once, then stay JVM-side for everything derivable from the
+    extracted text."""
+    from ..functions import textstats as T
+
+    t = F.col("text_out")
+    return extracted.select(
+        "*",
+        T.lang_id(t).alias("lang_guess"),
+        T.quality_score(t).alias("quality"),
+        T.token_count_ws(t).alias("n_tokens_ws"),
+        T.token_count_bpe(t).alias("n_tokens_bpe"),
+        T.fingerprint64(t).alias("content_key"),
+    )

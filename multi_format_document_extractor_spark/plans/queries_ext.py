@@ -1415,3 +1415,28 @@ def multimodal_frames(spark, sf_dir):
     got = out.count()
     assert got == expected, (got, expected)
     return out.select("doc_id", "frame_idx", "ts_ms")
+
+
+@q("extract_enriched")  # rows-only: corpus-based like extract_pages (T1)
+def extract_enriched(spark, sf_dir):
+    """Extraction + native enrichment in one job: the UDF stage emits
+    text_out, then language-ID, quality, token counts, and content
+    fingerprint are pure JVM columns in the same codegen span (zero extra
+    Python / shuffles — asserted in tests/test_plans.py). The layering the
+    100 TB design is built on."""
+    from ..operators.extract import enrich_extracted, extract_pages
+    from ..sources.pages import read_pages
+    from .queries import _corpus_dir
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    out = enrich_extracted(extract_pages(pages))
+    return out.select(
+        "url",
+        "format",
+        "ok",
+        "lang_guess",
+        "quality",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "content_key",
+    )

@@ -39,7 +39,13 @@ sys.path.insert(0, str(REPO))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
 SEED = 42
 LEVELS = (4, 16)
-REPEATS = 3  # timed runs per level; best (min wall) reported (microVM hosts show transient neighbor contention)
+REPEATS = 2  # timed runs per child; best (min wall) reported
+ROUNDS = 2  # parent alternates N/4N children this many times: the microVM
+# host shows multi-minute neighbor-contention windows, so running each
+# level in ONE contiguous block lets a single window poison one level and
+# fake a scaling cliff (observed: same code, split efficiency 0.86 vs 0.47
+# on different afternoons). Interleaving makes both levels sample the same
+# host conditions; best-per-level across rounds is the steady state.
 
 
 def _corpus(n: int, seed: int) -> str:
@@ -85,19 +91,30 @@ def child(cores: int) -> None:
 
 
 def parent() -> None:
-    _corpus(N_DOCS, SEED)  # generate once, outside both children
+    _corpus(N_DOCS, SEED)  # generate once, outside all children
     results = {}
-    for cores in LEVELS:
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cores)],
-            capture_output=True,
-            text=True,
-            cwd=str(REPO),
-            check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+    for rnd in range(ROUNDS):
+        for cores in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=str(REPO),
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            prev = results.get(cores)
+            if prev is None:
+                results[cores] = res
+            else:  # best-per-level across rounds
+                for label in ("split", "salted"):
+                    if res[f"wall_sec_{label}"] < prev[f"wall_sec_{label}"]:
+                        prev[f"wall_sec_{label}"] = res[f"wall_sec_{label}"]
+                        prev[f"docs_per_sec_{label}"] = res[
+                            f"docs_per_sec_{label}"
+                        ]
+            print(f"round {rnd}: {line}")
 
     n, n4 = LEVELS
     effs = {}
@@ -134,7 +151,9 @@ Input: deterministic synthetic Common-Crawl corpus, {N_DOCS:,} pages
 (~70% HTML / 15% PDF / 10% text / 3% error-path / 2% oversized ≥1 MB;
 Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
 state (workers warm, package imported) — one-time per-executor startup
-excluded, as it amortizes on any real job. Best of {REPEATS} timed runs.
+excluded, as it amortizes on any real job. Levels alternate across
+{ROUNDS} rounds x {REPEATS} timed runs; best per level (see script header for
+why interleaving matters on this shared microVM host).
 
 N=4 vs 4N=16 on a 32-hw-core box: local[32] would pin 32 JVM task threads
 + 32 Python workers + GC/shuffle threads on 32 cores and measure machine

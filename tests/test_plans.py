@@ -117,3 +117,23 @@ def test_resume_day_prune_reaches_scan(spark, pages, tmp_path):
     o = optimized(wh.pending(pages))
     assert "Join LeftAnti" in o
     assert "date_format" in o  # the day filter survived into the plan
+
+
+def test_enrichment_adds_no_udf_or_shuffle(spark, pages):
+    """enrich_extracted must stay in the UDF stage's codegen span: exactly
+    one MapInPandas, no extra Exchange, no Python eval nodes."""
+    from multi_format_document_extractor_spark.operators.extract import (
+        enrich_extracted,
+        extract_pages,
+    )
+
+    df = enrich_extracted(extract_pages(pages))
+    p = plan(df)
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    out = df.limit(5).collect()
+    assert {"lang_guess", "quality", "n_tokens_ws", "content_key"} <= set(
+        df.columns
+    )
+    assert len(out) > 0
