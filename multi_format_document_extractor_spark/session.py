@@ -20,17 +20,26 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 128  # pages are large; bound batch bytes
 
 
+_PYFILES_CACHE: dict[str, str] = {}
+
+
 def make_pyfiles_zip(out_path: str | None = None) -> str:
     """Zip this package for shipping to executors (spark-submit --py-files).
 
     Called automatically by get_spark so Python workers can unpickle the
     extraction UDF regardless of the driver's cwd; pass the returned path to
     ``spark-submit --py-files`` for cluster launches (north rule).
+
+    Built once per process: callers invoke this per-query (the driver's
+    correctness pass runs ~70 queries), and the sources cannot change under
+    a running driver.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
     if out_path is None:
         out_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    if _PYFILES_CACHE.get(out_path) == out_path and os.path.exists(out_path):
+        return out_path
     with zipfile.ZipFile(out_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -40,6 +49,7 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
                     full = os.path.join(root, f)
                     rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                     zf.write(full, rel)
+    _PYFILES_CACHE[out_path] = out_path
     return out_path
 
 
