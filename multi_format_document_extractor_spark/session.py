@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 128  # pages are large; bound batch bytes
 
 
-_PYFILES_CACHE: dict[str, str] = {}
+_PYFILES_BUILT: set[str] = set()  # zips already built by this process
 
 
 def make_pyfiles_zip(out_path: str | None = None) -> str:
@@ -38,7 +38,7 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
     pkg_name = os.path.basename(pkg_dir)
     if out_path is None:
         out_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
-    if _PYFILES_CACHE.get(out_path) == out_path and os.path.exists(out_path):
+    if out_path in _PYFILES_BUILT and os.path.exists(out_path):
         return out_path
     with zipfile.ZipFile(out_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
@@ -49,7 +49,7 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
                     full = os.path.join(root, f)
                     rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                     zf.write(full, rel)
-    _PYFILES_CACHE[out_path] = out_path
+    _PYFILES_BUILT.add(out_path)
     return out_path
 
 

@@ -77,7 +77,7 @@ class Warehouse:
     # -- snapshot state ----------------------------------------------------
 
     def commits(self) -> list[dict]:
-        """Committed snapshots in commit order."""
+        """Committed snapshots in commit order (data runs AND seal markers)."""
         out = []
         for name in sorted(os.listdir(self.commits_dir)):
             if name.endswith(".json"):
@@ -85,26 +85,40 @@ class Warehouse:
                     out.append(json.load(f))
         return out
 
+    @staticmethod
+    def _data_run_ids(commits: list[dict]) -> list[str]:
+        # seal markers carry no data dir — readers must skip them
+        return [c["run_id"] for c in commits if c.get("kind") != "seal"]
+
     def committed_run_ids(self) -> list[str]:
-        return [c["run_id"] for c in self.commits()]
+        return self._data_run_ids(self.commits())
+
+    @staticmethod
+    def _complete_days(commits: list[dict]) -> set[str]:
+        days: set[str] = set()
+        for c in commits:
+            days.update(c.get("complete_days", []))
+        return days
 
     def complete_days(self) -> set[str]:
         """Days fully drained by some committed run (the high-watermark set).
 
         Valid under append-by-crawl-day arrival (Common-Crawl semantics): a
         day's rows only grow while it is the frontier; a committed run that
-        processed ALL pending rows of a day seals it.
+        processed ALL pending rows of a day seals it. Streaming callers seal
+        via ``seal_watermark`` instead (lateness-horizon policy).
         """
-        days: set[str] = set()
-        for c in self.commits():
-            days.update(c.get("complete_days", []))
-        return days
+        return self._complete_days(self.commits())
 
     # -- readers -----------------------------------------------------------
 
-    def read_extracted(self, spark: SparkSession) -> DataFrame:
+    def read_extracted(
+        self, spark: SparkSession, _commits: list[dict] | None = None
+    ) -> DataFrame:
         """Union of all committed runs (invisible orphans excluded)."""
-        ids = self.committed_run_ids()
+        ids = self._data_run_ids(
+            self.commits() if _commits is None else _commits
+        )
         if not ids:
             return spark.createDataFrame([], RESULT_DDL).withColumn(
                 "run_id", F.lit(None).cast("string")
@@ -125,25 +139,69 @@ class Warehouse:
 
     # -- resume ------------------------------------------------------------
 
-    def pending(self, pages: DataFrame, prune_days: bool = True) -> DataFrame:
+    def pending(
+        self,
+        pages: DataFrame,
+        prune_days: bool = True,
+        _commits: list[dict] | None = None,
+    ) -> DataFrame:
         """Input rows not yet in any committed run.
 
         ``prune_days`` drops sealed days with a pushdown-able filter before
         the url anti-join, so the join's build side is only the frontier
-        (SURVEY.md §4.4). The anti-join itself is the always-correct path.
+        (SURVEY.md §4.4). The anti-join itself is the always-correct path —
+        pass ``prune_days=False`` when the input may contain LATE rows for
+        days already sealed (day pruning would silently drop them).
+
+        ``_commits``: pre-listed snapshot state, so one job re-reads the
+        commit markers once instead of per helper call.
         """
         spark = pages.sparkSession
-        if not self.committed_run_ids():
+        commits = self.commits() if _commits is None else _commits
+        if not commits:
             return pages
         if prune_days:
-            sealed = sorted(d for d in self.complete_days() if d is not None)
+            sealed = sorted(
+                d for d in self._complete_days(commits) if d is not None
+            )
             if sealed:
                 pages = pages.where(
                     F.col("warc_ts").isNull()
                     | ~_day(F.col("warc_ts")).isin(sealed)
                 )
-        committed = self.read_extracted(spark).select("url")
+        if not self._data_run_ids(commits):
+            return pages  # only seal markers: nothing to anti-join against
+        committed = self.read_extracted(spark, _commits=commits).select("url")
         return pages.join(committed, "url", "left_anti")
+
+    def seal_watermark(self, days: set[str]) -> dict | None:
+        """Seal crawl days by POLICY (streaming watermark): the caller
+        asserts rows for these days that have not arrived yet are late
+        beyond the allowed horizon and may be skipped on future resumes —
+        the standard watermark contract, which is what bounds the resume
+        anti-join's build side for an unbounded stream. Writes a data-less
+        seal-marker commit; returns its record (None if nothing new)."""
+        commits = self.commits()
+        new = {d for d in days if d is not None} - self._complete_days(commits)
+        if not new:
+            return None
+        record = {
+            "run_id": f"seal_{uuid.uuid4().hex[:12]}",
+            "kind": "seal",
+            "seq": len(commits),
+            "n_docs": 0,
+            "n_bytes": 0,
+            "complete_days": sorted(new | self._complete_days(commits)),
+            "committed_at": time.time(),
+        }
+        marker = os.path.join(
+            self.commits_dir, f"{record['seq']:06d}-{record['run_id']}.json"
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, marker)
+        return record
 
     # -- the job -----------------------------------------------------------
 
@@ -155,6 +213,7 @@ class Warehouse:
         salt_partitions: int | None = None,
         fail_before_commit: bool = False,
         seal_days: bool = True,
+        prune_days: bool | None = None,
     ) -> dict:
         """One resumable extraction job: pending → extract → append → commit.
 
@@ -162,15 +221,26 @@ class Warehouse:
         drained, enabling day-pruned resume. Only valid when ``pages`` holds
         ALL rows of each day it contains (the normal restart pattern — the
         job re-reads the whole input table). Pass False when feeding a
-        partial slice of a day (e.g. a sampled sub-corpus); the anti-join
-        then remains the sole — always correct — dedup mechanism.
+        partial slice of a day (e.g. a micro-batch or sampled sub-corpus);
+        the anti-join then remains the sole — always correct — dedup
+        mechanism.
+
+        ``prune_days`` (default: follows ``seal_days``): whether pending()
+        may skip sealed days. A caller whose input can contain LATE rows
+        for sealed days (streaming) must keep this False, or those rows
+        are silently dropped; a whole-table batch restart keeps it True.
 
         ``fail_before_commit`` aborts after the data write but before the
         snapshot marker — the crash injection used by the resume tests (T3).
         Returns the commit record (or the would-be record on injected crash).
         """
         run_id = run_id or uuid.uuid4().hex[:12]
-        todo = self.pending(pages)
+        commits = self.commits()  # one snapshot listing per job
+        todo = self.pending(
+            pages,
+            prune_days=seal_days if prune_days is None else prune_days,
+            _commits=commits,
+        )
         extracted = extract_pages(todo, salt_partitions=salt_partitions)
         result = extracted.withColumn("day", _day(F.col("warc_ts")))
 
@@ -216,7 +286,7 @@ class Warehouse:
         # pending rows), so all of them seal — plus days sealed previously.
         record = {
             "run_id": run_id,
-            "seq": len(self.commits()),
+            "seq": len(commits),
             "n_docs": int(sum(r["doc_count"] for r in lrows)),
             "n_bytes": int(sum(r["byte_count"] for r in lrows)),
             "complete_days": sorted(
@@ -225,7 +295,7 @@ class Warehouse:
                     if seal_days
                     else set()
                 )
-                | self.complete_days()
+                | self._complete_days(commits)
             ),
             "committed_at": time.time(),
         }

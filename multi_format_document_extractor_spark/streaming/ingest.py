@@ -167,6 +167,7 @@ def streaming_extract(
     warehouse_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    watermark_lateness_days: int | None = None,
 ) -> list[dict]:
     """Continuous-crawl ingestion: file-stream over a growing pages
     directory → per-micro-batch extraction committed through the idempotent
@@ -181,6 +182,17 @@ def streaming_extract(
 
     Drains with availableNow (processes what exists, then stops — the
     restart-friendly trigger) and returns the commit records.
+
+    ``watermark_lateness_days``: the stream's sealing policy. Streaming
+    commits never seal days themselves (a micro-batch is a partial
+    slice), so without sealing the resume anti-join's build side grows
+    with the whole committed history. With a lateness horizon L, after
+    each drain every committed day older than (frontier − L) is sealed by
+    a data-less marker: future drains day-prune those instead of
+    anti-joining them, bounding the build side to ~L days — and, by the
+    standard watermark contract, rows arriving later than L days behind
+    the frontier are dropped on resume. None (default) = never seal,
+    never drop, unbounded anti-join: correct for bounded backfills.
     """
     from ..sinks import Warehouse
     from ..sources.pages import PAGES_DDL
@@ -206,6 +218,10 @@ def streaming_extract(
                 batch_df,
                 run_id=f"stream_{batch_id:08d}_{uuid.uuid4().hex[:6]}",
                 seal_days=False,
+                # With a watermark, sealed == beyond-horizon, so pruning
+                # them IS the lateness policy. Without one, never prune:
+                # late rows for days sealed by batch runs must still land.
+                prune_days=watermark_lateness_days is not None,
             )
         )
 
@@ -216,4 +232,24 @@ def streaming_extract(
         .start()
     )
     query.awaitTermination()
+
+    if watermark_lateness_days is not None:
+        import datetime as _dt
+
+        days = {
+            r["day"]
+            for r in wh.read_lineage(spark)
+            .select("day")
+            .distinct()
+            .collect()
+            if r["day"] is not None
+        }
+        if days:
+            frontier = _dt.date.fromisoformat(max(days))
+            horizon = frontier - _dt.timedelta(days=watermark_lateness_days)
+            sealed = wh.seal_watermark(
+                {d for d in days if _dt.date.fromisoformat(d) < horizon}
+            )
+            if sealed is not None:
+                records.append(sealed)
     return records

@@ -70,3 +70,143 @@ def test_streaming_extract_replay_is_idempotent(spark, tmp_path):
     out = Warehouse(wh_dir).read_extracted(spark)
     assert out.count() == half
     assert out.select("url").distinct().count() == half
+
+
+def _page_file(path, rows):
+    """rows: list of (url, warc_ts datetime, payload bytes)."""
+    import pyarrow as pa
+
+    from multi_format_document_extractor_spark.corpus import PAGES_SCHEMA
+
+    t = pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": [r[1] for r in rows],
+            "html": [r[2] for r in rows],
+            "text": [None] * len(rows),
+            "lang": ["en"] * len(rows),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(t, str(path))
+
+
+def test_streaming_multi_microbatch_one_drain(spark, tmp_path):
+    """maxFilesPerTrigger=1 with two files present → one drain, two
+    sequential commits; later batches must anti-join the earlier batch of
+    the SAME drain (overlapping urls across files)."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 7, 1, tzinfo=dt.timezone.utc)
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _page_file(
+        incoming / "a.parquet",
+        [(f"s://u{i}", ts, b"plain text payload") for i in range(10)],
+    )
+    # file b repeats u5..u9 and adds u10..u14
+    _page_file(
+        incoming / "b.parquet",
+        [(f"s://u{i}", ts, b"plain text payload") for i in range(5, 15)],
+    )
+    recs = streaming_extract(
+        spark,
+        str(incoming),
+        str(tmp_path / "wh"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    data_recs = [r for r in recs if r.get("kind") != "seal"]
+    assert len(data_recs) == 2
+    assert sorted(r["seq"] for r in data_recs) == [0, 1]
+    assert sum(r["n_docs"] for r in data_recs) == 15  # dupes absorbed
+
+    from multi_format_document_extractor_spark.sinks import Warehouse
+
+    out = Warehouse(str(tmp_path / "wh")).read_extracted(spark)
+    assert out.count() == 15
+    assert out.select("url").distinct().count() == 15
+
+
+def test_late_rows_for_batch_sealed_day_still_land(spark, tmp_path):
+    """A batch run seals its days; a later streaming drop carries a NEW url
+    on a sealed day. Day pruning must not silently drop it (the streaming
+    path passes prune_days=False when no watermark is set)."""
+    import datetime as dt
+
+    from multi_format_document_extractor_spark.sinks import Warehouse
+    from multi_format_document_extractor_spark.sources.pages import read_pages
+
+    gen = str(tmp_path / "gen")
+    write_corpus(gen, 50, seed=13)
+    pages_50 = read_pages(spark, gen + "/pages.parquet")
+
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(wh_dir)
+    wh.run(spark, pages_50, run_id="batch1")  # seal_days=True default
+    sealed = wh.complete_days()
+    assert sealed, "batch run should seal its days"
+
+    day = dt.datetime.fromisoformat(min(sealed)).replace(
+        tzinfo=dt.timezone.utc
+    )
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _page_file(
+        incoming / "late.parquet", [("s://late-arrival", day, b"late text")]
+    )
+    recs = streaming_extract(
+        spark, str(incoming), wh_dir, str(tmp_path / "ckpt")
+    )
+    assert sum(r["n_docs"] for r in recs) == 1
+    urls = {r.url for r in wh.read_extracted(spark).select("url").collect()}
+    assert "s://late-arrival" in urls
+
+
+def test_watermark_seals_old_days_and_drops_beyond_horizon(spark, tmp_path):
+    """With a lateness horizon, days older than frontier-L seal after the
+    drain; a subsequent drop older than the horizon is dropped BY POLICY,
+    while within-horizon rows land."""
+    import datetime as dt
+
+    from multi_format_document_extractor_spark.sinks import Warehouse
+
+    tz = dt.timezone.utc
+    d = lambda s: dt.datetime.fromisoformat(s).replace(tzinfo=tz)  # noqa: E731
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _page_file(
+        incoming / "a.parquet",
+        [
+            ("s://old", d("2026-07-01"), b"old text"),
+            ("s://mid", d("2026-07-03"), b"mid text"),
+            ("s://new", d("2026-07-05"), b"new text"),
+        ],
+    )
+    wh_dir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    recs = streaming_extract(
+        spark, str(incoming), wh_dir, ckpt, watermark_lateness_days=2
+    )
+    seals = [r for r in recs if r.get("kind") == "seal"]
+    assert len(seals) == 1
+    # frontier 07-05, horizon 07-03: only 07-01 is strictly older
+    assert seals[0]["complete_days"] == ["2026-07-01"]
+
+    _page_file(
+        incoming / "b.parquet",
+        [
+            ("s://too-late", d("2026-07-01"), b"beyond horizon"),
+            ("s://in-horizon", d("2026-07-04"), b"within horizon"),
+        ],
+    )
+    recs2 = streaming_extract(
+        spark, str(incoming), wh_dir, ckpt, watermark_lateness_days=2
+    )
+    assert sum(r["n_docs"] for r in recs2 if r.get("kind") != "seal") == 1
+    urls = {
+        r.url
+        for r in Warehouse(wh_dir).read_extracted(spark).select("url").collect()
+    }
+    assert "s://in-horizon" in urls
+    assert "s://too-late" not in urls  # dropped by the watermark contract
