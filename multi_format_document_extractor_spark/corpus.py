@@ -7,15 +7,19 @@ table (url, format, text_expected BINARY, n_blocks, checksum). The generator
 — not from running the oracle — which makes the byte-identical pytest (T1)
 a real two-implementation check.
 
-Row mix per FIXTURES.md §1: ~70% HTML, ~15% PDF, ~10% plain text, ~3%
-empty/null payload (error path), ~2% oversized (≥1 MB, skew path). Host
+Row mix per FIXTURES.md §1 (extended round 2): ~60% HTML, ~13% PDF, ~8%
+plain text, ~5% DOCX + ~5% XLSX (real PK-zip containers), ~4% binary
+image (error/media path), ~3% empty/null payload (error path), ~2%
+oversized (≥1 MB, skew path). Host
 distribution is Zipf-like (host0 ≈ 30% of urls) to exercise salting (T4).
 All randomness flows from one seed.
 """
 
 from __future__ import annotations
 
+import io
 import random
+import zipfile
 import zlib
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -250,6 +254,179 @@ def _make_text(rng: random.Random) -> tuple[bytes, str, int]:
 
 
 # ---------------------------------------------------------------------------
+# Office containers (docx/xlsx as real PK zips) + binary images. The
+# generator builds the member XML itself and computes expected text from its
+# own knowledge of what it wrote — independent of oracle._docx_extract /
+# _xlsx_extract, keeping T1 a two-implementation check.
+# ---------------------------------------------------------------------------
+
+_W_XMLNS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_X_XMLNS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+
+def _zip_bytes(members: list[tuple[str, str]]) -> bytes:
+    """Deterministic zip: fixed timestamps, stored (no compression), fixed
+    member order."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def _make_docx(rng: random.Random) -> tuple[bytes, str, int]:
+    """Paragraphs (some split across runs, some empty) + 0-2 embedded
+    tables. Expected text per the docx contract: paragraphs joined by \\n
+    (leading/trailing empties trimmed), each table as ``a | b`` row lines,
+    blocks joined by a blank line."""
+    k = rng.randint(1, 5)
+    lines = [_words(rng, rng.randint(5, 25)) for _ in range(k)]
+    if len(lines) >= 2 and rng.random() < 0.3:
+        lines.insert(rng.randint(1, len(lines) - 1), "")  # interior blank kept
+    xml_lines = [""] * rng.randint(0, 1) + lines + [""] * rng.randint(0, 1)
+
+    def p_xml(t: str) -> str:
+        if not t:
+            return "<w:p/>"
+        if rng.random() < 0.4 and " " in t:
+            i = t.index(" ")
+            return (
+                f'<w:p><w:r><w:t xml:space="preserve">{t[: i + 1]}</w:t></w:r>'
+                f"<w:r><w:t>{t[i + 1 :]}</w:t></w:r></w:p>"
+            )
+        return f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>"
+
+    tables = [
+        [
+            [_words(rng, rng.randint(1, 3)) for _ in range(rng.randint(2, 4))]
+            for _ in range(rng.randint(1, 4))
+        ]
+        for _ in range(rng.randint(0, 2))
+    ]
+    tbl_xml = "".join(
+        "<w:tbl>"
+        + "".join(
+            "<w:tr>"
+            + "".join(
+                f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>"
+                for c in row
+            )
+            + "</w:tr>"
+            for row in rows
+        )
+        + "</w:tbl>"
+        for rows in tables
+    )
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W_XMLNS}"><w:body>'
+        + "".join(p_xml(t) for t in xml_lines)
+        + tbl_xml
+        + "</w:body></w:document>"
+    )
+    payload = _zip_bytes(
+        [
+            ("[Content_Types].xml", "<Types/>"),
+            ("word/document.xml", doc),
+        ]
+    )
+    para_block = "\n".join(lines)
+    table_blocks = [
+        "\n".join(" | ".join(row) for row in rows) for rows in tables
+    ]
+    expected = "\n\n".join([para_block] + table_blocks)
+    n_blocks = sum(1 for ln in lines if ln) + sum(len(rows) for rows in tables)
+    return payload, expected, n_blocks
+
+
+_SHEET_NAMES = ["Order_Info", "Line_Items", "Notes"]
+
+
+def _make_xlsx(rng: random.Random) -> tuple[bytes, str, int]:
+    """1-3 sheets of shared-string / numeric / inline-string cells. Expected
+    text per the xlsx contract: ``## <sheet>`` header + one ``a | b`` line
+    per row, sheets joined by a blank line."""
+    names = _SHEET_NAMES[: rng.randint(1, 3)]
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+    sheet_xmls: list[str] = []
+    exp_blocks: list[str] = []
+    n_rows_total = 0
+    for name in names:
+        n_rows, n_cols = rng.randint(2, 6), rng.randint(2, 4)
+        row_xmls, exp_lines = [], [f"## {name}"]
+        for ri in range(n_rows):
+            cell_xmls, exp_cells = [], []
+            for _ in range(n_cols):
+                r = rng.random()
+                if r < 0.55:
+                    s = _words(rng, rng.randint(1, 3))
+                    if s not in shared_idx:
+                        shared_idx[s] = len(shared)
+                        shared.append(s)
+                    cell_xmls.append(
+                        f'<c t="s"><v>{shared_idx[s]}</v></c>'
+                    )
+                    exp_cells.append(s)
+                elif r < 0.85:
+                    v = (
+                        str(rng.randint(0, 99999))
+                        if rng.random() < 0.5
+                        else f"{rng.randint(0, 9999)}.{rng.randint(0, 99):02d}"
+                    )
+                    cell_xmls.append(f"<c><v>{v}</v></c>")
+                    exp_cells.append(v)
+                else:
+                    s = rng.choice(_VOCAB)
+                    cell_xmls.append(
+                        f'<c t="inlineStr"><is><t>{s}</t></is></c>'
+                    )
+                    exp_cells.append(s)
+            row_xmls.append(f'<row r="{ri + 1}">' + "".join(cell_xmls) + "</row>")
+            exp_lines.append(" | ".join(exp_cells))
+            n_rows_total += 1
+        sheet_xmls.append(
+            f'<worksheet xmlns="{_X_XMLNS}"><sheetData>'
+            + "".join(row_xmls)
+            + "</sheetData></worksheet>"
+        )
+        exp_blocks.append("\n".join(exp_lines))
+    members = [
+        (
+            "xl/workbook.xml",
+            f'<workbook xmlns="{_X_XMLNS}"><sheets>'
+            + "".join(
+                f'<sheet name="{n}" sheetId="{i + 1}"/>'
+                for i, n in enumerate(names)
+            )
+            + "</sheets></workbook>",
+        ),
+        (
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{_X_XMLNS}">'
+            + "".join(f"<si><t>{s}</t></si>" for s in shared)
+            + "</sst>",
+        ),
+    ] + [
+        (f"xl/worksheets/sheet{i + 1}.xml", x)
+        for i, x in enumerate(sheet_xmls)
+    ]
+    return _zip_bytes(members), "\n\n".join(exp_blocks), n_rows_total
+
+
+_IMAGE_MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a"]
+
+
+def _make_image(rng: random.Random) -> tuple[bytes, str, int]:
+    """Opaque binary image payload: magic + noise. The core routes these to
+    error rows (media path owns decoding), so expected text is empty."""
+    magic = rng.choice(_IMAGE_MAGICS)
+    body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+    return magic + body, "", 0
+
+
+# ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
 
@@ -273,12 +450,18 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             kind = "null"
         elif r < 0.05:
             kind, oversized = "html", True
-        elif r < 0.75:
+        elif r < 0.65:
             kind = "html"
-        elif r < 0.90:
+        elif r < 0.78:
             kind = "pdf"
-        else:
+        elif r < 0.86:
             kind = "text"
+        elif r < 0.91:
+            kind = "docx"
+        elif r < 0.96:
+            kind = "xlsx"
+        else:
+            kind = "image"
 
         if kind == "null":
             payload: bytes | None = None if rng.random() < 0.5 else b""
@@ -292,6 +475,18 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             payload, exp_s, n_blocks = _make_pdf(rng)
             expected, fmt = exp_s.encode("utf-8"), "pdf"
             noisy = exp_s
+        elif kind == "docx":
+            payload, exp_s, n_blocks = _make_docx(rng)
+            expected, fmt = exp_s.encode("utf-8"), "zip"
+            noisy = exp_s
+        elif kind == "xlsx":
+            payload, exp_s, n_blocks = _make_xlsx(rng)
+            expected, fmt = exp_s.encode("utf-8"), "zip"
+            noisy = exp_s
+        elif kind == "image":
+            payload, exp_s, n_blocks = _make_image(rng)
+            expected, fmt = b"", "image"
+            noisy = ""
         else:
             payload, exp_s, n_blocks = _make_text(rng)
             expected, fmt = exp_s.encode("utf-8"), "text"

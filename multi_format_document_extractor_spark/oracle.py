@@ -23,10 +23,13 @@ Everything is pure-Python stdlib and deterministic.
 
 from __future__ import annotations
 
+import io
 import re
+import zipfile
 import zlib
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
+from xml.etree import ElementTree as ET
 
 # ---------------------------------------------------------------------------
 # Format sniff (reference: src/config.py:32-67 maps extension → type; we map
@@ -36,16 +39,26 @@ from html.parser import HTMLParser
 FORMAT_PDF = "pdf"
 FORMAT_HTML = "html"
 FORMAT_TEXT = "text"
+FORMAT_ZIP = "zip"  # PK container: docx/xlsx parsed, other zips → error row
+FORMAT_IMAGE = "image"  # png/jpeg/gif: routed to the multimodal media path
 FORMAT_UNKNOWN = "unknown"
+
+_ZIP_MAGIC = b"PK\x03\x04"
+_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8")  # GIF8 covers 87a/89a
 
 
 def sniff_format(payload: bytes | None) -> str:
     """Classify a payload by magic bytes. Mirrors the native Spark column in
-    sources/pages.py — keep the two in lockstep."""
+    sources/pages.py — keep the two in lockstep (magic list, probe length 16,
+    and the exact ``" \\t\\r\\n"`` leading-whitespace set)."""
     if payload is None or len(payload) == 0:
         return FORMAT_UNKNOWN
     if payload[:5] == b"%PDF-":
         return FORMAT_PDF
+    if payload[:4] == _ZIP_MAGIC:
+        return FORMAT_ZIP
+    if payload.startswith(_IMAGE_MAGICS):
+        return FORMAT_IMAGE
     head = payload[:16].decode("latin-1").lstrip(" \t\r\n")
     if head.startswith("<"):
         return FORMAT_HTML
@@ -259,6 +272,139 @@ def extract_text(payload: bytes) -> tuple[bytes, int]:
 
 
 # ---------------------------------------------------------------------------
+# Office containers: real DOCX/XLSX parsing via stdlib zipfile + ElementTree
+# (reference parses these with python-docx / pandas.read_excel —
+# src/parsers/word_parser.py:30-60, src/parsers/excel_parser.py:30-49; here
+# the same member XML is read directly so the path is deterministic and
+# dependency-free inside the Arrow UDF)
+# ---------------------------------------------------------------------------
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_X = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _trim_blank_lines(lines: list[str]) -> list[str]:
+    lines = [ln.rstrip() for ln in lines]
+    while lines and not lines[0]:
+        lines.pop(0)
+    while lines and not lines[-1]:
+        lines.pop()
+    return lines
+
+
+def _docx_extract(doc_xml: bytes) -> tuple[bytes, int]:
+    """Paragraph text + embedded tables, mirroring the reference's
+    ``"\\n".join(p.text)`` + per-table row/cell pull
+    (src/parsers/word_parser.py:38-50). Table rows render as
+    ``cell | cell | ...`` lines; blocks join with a blank line.
+    n_blocks = non-empty paragraphs + table rows."""
+    body = ET.fromstring(doc_xml).find(f"{_W}body")
+    if body is None:
+        return b"", 0
+    para_lines: list[str] = []
+    table_blocks: list[str] = []
+    n_rows = 0
+    for child in body:
+        if child.tag == f"{_W}p":
+            para_lines.append(
+                " ".join(
+                    "".join(t.text or "" for t in child.iter(f"{_W}t")).split()
+                )
+            )
+        elif child.tag == f"{_W}tbl":
+            rows = []
+            for tr in child.findall(f"{_W}tr"):
+                cells = [
+                    " ".join(
+                        "".join(t.text or "" for t in tc.iter(f"{_W}t")).split()
+                    )
+                    for tc in tr.findall(f"{_W}tc")
+                ]
+                rows.append(" | ".join(cells))
+            if rows:
+                table_blocks.append("\n".join(rows))
+                n_rows += len(rows)
+    para_lines = _trim_blank_lines(para_lines)
+    blocks = (["\n".join(para_lines)] if para_lines else []) + table_blocks
+    n_blocks = sum(1 for ln in para_lines if ln) + n_rows
+    return "\n\n".join(blocks).encode("utf-8"), n_blocks
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        raw = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    return [
+        "".join(t.text or "" for t in si.iter(f"{_X}t"))
+        for si in ET.fromstring(raw).iter(f"{_X}si")
+    ]
+
+
+def _xlsx_extract(zf: zipfile.ZipFile) -> tuple[bytes, int]:
+    """Multi-sheet scan, mirroring the reference's read-all-sheets step
+    (src/parsers/excel_parser.py:36-40). Each sheet renders as a
+    ``## <name>`` header plus one ``cell | cell`` line per row (cells in
+    document order, shared-string indirection resolved); sheets join with a
+    blank line. n_blocks = total rows across sheets. Sheet i in workbook
+    order pairs with member ``xl/worksheets/sheet{i+1}.xml`` (the standard
+    default member naming)."""
+    shared = _xlsx_shared_strings(zf)
+    names = [
+        s.get("name", f"sheet{i + 1}")
+        for i, s in enumerate(
+            ET.fromstring(zf.read("xl/workbook.xml")).iter(f"{_X}sheet")
+        )
+    ]
+    blocks: list[str] = []
+    n_rows = 0
+    for i, name in enumerate(names):
+        member = f"xl/worksheets/sheet{i + 1}.xml"
+        try:
+            raw = zf.read(member)
+        except KeyError:
+            continue
+        lines = [f"## {name}"]
+        for row in ET.fromstring(raw).iter(f"{_X}row"):
+            cells = []
+            for c in row.findall(f"{_X}c"):
+                kind = c.get("t", "n")
+                if kind == "inlineStr":
+                    v = "".join(t.text or "" for t in c.iter(f"{_X}t"))
+                else:
+                    vnode = c.find(f"{_X}v")
+                    v = vnode.text or "" if vnode is not None else ""
+                    if kind == "s":
+                        idx = int(v) if v else -1
+                        v = shared[idx] if 0 <= idx < len(shared) else ""
+                cells.append(v)
+            lines.append(" | ".join(cells))
+            n_rows += 1
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks).encode("utf-8"), n_rows
+
+
+def extract_zip(payload: bytes) -> tuple[bytes, int] | None:
+    """Dispatch a PK container: DOCX (word/document.xml), XLSX
+    (xl/workbook.xml), else None (unsupported container → error row)."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = set(zf.namelist())
+        if "word/document.xml" in names:
+            return _docx_extract(zf.read("word/document.xml"))
+        if "xl/workbook.xml" in names:
+            return _xlsx_extract(zf)
+    return None
+
+
+def image_subtype(payload: bytes) -> str:
+    if payload[:4] == b"\x89PNG":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "gif"
+
+
+# ---------------------------------------------------------------------------
 # Dispatch — the single-row contract the Spark UDF distributes
 # ---------------------------------------------------------------------------
 
@@ -290,8 +436,25 @@ def extract(payload: bytes | None) -> Extracted:
     fmt = sniff_format(payload)
     if fmt == FORMAT_UNKNOWN:
         return Extracted(fmt, b"", 0, False, "empty or missing payload")
+    if fmt == FORMAT_IMAGE:
+        # No deterministic decoder in the core; the multimodal media path
+        # (multimodal/media.py) owns binary image handling. Error-as-data,
+        # never garbage text passthrough.
+        return Extracted(
+            fmt, b"", 0, False,
+            f"image payload ({image_subtype(payload)}): route to media path",
+        )
     try:
-        text, n_blocks = _EXTRACTORS[fmt](payload)  # type: ignore[arg-type]
+        if fmt == FORMAT_ZIP:
+            res = extract_zip(payload)  # type: ignore[arg-type]
+            if res is None:
+                return Extracted(
+                    fmt, b"", 0, False,
+                    "unsupported zip container (not docx/xlsx)",
+                )
+            text, n_blocks = res
+        else:
+            text, n_blocks = _EXTRACTORS[fmt](payload)  # type: ignore[arg-type]
         return Extracted(fmt, text, n_blocks, True)
     except Exception as exc:  # noqa: BLE001 — error path is part of the data model
         return Extracted(fmt, b"", 0, False, f"{type(exc).__name__}: {exc}")

@@ -31,6 +31,13 @@ def format_col(html: Column) -> Column:
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit("unknown"))
         .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(F.substring(html, 1, 4) == F.lit(b"PK\x03\x04"), F.lit("zip"))
+        .when(
+            (F.substring(html, 1, 4) == F.lit(b"\x89PNG"))
+            | (F.substring(html, 1, 3) == F.lit(b"\xff\xd8\xff"))
+            | (F.substring(html, 1, 4) == F.lit(b"GIF8")),
+            F.lit("image"),
+        )
         .when(head.startswith("<"), F.lit("html"))
         .otherwise(F.lit("text"))
     )

@@ -32,8 +32,11 @@ def test_spark_extraction_byte_identical(spark, corpus_dir, corpus_rows):
         assert g["format"] == row.format, row.url
         assert bytes(g["text_out"]) == row.text_expected, row.url
         assert g["checksum"] == zlib.crc32(row.text_expected)
-        if row.format != "unknown":
+        if row.format not in ("unknown", "image"):
             assert g["ok"], row.url
+        if row.format == "image":
+            # binary images route to error rows (media path owns decode)
+            assert not g["ok"] and "media path" in g["error"], row.url
 
 
 def test_extraction_matches_expected_table_via_join(spark, corpus_dir):

@@ -77,3 +77,86 @@ def test_corpus_golden_byte_identity(corpus_rows):
 def test_error_path_is_data():
     e = oracle.extract(None)
     assert not e.ok and e.format == "unknown" and e.text == b""
+
+
+def test_docx_paragraphs_and_tables():
+    from multi_format_document_extractor_spark.corpus import _W_XMLNS, _zip_bytes
+
+    doc = (
+        f'<w:document xmlns:w="{_W_XMLNS}"><w:body>'
+        "<w:p/>"  # leading empty paragraph: trimmed
+        "<w:p><w:r><w:t xml:space=\"preserve\">hello </w:t></w:r>"
+        "<w:r><w:t>split run</w:t></w:r></w:p>"
+        "<w:p/>"  # interior empty: kept as blank line
+        "<w:p><w:r><w:t>second   para</w:t></w:r></w:p>"
+        "<w:tbl>"
+        "<w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc></w:tr>"
+        "<w:tr><w:tc><w:p><w:r><w:t>c</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>d</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl>"
+        "</w:body></w:document>"
+    )
+    payload = _zip_bytes([("word/document.xml", doc)])
+    e = oracle.extract(payload)
+    assert e.format == "zip" and e.ok
+    assert e.text == b"hello split run\n\nsecond para\n\na | b\nc | d"
+    assert e.n_blocks == 2 + 2  # two non-empty paragraphs + two table rows
+
+
+def test_xlsx_shared_inline_and_numeric_cells():
+    from multi_format_document_extractor_spark.corpus import _X_XMLNS, _zip_bytes
+
+    members = [
+        (
+            "xl/workbook.xml",
+            f'<workbook xmlns="{_X_XMLNS}"><sheets>'
+            '<sheet name="Order_Info" sheetId="1"/>'
+            '<sheet name="Notes" sheetId="2"/></sheets></workbook>',
+        ),
+        (
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{_X_XMLNS}"><si><t>alpha</t></si>'
+            "<si><t>beta</t></si></sst>",
+        ),
+        (
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{_X_XMLNS}"><sheetData>'
+            '<row r="1"><c t="s"><v>1</v></c><c><v>12.50</v></c></row>'
+            '<row r="2"><c t="inlineStr"><is><t>inline</t></is></c>'
+            '<c t="s"><v>0</v></c></row>'
+            "</sheetData></worksheet>",
+        ),
+        (
+            "xl/worksheets/sheet2.xml",
+            f'<worksheet xmlns="{_X_XMLNS}"><sheetData>'
+            '<row r="1"><c><v>7</v></c></row></sheetData></worksheet>',
+        ),
+    ]
+    e = oracle.extract(_zip_bytes(members))
+    assert e.format == "zip" and e.ok
+    assert e.text == (
+        b"## Order_Info\nbeta | 12.50\ninline | alpha\n\n## Notes\n7"
+    )
+    assert e.n_blocks == 3
+
+
+def test_unsupported_zip_and_corrupt_zip_are_error_rows():
+    from multi_format_document_extractor_spark.corpus import _zip_bytes
+
+    plain = oracle.extract(_zip_bytes([("readme.txt", "hi")]))
+    assert plain.format == "zip" and not plain.ok
+    assert "unsupported zip container" in plain.error
+    corrupt = oracle.extract(b"PK\x03\x04" + b"\x00" * 40)
+    assert corrupt.format == "zip" and not corrupt.ok and corrupt.text == b""
+
+
+def test_image_routes_to_media_path():
+    for magic, sub in [
+        (b"\x89PNG\r\n\x1a\n", "png"),
+        (b"\xff\xd8\xff\xe0", "jpeg"),
+        (b"GIF89a", "gif"),
+    ]:
+        e = oracle.extract(magic + b"\x01\x02\x03")
+        assert e.format == "image" and not e.ok and e.text == b""
+        assert sub in e.error and "media path" in e.error

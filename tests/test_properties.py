@@ -17,9 +17,11 @@ from hypothesis import strategies as st
 
 from multi_format_document_extractor_spark.oracle import (
     FORMAT_HTML,
+    FORMAT_IMAGE,
     FORMAT_PDF,
     FORMAT_TEXT,
     FORMAT_UNKNOWN,
+    FORMAT_ZIP,
     extract,
     sniff_format,
 )
@@ -41,23 +43,65 @@ def test_extract_is_total_and_deterministic(payload):
         b.error,
     )
     assert a.checksum == zlib.crc32(a.text)
-    assert a.format in (FORMAT_HTML, FORMAT_PDF, FORMAT_TEXT, FORMAT_UNKNOWN)
+    assert a.format in (
+        FORMAT_HTML,
+        FORMAT_PDF,
+        FORMAT_TEXT,
+        FORMAT_ZIP,
+        FORMAT_IMAGE,
+        FORMAT_UNKNOWN,
+    )
     if payload:
         assert a.format != FORMAT_UNKNOWN
     else:
         assert a.format == FORMAT_UNKNOWN and not a.ok
 
 
+def _model_sniff(payload: bytes | None) -> str:
+    """Independent restatement of the sniff spec (NOT the implementation):
+    magic prefixes first, then a 16-byte probe whose leading whitespace is
+    exactly ``" \\t\\r\\n"`` (NOT Python's default lstrip set — 0xA0 NBSP and
+    Unicode spaces must fall through to text)."""
+    if not payload:
+        return FORMAT_UNKNOWN
+    if payload.startswith(b"%PDF-"):
+        return FORMAT_PDF
+    if payload.startswith(b"PK\x03\x04"):
+        return FORMAT_ZIP
+    if payload.startswith((b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
+        return FORMAT_IMAGE
+    if payload[:16].decode("ISO-8859-1").lstrip(" \t\r\n").startswith("<"):
+        return FORMAT_HTML
+    return FORMAT_TEXT
+
+
 @settings(max_examples=300, deadline=None)
 @given(any_bytes)
 def test_sniff_matches_magic_bytes(payload):
-    fmt = sniff_format(payload)
-    if not payload:
-        assert fmt == FORMAT_UNKNOWN
-    elif payload.startswith(b"%PDF-"):
-        assert fmt == FORMAT_PDF
-    elif payload.decode("ISO-8859-1").lstrip()[:16].lstrip().startswith("<"):
-        assert fmt == FORMAT_HTML
+    assert sniff_format(payload) == _model_sniff(payload)
+
+
+# Prefixes that historically diverged between sniff models; exercised both
+# bare and ahead of every magic class.
+_SNIFF_EDGE_PREFIXES = [b"", b"\xa0", b" " * 20, b" \t\r\n", b"\x85", b"\x0b"]
+_SNIFF_BODIES = [b"", b"<html>", b"%PDF-1.4", b"PK\x03\x04x", b"\x89PNG\r\n", b"words"]
+
+
+def test_sniff_regressions():
+    # 0xA0 (latin-1 NBSP) is NOT leading whitespace → text, not html
+    assert sniff_format(b"\xa0<") == FORMAT_TEXT
+    # probe is 16 bytes: whitespace may push "<" past the probe → text
+    assert sniff_format(b" " * 20 + b"<html>") == FORMAT_TEXT
+    assert sniff_format(b" \t\r\n<html>") == FORMAT_HTML
+    # magic classes beat the whitespace probe
+    assert sniff_format(b"PK\x03\x04whatever") == FORMAT_ZIP
+    assert sniff_format(b"\x89PNG\r\n\x1a\n...") == FORMAT_IMAGE
+    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == FORMAT_IMAGE
+    assert sniff_format(b"GIF89a......") == FORMAT_IMAGE
+    for pre in _SNIFF_EDGE_PREFIXES:
+        for body in _SNIFF_BODIES:
+            p = pre + body
+            assert sniff_format(p) == _model_sniff(p), p
 
 
 @settings(max_examples=200, deadline=None)
@@ -105,7 +149,7 @@ def test_spark_sniff_agrees_with_oracle_on_random_payloads(spark):
     rng = random.Random(1234)
     payloads = []
     for i in range(400):
-        kind = rng.randrange(6)
+        kind = rng.randrange(8)
         if kind == 0:
             p = bytes(rng.getrandbits(8) for _ in range(rng.randrange(64)))
         elif kind == 1:
@@ -116,6 +160,11 @@ def test_spark_sniff_agrees_with_oracle_on_random_payloads(spark):
             p = ("word " * rng.randrange(20)).encode()
         elif kind == 4:
             p = b"\xff\xfe" + bytes(rng.getrandbits(8) for _ in range(16))
+        elif kind == 5:
+            p = b"PK\x03\x04" + bytes(rng.getrandbits(8) for _ in range(16))
+        elif kind == 6:
+            magic = rng.choice([b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"GIF89a"])
+            p = magic + bytes(rng.getrandbits(8) for _ in range(16))
         else:
             p = b""
         payloads.append((f"u{i}", p if p or rng.random() < 0.5 else None))
