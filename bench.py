@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "fusion_weighted",     # ensemble fusion (A9)
     "sessionize",          # gaps-and-islands window (W4)
     "dedup_exact",         # hash dedup
-    "minhash_lsh",         # MinHash+LSH near-dup
+    "minhash_lsh",         # MinHash+LSH near-dup (8×4 banded)
+    "jaccard_pairs",       # capped candidate join + Jaccard verify
+    "simhash_neardup",     # 64-bit simhash + banded Hamming join
     "ann_topk",            # brute-force cosine top-k
     "embed_neardup",       # sign-LSH bucketed cosine pairs
     "quality_score",       # text quality
@@ -49,10 +51,15 @@ BENCH_QUERIES = [
 def _corpus(n: int, seed: int) -> str:
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"mfde_bench_corpus_{n}_{seed}")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
-        from multi_format_document_extractor_spark.corpus import write_corpus
+    from multi_format_document_extractor_spark.corpus import (
+        CORPUS_VERSION,
+        write_corpus,
+    )
 
+    d = os.path.join(
+        tempfile.gettempdir(), f"mfde_bench_corpus_v{CORPUS_VERSION}_{n}_{seed}"
+    )
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
         write_corpus(d, n, seed)
     return d
 

@@ -27,6 +27,10 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Bump when generator output changes for a given (n, seed): cache dirs
+# (bench.py, scaling_bench) embed this so a stale corpus is never reused.
+CORPUS_VERSION = 2
+
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
     "batch stream row column key value hash part order line customer fast "

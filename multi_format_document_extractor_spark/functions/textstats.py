@@ -14,12 +14,27 @@ from pyspark.sql import functions as F
 
 from .rounding import rnd
 
-# marker words per language for the n-gram-free heuristic language ID
+# Marker words per language for the n-gram-free heuristic language ID.
+# ASCII-only function words by design: \b word-boundary semantics around
+# non-ASCII letters differ between regex engines (Spark/RE2-style vs
+# DuckDB), and the oracle SQL is generated from this table — diacritic
+# markers would break cross-engine exactness. Ten high-frequency function
+# words per language; overlaps across languages (en "in" / de "in") are
+# fine, the argmax decides. Accuracy on the labeled fixture slice is
+# measured in tests/test_textstats.py and recorded in COVERAGE.md.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "and", "of", "to"),
-    "de": ("der", "die", "das", "und", "ist"),
-    "fr": ("le", "la", "les", "et", "est"),
-    "es": ("el", "los", "las", "es", "y"),
+    "en": ("the", "and", "of", "to", "in", "that", "is", "was", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es": ("el", "los", "las", "es", "que", "y", "por", "con", "para", "como"),
+    "pt": ("o", "os", "um", "uma", "para", "com", "mais", "foi", "dos", "pelo"),
+    "it": ("il", "gli", "che", "di", "per", "con", "una", "sono", "del", "anche"),
+    "nl": ("het", "een", "van", "voor", "niet", "zijn", "met", "ook", "maar", "dat"),
+    "sv": ("och", "att", "det", "som", "av", "den", "till", "med", "var", "har"),
+    "id": ("yang", "dan", "untuk", "dengan", "tidak", "dari", "ini", "itu", "pada", "adalah"),
+    "tl": ("ang", "ng", "mga", "sa", "na", "ay", "ito", "kung", "hindi", "naman"),
+    "tr": ("ve", "bir", "bu", "ile", "olarak", "daha", "gibi", "sonra", "ancak", "kadar"),
+    "pl": ("nie", "jest", "jak", "ale", "czy", "tego", "przez", "oraz", "tylko", "jego"),
 }
 
 BPE_ISH_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"

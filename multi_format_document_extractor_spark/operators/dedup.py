@@ -81,25 +81,51 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_bands(
-    df: DataFrame, text_col: str, id_col: str, n_bands: int = 4
-) -> DataFrame:
-    """Per-document banded MinHash signature.
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
-    Band b's hash is ``min(md5(b || ':' || shingle))`` — k independent
-    permutations approximated by salted hashes; lexicographic min over md5
-    hex is engine-portable. Returns (doc, band, band_min). One shuffle
-    (groupBy doc)."""
+
+def minhash_perm(h: Column, i: int) -> Column:
+    """Permutation i of a 32-bit shingle hash: ``(a_i·h + b_i) mod p`` with
+    p prime — a bijection on Z_p for any a_i ∈ [1, p−1], which is all
+    min-hashing needs. Products stay < 2⁴⁰, no overflow."""
+    return (h * (2 * i + 3) + (1000003 * i + 17)) % MINHASH_PRIME
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-document banded MinHash signature (b bands × r rows).
+
+    Each shingle is hashed ONCE (first 8 md5 hex chars → 32-bit int,
+    engine-portable) and the b·r permutations are cheap codegen arithmetic
+    over that hash (``minhash_perm``) — the standard one-hash+linear-
+    permutation minhash, ~b·r× cheaper than salted re-hashing. Band b's
+    key concatenates its r row minima, so a candidate needs ALL r rows of
+    some band to agree: P(candidate) = 1 − (1 − s^r)^b — at the 8×4
+    default, ~2% for Jaccard s=0.5 but ~99% for s=0.9, versus ~94% at
+    s=0.5 for the degenerate r=1 banding (the round-1 scale hazard).
+    Returns (doc, band, band_min). One shuffle (groupBy doc)."""
     sh = doc_shingles(df, text_col, id_col)
-    per_band = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"b{b}")
-        for b in range(n_bands)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc", h.alias("h"))
+    n_rows = n_bands * rows_per_band
+    per_row = [
+        F.min(minhash_perm(F.col("h"), i)).alias(f"h{i}") for i in range(n_rows)
     ]
-    sig = sh.groupBy("doc").agg(*per_band)
+    sig = hashed.groupBy("doc").agg(*per_row)
+
+    def band_key(b: int):
+        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        return F.concat_ws("_", *cols)
+
     bands = F.explode(
         F.array(
             *[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("band_min"))
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("band_min"))
                 for b in range(n_bands)
             ]
         )
@@ -118,9 +144,25 @@ def lsh_buckets(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     return out
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct (a, b) doc pairs sharing any LSH bucket, a < b.
-    Self-equi-join on the bucket key — broadcast-free, AQE-skew-splittable."""
+    Self-equi-join on the bucket key — broadcast-free, AQE-skew-splittable.
+
+    ``max_bucket`` drops cells with more than that many docs BEFORE the
+    self-join: one boilerplate mega-bucket of m docs would emit O(m²)
+    candidate rows, and at corpus scale a single hot cell is the
+    difference between a bounded join and a quadratic blowup. Dropped
+    cells lose candidate recall for their members by design — exact
+    duplicates inside them are still caught by ``exact_dedup_groups``,
+    which is the cheaper tool for identical-content masses."""
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "band_min")
+            .agg(F.count("*").alias("_n"))
+            .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+            .select("band", "band_min")
+        )
+        bands = bands.join(ok, ["band", "band_min"], "left_semi")
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -189,3 +231,102 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.lit(0),
     )
     return agg.select("doc", sim.cast("int").alias("simhash"))
+
+
+N_SIMHASH_SEGMENTS = 4  # 4 × 16-bit segments = 64-bit fingerprint
+
+# Hex digits with md5-nibble bit (8|4|2|1) set — single-char set membership
+# is cheap codegen; one md5 per token yields all 64 bit-planes.
+_NIBBLE_BIT_DIGITS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+
+
+def _simhash64_sign(w_hash: Column, j: int) -> Column:
+    """±1 for global bit j (0..63): bit (j%4) of hex digit (j//4 + 1)."""
+    digit = F.substring(w_hash, j // 4 + 1, 1)
+    return F.when(digit.isin(*_NIBBLE_BIT_DIGITS[j % 4]), 1).otherwise(-1)
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash as four 16-bit segments from ONE md5 per token.
+
+    md5's 128 bits give 4 independent bits per hex digit; digits 1..16 ×
+    4 bit-planes = 64 sign accumulators. Segment k packs bits 16k..16k+15.
+    Returns (doc, seg0..seg3 INT). The segmented form (rather than one
+    packed BIGINT) is what the banded Hamming join needs anyway, and 2¹⁶
+    buckets *per segment* with 2⁶⁴ joint space fixes the round-1
+    collision-at-10⁶-docs limitation of the single 16-bit hash."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    sums = [
+        F.sum(_simhash64_sign(h, j)).alias(f"s{j}") for j in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*sums)
+    segs = [
+        sum(
+            (
+                F.when(
+                    F.col(f"s{16 * k + i}") >= 0, F.lit(1 << (15 - i))
+                ).otherwise(0)
+                for i in range(16)
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias(f"seg{k}")
+        for k in range(N_SIMHASH_SEGMENTS)
+    ]
+    return agg.select("doc", *segs)
+
+
+def simhash_hamming_pairs(segs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 64-bit Hamming distance, banded — never all-pairs.
+
+    Pigeonhole: two fingerprints within Hamming distance 3 of each other
+    must agree EXACTLY on at least one of the 4 segments, so the candidate
+    set is a self-equi-join on (segment index, segment value) — the same
+    shuffle shape as MinHash LSH, linear in matches. Exact distance
+    (Σ bit_count(xor)) is then computed for candidates only and filtered
+    to ≤ ``max_hamming`` (must stay < N_SIMHASH_SEGMENTS for the
+    pigeonhole guarantee to be exhaustive). Returns (a, b, hamming)."""
+    seg_cols = [f"seg{k}" for k in range(N_SIMHASH_SEGMENTS)]
+    long = segs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("seg_id"), F.col(c).alias("seg_val")
+                    )
+                    for k, c in enumerate(seg_cols)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc", "x.seg_id", "x.seg_val")
+    cand = (
+        long.alias("l")
+        .join(long.alias("r"), ["seg_id", "seg_val"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    sa = segs.select(
+        F.col("doc").alias("a"), *[F.col(c).alias(f"a_{c}") for c in seg_cols]
+    )
+    sb = segs.select(
+        F.col("doc").alias("b"), *[F.col(c).alias(f"b_{c}") for c in seg_cols]
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+            for c in seg_cols
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -71,21 +71,22 @@ class ParserPool:
     every Arrow batch of that partition.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, profile: str = "default") -> None:
         self.docs = 0
         self.bytes_in = 0
+        self.profile = profile
 
     def extract_one(self, payload: bytes | None) -> Extracted:
         self.docs += 1
         self.bytes_in += len(payload) if payload is not None else 0
-        return extract(payload)
+        return extract(payload, self.profile)
 
 
-def _make_extract_batches(max_bytes: int | None):
+def _make_extract_batches(max_bytes: int | None, profile: str = "default"):
     def _extract_batches(
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
-        pool = ParserPool()  # once per partition iterator
+        pool = ParserPool(profile)  # once per partition iterator
         for pdf in batches:
             payloads, truncated = [], []
             for p in pdf["html"]:
@@ -122,6 +123,7 @@ def extract_pages(
     salt_partitions: int | None = None,
     only_formats: list[str] | None = None,
     max_bytes: int | None = None,
+    profile: str = "default",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted table.
 
@@ -135,13 +137,18 @@ def extract_pages(
     worst-case task time. Truncation is recorded as data in the
     ``truncated`` column (and thus in warehouse lineage), never silent;
     default None = byte-identity contract intact.
+
+    ``profile``: oracle.PROFILES key — "default" (byte-identity contract)
+    or "relaxed" (the hybrid pipeline's recovery pass).
     """
     df = pages.select("url", "warc_ts", "html", "lang")
     if only_formats is not None:
         df = df.where(format_col(F.col("html")).isin(only_formats))
     if salt_partitions:
         df = df.repartition(salt_partitions, salt_key(F.col("url")))
-    return df.mapInPandas(_make_extract_batches(max_bytes), schema=EXTRACT_DDL)
+    return df.mapInPandas(
+        _make_extract_batches(max_bytes, profile), schema=EXTRACT_DDL
+    )
 
 
 def enrich_extracted(extracted: DataFrame) -> DataFrame:

@@ -59,3 +59,40 @@ def weighted_vote(preds: DataFrame, key: str = "key", field: str = "field") -> D
     return _pick_first(
         scored, [key, field], [F.col("score").desc(), F.col("value").asc()]
     )
+
+
+def apply_corrections(
+    review: DataFrame,
+    corrections: DataFrame,
+    key: str = "key",
+    field: str = "field",
+) -> DataFrame:
+    """J3: MERGE-INTO semantics over the review table.
+
+    Reference: ``receive_correction`` (src/ai_models/active_learning.py:
+    308-360) — a human correction replaces the predicted field value, the
+    sample leaves the pending queue, and the corrected value carries full
+    (human) confidence plus annotator lineage.
+
+    Relational form: ``review(key, field, value, conf)`` LEFT JOIN
+    ``corrections(key, field, corrected_value, annotator_id)``;
+    WHEN MATCHED → corrected value, conf 1.0, corrected flag set;
+    WHEN NOT MATCHED → prediction unchanged. Scale: corrections are
+    human-annotation-scale (a review queue, never the corpus), so the join
+    broadcasts the corrections side — the big review table is not shuffled.
+    """
+    c = F.broadcast(
+        corrections.select(key, field, "corrected_value", "annotator_id")
+    )
+    matched = F.col("corrected_value").isNotNull()
+    return (
+        review.join(c, [key, field], "left")
+        .select(
+            key,
+            field,
+            F.coalesce("corrected_value", "value").alias("value"),
+            F.when(matched, F.lit(1.0)).otherwise(F.col("conf")).alias("conf"),
+            matched.cast("int").alias("corrected"),
+            "annotator_id",
+        )
+    )

@@ -89,12 +89,13 @@ def ece_bins(df: DataFrame, conf_col: str, correct_col: str) -> DataFrame:
 
 
 def ece(df: DataFrame, conf_col: str, correct_col: str) -> DataFrame:
-    """Scalar ECE: Σ (nᵢ/N)·|accᵢ − confᵢ| over the bins."""
+    """Scalar ECE: Σ (nᵢ/N)·|accᵢ − confᵢ| over the bins. N is derived from
+    the bins aggregate itself (Σnᵢ) — no separate count() job."""
     bins = ece_bins(df, conf_col, correct_col)
-    total = df.count()
     return bins.agg(
         rnd(
-            F.sum(F.col("n") / F.lit(float(total)) * F.abs(F.col("avg_acc") - F.col("avg_conf"))),
+            F.sum(F.col("n") * F.abs(F.col("avg_acc") - F.col("avg_conf")))
+            / F.sum("n"),
             6,
         ).alias("ece")
     )

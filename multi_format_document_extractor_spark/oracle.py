@@ -87,6 +87,16 @@ LINK_DENSITY_MAX = 0.33  # block is boilerplate if >1/3 of chars are link text
 MIN_CONTENT_CHARS = 25  # very short isolated blocks are boilerplate
 TEXT_DENSITY_MIN = 8.0  # chars per tag; tag-soup blocks are boilerplate
 
+# Extraction profiles: (link_density_max, min_content_chars, text_density_min).
+# "default" is the byte-identity contract; "relaxed" is the RECOVERY profile
+# the hybrid pipeline escalates low-confidence documents to (the reference's
+# second engine slot, src/ai_pipeline.py:343-519, re-expressed as a
+# deterministic heavier re-parse that keeps shorter/denser-tagged blocks).
+PROFILES: dict[str, tuple[float, int, float]] = {
+    "default": (LINK_DENSITY_MAX, MIN_CONTENT_CHARS, TEXT_DENSITY_MIN),
+    "relaxed": (0.60, 8, 3.0),
+}
+
 
 
 @dataclass
@@ -167,7 +177,14 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def classify_block(text_chars: int, link_chars: int, n_tags: int) -> bool:
+def classify_block(
+    text_chars: int,
+    link_chars: int,
+    n_tags: int,
+    link_density_max: float = LINK_DENSITY_MAX,
+    min_content_chars: int = MIN_CONTENT_CHARS,
+    text_density_min: float = TEXT_DENSITY_MIN,
+) -> bool:
     """True iff a block is main content. Pure function of block stats so the
     same rule is testable in isolation and documentable as the contract."""
     if text_chars == 0:
@@ -175,21 +192,22 @@ def classify_block(text_chars: int, link_chars: int, n_tags: int) -> bool:
     link_density = link_chars / text_chars
     text_density = text_chars / (1 + n_tags)
     return (
-        text_chars >= MIN_CONTENT_CHARS
-        and link_density <= LINK_DENSITY_MAX
-        and text_density >= TEXT_DENSITY_MIN
+        text_chars >= min_content_chars
+        and link_density <= link_density_max
+        and text_density >= text_density_min
     )
 
 
-def extract_html(payload: bytes) -> tuple[bytes, int]:
+def extract_html(payload: bytes, profile: str = "default") -> tuple[bytes, int]:
     """Main-content bytes + number of kept blocks."""
+    ld_max, min_chars, td_min = PROFILES[profile]
     parser = _BlockParser()
     parser.feed(payload.decode("utf-8", errors="replace"))
     parser.close()
     kept: list[str] = []
     for b in parser.blocks:
         t = b.text()
-        if classify_block(len(t), b.link_chars, b.n_tags):
+        if classify_block(len(t), b.link_chars, b.n_tags, ld_max, min_chars, td_min):
             kept.append(t)
     return "\n\n".join(kept).encode("utf-8"), len(kept)
 
@@ -429,10 +447,14 @@ _EXTRACTORS = {
 }
 
 
-def extract(payload: bytes | None) -> Extracted:
+def extract(payload: bytes | None, profile: str = "default") -> Extracted:
     """Detect format and extract main content. Errors are data, never
     exceptions (reference turns ParseError into an error dict,
-    src/pipeline.py:171-180)."""
+    src/pipeline.py:171-180).
+
+    ``profile`` selects the HTML block-classification thresholds (PROFILES);
+    non-HTML formats are profile-invariant. "default" is the byte-identity
+    contract; "relaxed" is the hybrid pipeline's recovery pass."""
     fmt = sniff_format(payload)
     if fmt == FORMAT_UNKNOWN:
         return Extracted(fmt, b"", 0, False, "empty or missing payload")
@@ -453,6 +475,8 @@ def extract(payload: bytes | None) -> Extracted:
                     "unsupported zip container (not docx/xlsx)",
                 )
             text, n_blocks = res
+        elif fmt == FORMAT_HTML:
+            text, n_blocks = extract_html(payload, profile)  # type: ignore[arg-type]
         else:
             text, n_blocks = _EXTRACTORS[fmt](payload)  # type: ignore[arg-type]
         return Extracted(fmt, text, n_blocks, True)

@@ -650,6 +650,49 @@ def fusion_weighted(spark, sf_dir):
     return fusion.weighted_vote(_preds_df(spark, sf_dir), key="user_id")
 
 
+@q(
+    "correction_merge",
+    _PREDS_SQL
+    + """
+    , review AS (
+      SELECT user_id, field, value, conf FROM (
+        SELECT user_id, field, value, conf,
+               row_number() OVER (PARTITION BY user_id, field
+                                  ORDER BY conf DESC, value ASC) AS rn
+        FROM preds) WHERE rn = 1
+    ), corrections AS (
+      SELECT user_id, field, 'v' || value AS corrected_value,
+             'ann' || CAST(mod(user_id, 3) AS VARCHAR) AS annotator_id
+      FROM review WHERE conf < 0.30
+    )
+    SELECT r.user_id, r.field,
+           coalesce(c.corrected_value, r.value) AS value,
+           round(CASE WHEN c.corrected_value IS NOT NULL
+                      THEN 1.0 ELSE r.conf END, 2) AS conf,
+           CAST(c.corrected_value IS NOT NULL AS INT) AS corrected,
+           c.annotator_id
+    FROM review r LEFT JOIN corrections c
+      ON r.user_id = c.user_id AND r.field = c.field
+    """,
+)
+def correction_merge(spark, sf_dir):
+    """J3: human corrections MERGEd into the fused review table
+    (src/ai_models/active_learning.py:308-360). The low-confidence slice of
+    the maxconf-fused table stands in for the review queue; corrections are
+    derived deterministically from it (prefixed value + annotator id)."""
+    review = fusion.max_confidence(_preds_df(spark, sf_dir), key="user_id")
+    corrections = review.where(F.col("conf") < 0.30).select(
+        "user_id",
+        "field",
+        F.concat(F.lit("v"), F.col("value")).alias("corrected_value"),
+        F.concat(
+            F.lit("ann"), F.pmod("user_id", F.lit(3)).cast("string")
+        ).alias("annotator_id"),
+    )
+    merged = fusion.apply_corrections(review, corrections, key="user_id")
+    return merged.withColumn("conf", rnd(F.col("conf"), 2))
+
+
 # =========================================================================
 # Uncertainty sampling + calibration (SURVEY W1-W3, F27-F29, A13-A15)
 # Probabilities derived rationally from embeddings (first 4 dims) so every
@@ -885,7 +928,13 @@ _AUG_SQL = """
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-_WORDS_SQL = f"""
+# b=8 bands × r=4 rows: candidate needs all 4 row-minima of some band to
+# agree — P(candidate) = 1 − (1 − s⁴)⁸ (discriminating, unlike r=1).
+_N_BANDS, _ROWS_PER_BAND = 8, 4
+_LSH_MAX_BUCKET = 100  # mega-cell cap ahead of the candidate self-join
+
+_WORDS_SQL = (
+    """
     , norm AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs_aug
     ), shingled AS (
@@ -894,18 +943,32 @@ _WORDS_SQL = f"""
                range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
       FROM norm
-    ), sig AS (
+    ), hashed AS (
       SELECT doc_id,
-             min(md5('0:' || shingle)) AS b0, min(md5('1:' || shingle)) AS b1,
-             min(md5('2:' || shingle)) AS b2, min(md5('3:' || shingle)) AS b3
-      FROM shingled GROUP BY doc_id
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM shingled
+    ), sig AS (
+      SELECT doc_id, """
+    + ", ".join(
+        f"min((h * {2 * i + 3} + {1000003 * i + 17}) % 4294967291) AS h{i}"
+        for i in range(_N_BANDS * _ROWS_PER_BAND)
+    )
+    + """
+      FROM hashed GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, 0 AS band, b0 AS band_min FROM sig
-      UNION ALL SELECT doc_id, 1, b1 FROM sig
-      UNION ALL SELECT doc_id, 2, b2 FROM sig
-      UNION ALL SELECT doc_id, 3, b3 FROM sig
+      """
+    + "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(
+            f"h{b * _ROWS_PER_BAND + i}" for i in range(_ROWS_PER_BAND)
+        )
+        + ") AS band_min FROM sig"
+        for b in range(_N_BANDS)
+    )
+    + """
     )
 """
+)
 
 
 def _docs_aug(spark, sf_dir) -> DataFrame:
@@ -946,9 +1009,9 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def minhash_lsh(spark, sf_dir):
-    """MinHash+LSH: 3-word shingles → 4 salted-md5 band minima → bucket
-    cells with >1 doc are near-dup candidates."""
-    bands = dedup.minhash_bands(_docs_aug(spark, sf_dir), "text", "doc_id", 4)
+    """MinHash+LSH: 3-word shingles → 8 bands × 4 salted-md5 row minima →
+    bucket cells with >1 doc are near-dup candidates."""
+    bands = dedup.minhash_bands(_docs_aug(spark, sf_dir), "text", "doc_id")
     return dedup.lsh_buckets(bands).select("band", "band_min", "n_docs")
 
 
@@ -957,9 +1020,16 @@ def minhash_lsh(spark, sf_dir):
     _AUG_SQL
     + _WORDS_SQL
     + """
-    , cand AS (
+    , ok_cells AS (
+      SELECT band, band_min FROM bands GROUP BY band, band_min
+      HAVING count(*) > 1 AND count(*) <= """
+    + str(_LSH_MAX_BUCKET)
+    + """
+    ), cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM bands l JOIN bands r
+      FROM bands l
+      JOIN ok_cells o ON l.band = o.band AND l.band_min = o.band_min
+      JOIN bands r
         ON l.band = r.band AND l.band_min = r.band_min AND l.doc_id < r.doc_id
     ), toks AS (
       SELECT DISTINCT doc_id AS doc, unnest(w) AS tok FROM norm
@@ -980,10 +1050,10 @@ def minhash_lsh(spark, sf_dir):
 )
 def jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup verification over LSH candidate pairs only
-    (never all-pairs)."""
+    (never all-pairs); mega-buckets capped before the self-join."""
     aug = _docs_aug(spark, sf_dir)
-    bands = dedup.minhash_bands(aug, "text", "doc_id", 4)
-    pairs = dedup.candidate_pairs(bands)
+    bands = dedup.minhash_bands(aug, "text", "doc_id")
+    pairs = dedup.candidate_pairs(bands, max_bucket=_LSH_MAX_BUCKET)
     return dedup.jaccard_verify(pairs, aug, "text", "doc_id", 0.8)
 
 
@@ -1020,6 +1090,91 @@ def simhash_q(spark, sf_dir):
     return dedup.simhash16(_docs_aug(spark, sf_dir), "text", "doc_id").select(
         F.col("doc").alias("doc_id"), "simhash"
     )
+
+
+# one md5 per token; bit j = bit (j%4) of hex digit (j//4 + 1), via the
+# same digit IN-lists as dedup._NIBBLE_BIT_DIGITS
+_NIBBLE_SQL = [
+    "('8','9','a','b','c','d','e','f')",
+    "('4','5','6','7','c','d','e','f')",
+    "('2','3','6','7','a','b','e','f')",
+    "('1','3','5','7','9','b','d','f')",
+]
+
+_S64_SQL = (
+    _AUG_SQL
+    + """
+    , toks AS (
+      SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS wh
+      FROM docs_aug
+    ), sums AS (
+      SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN substr(wh, {j // 4 + 1}, 1) IN {_NIBBLE_SQL[j % 4]} "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    + """
+      FROM toks GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id, """
+    + ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"CASE WHEN s{16 * k + i} >= 0 THEN {1 << (15 - i)} ELSE 0 END"
+            for i in range(16)
+        )
+        + f") AS INT) AS seg{k}"
+        for k in range(4)
+    )
+    + """
+      FROM sums
+    )
+"""
+)
+
+
+@q("simhash64", _S64_SQL + "SELECT doc_id, seg0, seg1, seg2, seg3 FROM segs")
+def simhash64_q(spark, sf_dir):
+    """64-bit SimHash as 4×16-bit salted segments — the corpus-scale
+    fingerprint (2⁶⁴ joint space) the 16-bit demo hash can't provide."""
+    return dedup.simhash64(_docs_aug(spark, sf_dir), "text", "doc_id").select(
+        F.col("doc").alias("doc_id"), "seg0", "seg1", "seg2", "seg3"
+    )
+
+
+@q(
+    "simhash_neardup",
+    _S64_SQL
+    + """
+    , longf AS (
+      SELECT doc_id, 0 AS seg_id, seg0 AS seg_val FROM segs
+      UNION ALL SELECT doc_id, 1, seg1 FROM segs
+      UNION ALL SELECT doc_id, 2, seg2 FROM segs
+      UNION ALL SELECT doc_id, 3, seg3 FROM segs
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM longf l JOIN longf r
+        ON l.seg_id = r.seg_id AND l.seg_val = r.seg_val
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(bit_count(xor(sa.seg0, sb.seg0)) + bit_count(xor(sa.seg1, sb.seg1))
+              + bit_count(xor(sa.seg2, sb.seg2)) + bit_count(xor(sa.seg3, sb.seg3))
+             AS INT) AS hamming
+    FROM cand c
+    JOIN segs sa ON sa.doc_id = c.a
+    JOIN segs sb ON sb.doc_id = c.b
+    WHERE bit_count(xor(sa.seg0, sb.seg0)) + bit_count(xor(sa.seg1, sb.seg1))
+        + bit_count(xor(sa.seg2, sb.seg2)) + bit_count(xor(sa.seg3, sb.seg3)) <= 3
+    """,
+)
+def simhash_neardup(spark, sf_dir):
+    """Banded Hamming near-dup join: pairs within Hamming ≤3 of the 64-bit
+    fingerprint, found via the pigeonhole segment-equality join (never
+    all-pairs)."""
+    segs = dedup.simhash64(_docs_aug(spark, sf_dir), "text", "doc_id")
+    return dedup.simhash_hamming_pairs(segs, max_hamming=3)
 
 
 # =========================================================================
@@ -1320,7 +1475,9 @@ def _register_streaming_sessionize():
     def streaming_sessionize_q(spark, sf_dir):
         from ..streaming.ingest import streaming_sessionize
 
-        return streaming_sessionize(spark, sf_dir)
+        # out_of_order_events is a stream-side diagnostic (always 0 in the
+        # single-drain oracle setup); the batch oracle has no analog column.
+        return streaming_sessionize(spark, sf_dir).drop("out_of_order_events")
 
 
 _register_streaming_sessionize()
@@ -1337,12 +1494,14 @@ _CORPUS_CACHE: dict[tuple[int, int], str] = {}
 def _corpus_dir(n: int = 1000, seed: int = 42) -> str:
     import tempfile
 
+    from ..corpus import CORPUS_VERSION, write_corpus
+
     key = (n, seed)
     if key not in _CORPUS_CACHE:
-        d = os.path.join(tempfile.gettempdir(), f"mfde_corpus_{n}_{seed}")
+        d = os.path.join(
+            tempfile.gettempdir(), f"mfde_corpus_v{CORPUS_VERSION}_{n}_{seed}"
+        )
         if not os.path.exists(os.path.join(d, "pages.parquet")):
-            from ..corpus import write_corpus
-
             write_corpus(d, n, seed)
         _CORPUS_CACHE[key] = d
     return _CORPUS_CACHE[key]
@@ -1357,6 +1516,23 @@ def extract_pages_q(spark, sf_dir):
     pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
     return extract_pages(pages, salt_partitions=16).select(
         "url", "format", "n_blocks", "ok", "checksum"
+    )
+
+
+@q("process_table")  # rows-only: scoring is derived from UDF-extracted
+# text, which SQL cannot reproduce (same reason as extract_pages); the
+# composed lifecycle is byte/score-checked end-to-end in tests/test_api.py
+def process_table_q(spark, sf_dir):
+    """§2.10 composed API: sniff → extract → enrich → score → validate →
+    route in one call (reference front-ends mcp_server/tools.py:45-97,
+    agent/orchestrator.py:68-150)."""
+    from ..api import process_table
+    from ..sources.pages import read_pages
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    return process_table(pages, run_date="2026-08-17").select(
+        "url", "format", "ok", "n_blocks", "n_tokens_ws", "is_valid",
+        "confidence", "bucket", "action", "mode",
     )
 
 

@@ -100,6 +100,20 @@ class Warehouse:
             days.update(c.get("complete_days", []))
         return days
 
+    @staticmethod
+    def _marker_days(commits: list[dict]) -> set[str]:
+        """Days sealed by WATERMARK POLICY (kind='seal' markers) only —
+        excludes days sealed by batch data commits. The distinction matters
+        when batch and streaming share a warehouse: a batch run's
+        seal_days=True asserts "I drained everything pending today", which
+        says nothing about rows still within a streaming lateness horizon;
+        only marker days carry the beyond-horizon-may-drop contract."""
+        days: set[str] = set()
+        for c in commits:
+            if c.get("kind") == "seal":
+                days.update(c.get("complete_days", []))
+        return days
+
     def complete_days(self) -> set[str]:
         """Days fully drained by some committed run (the high-watermark set).
 
@@ -143,6 +157,7 @@ class Warehouse:
         self,
         pages: DataFrame,
         prune_days: bool = True,
+        prune_scope: str = "all",
         _commits: list[dict] | None = None,
     ) -> DataFrame:
         """Input rows not yet in any committed run.
@@ -153,6 +168,12 @@ class Warehouse:
         pass ``prune_days=False`` when the input may contain LATE rows for
         days already sealed (day pruning would silently drop them).
 
+        ``prune_scope``: which seals count — "all" (batch restarts: every
+        sealed day) or "markers" (watermarking streams: ONLY days sealed by
+        watermark policy; days sealed by batch data commits are still
+        anti-joined, so a within-horizon late row for a batch-sealed day is
+        extracted, not silently dropped).
+
         ``_commits``: pre-listed snapshot state, so one job re-reads the
         commit markers once instead of per helper call.
         """
@@ -161,9 +182,12 @@ class Warehouse:
         if not commits:
             return pages
         if prune_days:
-            sealed = sorted(
-                d for d in self._complete_days(commits) if d is not None
+            day_set = (
+                self._marker_days(commits)
+                if prune_scope == "markers"
+                else self._complete_days(commits)
             )
+            sealed = sorted(d for d in day_set if d is not None)
             if sealed:
                 pages = pages.where(
                     F.col("warc_ts").isNull()
@@ -191,7 +215,10 @@ class Warehouse:
             "seq": len(commits),
             "n_docs": 0,
             "n_bytes": 0,
-            "complete_days": sorted(new | self._complete_days(commits)),
+            # Markers accumulate WATERMARK-sealed days only (not days sealed
+            # by batch data commits) so prune_scope="markers" readers see
+            # exactly the beyond-horizon set.
+            "complete_days": sorted(new | self._marker_days(commits)),
             "committed_at": time.time(),
         }
         marker = os.path.join(
@@ -214,6 +241,7 @@ class Warehouse:
         fail_before_commit: bool = False,
         seal_days: bool = True,
         prune_days: bool | None = None,
+        prune_scope: str = "all",
     ) -> dict:
         """One resumable extraction job: pending → extract → append → commit.
 
@@ -239,6 +267,7 @@ class Warehouse:
         todo = self.pending(
             pages,
             prune_days=seal_days if prune_days is None else prune_days,
+            prune_scope=prune_scope,
             _commits=commits,
         )
         extracted = extract_pages(todo, salt_partitions=salt_partitions)
@@ -266,7 +295,17 @@ class Warehouse:
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum("in_bytes").alias("byte_count"),
-                F.sum("checksum").alias("checksum"),
+                # Σ crc32 mod 2^32: per-row values are ≤ 2^32, so a plain
+                # BIGINT sum wraps silently near ~2^31 rows per group (real
+                # at 10^12-doc scale). Decimal accumulation is exact to
+                # 10^38, then reduced mod 2^32 — order-insensitive,
+                # duplicate-sensitive, bounded.
+                F.pmod(
+                    F.sum(F.col("checksum").cast("decimal(28,0)")),
+                    F.lit(4294967296),
+                )
+                .cast("long")
+                .alias("checksum"),
             )
             .select(
                 F.lit(run_id).alias("run_id"),

@@ -60,41 +60,52 @@ def _stage_dir(sf_dir: str) -> str:
 
 SESSION_GAP_US = 1_800_000_000  # 30 min, same as the batch sessionize oracle
 
-_SESS_STATE = "last_t long, cur_n long, max_n long, n_sessions long, n_events long"
+_SESS_STATE = (
+    "last_t long, cur_n long, max_n long, n_sessions long, n_events long, "
+    "ooo long"
+)
 _SESS_OUT = (
-    "user_id long, n_sessions long, n_events long, max_session_events long"
+    "user_id long, n_sessions long, n_events long, max_session_events long, "
+    "out_of_order_events long"
 )
 
 
 def _sessionize_group(key, pdfs, state):
     """applyInPandasWithState update fn: classic 30-min-gap sessionization as
     incremental state. Within a micro-batch events are sorted by (ts,
-    event_id); across batches the file source replays in order. Emits the
-    running summary each invocation; the reader keeps the last emission."""
+    event_id); ACROSS batches correctness requires event-time-ordered
+    arrival (see streaming_sessionize). Events arriving behind the state's
+    high-water ts are counted in ``out_of_order_events`` — nonzero means
+    the session counts for this user are unreliable and the user needs a
+    batch recompute. Emits the running summary each invocation; the reader
+    keeps the last emission."""
     import pandas as pd  # noqa: F401 (worker-side)
 
     if state.exists:
-        last_t, cur_n, max_n, n_sessions, n_events = state.get
+        last_t, cur_n, max_n, n_sessions, n_events, ooo = state.get
     else:
-        last_t, cur_n, max_n, n_sessions, n_events = (None, 0, 0, 0, 0)
+        last_t, cur_n, max_n, n_sessions, n_events, ooo = (None, 0, 0, 0, 0, 0)
 
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for t in (pdf["ts"].astype("int64") // 1000).tolist():  # ns → us
+            if last_t is not None and t < last_t:
+                ooo += 1
             if last_t is None or t - last_t > SESSION_GAP_US:
                 n_sessions += 1
                 cur_n = 0
             cur_n += 1
             n_events += 1
             max_n = max(max_n, cur_n)
-            last_t = t
-    state.update((last_t, cur_n, max_n, n_sessions, n_events))
+            last_t = max(t, last_t) if last_t is not None else t
+    state.update((last_t, cur_n, max_n, n_sessions, n_events, ooo))
     yield __import__("pandas").DataFrame(
         {
             "user_id": [key[0]],
             "n_sessions": [n_sessions],
             "n_events": [n_events],
             "max_session_events": [max_n],
+            "out_of_order_events": [ooo],
         }
     )
 
@@ -104,7 +115,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` (the engine's extension point for operators
     Structured Streaming lacks natively). Drained with availableNow; result
     values are identical to the batch gaps-and-islands form and are checked
-    against the same DuckDB oracle."""
+    against the same DuckDB oracle.
+
+    PRECONDITION for multi-batch runs: per-user event time must be
+    non-decreasing ACROSS micro-batches (Spark's file source orders batches
+    by file discovery time, not event time — a later-arriving file with
+    earlier events violates this). The state keeps only the session
+    high-water mark, so cross-batch late events cannot be re-sessionized;
+    they are instead COUNTED per user in ``out_of_order_events``: nonzero
+    means that user's session counts need a batch recompute
+    (``plans/queries.sessionize``). The single-availableNow-drain form used
+    here satisfies the precondition trivially."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     name = f"sess_{uuid.uuid4().hex[:8]}"
@@ -218,10 +239,15 @@ def streaming_extract(
                 batch_df,
                 run_id=f"stream_{batch_id:08d}_{uuid.uuid4().hex[:6]}",
                 seal_days=False,
-                # With a watermark, sealed == beyond-horizon, so pruning
-                # them IS the lateness policy. Without one, never prune:
-                # late rows for days sealed by batch runs must still land.
+                # With a watermark, WATERMARK-sealed days are beyond the
+                # horizon, so pruning them IS the lateness policy — but only
+                # kind='seal' marker days qualify (prune_scope="markers"):
+                # a day sealed by a batch data commit in a shared warehouse
+                # may still be within this stream's horizon, and its late
+                # rows must keep flowing through the anti-join, not be
+                # silently dropped. Without a watermark, never prune.
                 prune_days=watermark_lateness_days is not None,
+                prune_scope="markers",
             )
         )
 

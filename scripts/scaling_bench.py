@@ -51,10 +51,15 @@ ROUNDS = 2  # parent alternates N/4N children this many times: the microVM
 def _corpus(n: int, seed: int) -> str:
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"mfde_bench_corpus_{n}_{seed}")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
-        from multi_format_document_extractor_spark.corpus import write_corpus
+    from multi_format_document_extractor_spark.corpus import (
+        CORPUS_VERSION,
+        write_corpus,
+    )
 
+    d = os.path.join(
+        tempfile.gettempdir(), f"mfde_bench_corpus_v{CORPUS_VERSION}_{n}_{seed}"
+    )
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
         write_corpus(d, n, seed)
     return d
 

@@ -64,6 +64,27 @@ def test_sample_frames_exploded_counts(spark):
     assert all(r.ts_ms == r.frame_idx * 500 for r in one)
 
 
+def test_registry_frames_query_cardinality(spark):
+    """The multimodal_frames registry query's fan-out over the real
+    documents table matches the deterministic fake's per-payload frame
+    count (moved here from the query path — round-1 VERDICT #5)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.queries()["multimodal_frames"](spark, sf)
+    docs = (
+        spark.read.parquet(sf + "/documents.parquet")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .where(F.col("doc_id") < 200)
+    )
+    expected = sum(
+        1 + hashlib.sha256(bytes(r.payload)).digest()[2] % 8
+        for r in docs.collect()
+        if r.payload is not None
+    )
+    assert out.count() == expected
+
+
 def test_features_feed_similarity_ops(spark):
     """The fake featurizer's output is directly consumable by the ANN
     operators — same array<float> shape as the embeddings table."""

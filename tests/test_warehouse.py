@@ -103,28 +103,39 @@ def test_lineage_accounts_for_every_byte(spark, pages, tmp_path):
     out = wh.read_extracted(spark)
     lin = wh.read_lineage(spark)
 
-    got = lin.agg(
-        F.sum("doc_count").alias("docs"),
-        F.sum("byte_count").alias("bytes"),
-        F.sum("checksum").alias("ck"),
-    ).collect()[0]
-    want = out.agg(
-        F.count("*").alias("docs"),
-        F.sum("in_bytes").alias("bytes"),
-        F.sum("checksum").alias("ck"),
-    ).collect()[0]
-    assert (got["docs"], got["bytes"], got["ck"]) == (
-        want["docs"],
-        want["bytes"],
-        want["ck"],
-    )
+    # Per-group checksums are Σ crc32 mod 2^32 (overflow-proof combiner);
+    # compare group-wise, not as a grand total (mod is not sum-distributive).
+    got = {
+        (r["day"], r["format"]): (r["doc_count"], r["byte_count"], r["checksum"])
+        for r in lin.collect()
+    }
+    want = {
+        (r["day"], r["format"]): (r["docs"], r["bytes"], r["ck"])
+        for r in out.groupBy("day", "format")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("in_bytes").alias("bytes"),
+            F.pmod(
+                F.sum(F.col("checksum").cast("decimal(28,0)")),
+                F.lit(4294967296),
+            )
+            .cast("long")
+            .alias("ck"),
+        )
+        .collect()
+    }
+    assert got == want
 
     # Lineage checksum equals a recomputed crc32 over the extracted bytes.
-    rows = out.select("text_out").collect()
-    recomputed = sum(
-        zlib.crc32(bytes(r["text_out"])) for r in rows if r["text_out"] is not None
-    )
-    assert got["ck"] == recomputed
+    by_group: dict = {}
+    for r in out.select("day", "format", "text_out").collect():
+        k = (r["day"], r["format"])
+        by_group[k] = by_group.get(k, 0) + (
+            zlib.crc32(bytes(r["text_out"])) if r["text_out"] is not None else 0
+        )
+    assert {k: v[2] for k, v in got.items()} == {
+        k: v % (1 << 32) for k, v in by_group.items()
+    }
 
     # Partition pruning surface: lineage covers ≥2 days and ≥2 formats.
     assert lin.select("day").distinct().count() >= 2
