@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 SEED = 42
 
 # Representative registry queries (one per operator family; the full 38-query

@@ -280,6 +280,72 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select("doc", *segs)
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, strict: bool = True
+) -> DataFrame:
+    """Near-dup pair graph → (doc, component): component = smallest doc id
+    reachable through the pair edges (the canonical keeper id).
+
+    Min-label propagation: each round every doc takes the min of its own
+    label and its neighbors' labels — one equi-join + one groupBy(min) per
+    round, both AQE-coalesced shuffles on uniformly-hashed ids. Converges
+    in O(graph diameter) rounds; near-dup clusters are dense (a shared
+    template links most members pairwise), so real corpora converge in
+    2-5 rounds. Convergence is detected via the monotone Σ(label) signal —
+    one cheap agg per round, no extra join. Each round's labels are
+    localCheckpoint-ed: iterative algorithms MUST truncate the logical
+    plan, not just cache data — an unpruned 40-round lineage OOMs the
+    planner itself (on a real cluster use reliable checkpoint() so a lost
+    executor cannot orphan the truncated lineage).
+
+    ``strict``: if the graph has not converged after ``max_iter`` rounds
+    (pathological chain-shaped graphs have diameter ≈ length), raise
+    instead of returning silently wrong components.
+
+    Docs with no pair edge do not appear (singletons are their own
+    component by definition — union them in the caller if needed).
+    """
+    e = pairs.select("a", "b")
+    bidir = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    bidir = bidir.localCheckpoint()  # reused every round: compute once
+    labels = (
+        bidir.select(F.col("a").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = bidir.join(labels, bidir["b"] == labels["doc"]).groupBy(
+            "a"
+        ).agg(F.min("comp").alias("nbr_comp"))
+        new_labels = (
+            labels.join(nbr_min, labels["doc"] == nbr_min["a"], "left")
+            .select(
+                labels["doc"],
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if strict and not converged:
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(chain-shaped graph? raise max_iter)"
+        )
+    return labels
+
+
 def simhash_hamming_pairs(segs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by 64-bit Hamming distance, banded — never all-pairs.
 

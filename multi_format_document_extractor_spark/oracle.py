@@ -28,6 +28,7 @@ import re
 import zipfile
 import zlib
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from xml.etree import ElementTree as ET
 
@@ -247,23 +248,19 @@ def _link_len(raw_chunk: str) -> int:
     parser's PER-EVENT whitespace collapse: the reference emits each stray
     ``<`` as its own data event, so collapse happens per piece (boundary
     whitespace around ``<`` is trimmed piecewise, not once per chunk)."""
-    from html import unescape
-
     if "<" not in raw_chunk:
         if "&" in raw_chunk:
-            raw_chunk = unescape(raw_chunk)
+            raw_chunk = _unescape(raw_chunk)
         return len(" ".join(raw_chunk.split()))
     pieces = raw_chunk.split("<")
-    total = len(" ".join(unescape(pieces[0]).split()))
+    total = len(" ".join(_unescape(pieces[0]).split()))
     for p in pieces[1:]:
-        total += 1 + len(" ".join(unescape(p).split()))
+        total += 1 + len(" ".join(_unescape(p).split()))
     return total
 
 
 def _scan_blocks(data: str) -> list[_Block]:
     """One-pass block segmentation; same _Block stats as _BlockParser."""
-    from html import unescape
-
     blocks: list[_Block] = []
     cur = _Block()
     drop_depth = 0
@@ -287,7 +284,7 @@ def _scan_blocks(data: str) -> list[_Block]:
             if link_depth:
                 cur.link_chars += _link_len(chunk)
             if "&" in chunk:
-                chunk = unescape(chunk)
+                chunk = _unescape(chunk)
             cur.text_parts.append(chunk)
         pos = m.end()
         sname = m.group(2)
@@ -341,7 +338,7 @@ def _scan_blocks(data: str) -> list[_Block]:
         if link_depth:
             cur.link_chars += _link_len(chunk)
         if "&" in chunk:
-            chunk = unescape(chunk)
+            chunk = _unescape(chunk)
         cur.text_parts.append(chunk)
     if cur.text_parts or cur.n_tags:
         blocks.append(cur)

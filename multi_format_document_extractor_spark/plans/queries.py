@@ -1058,6 +1058,37 @@ def jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "neardup_components",
+    "WITH RECURSIVE pairs AS ("
+    # the full jaccard_pairs query (verified near-dup edges) as the base
+    # relation — composed at build time so the two stay in lockstep
+    + ORACLES["jaccard_pairs"]
+    + """),
+    bidir(a, b) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT a, a FROM bidir
+      UNION
+      SELECT e.a, r.lbl FROM bidir e JOIN reach r ON e.b = r.doc
+    )
+    SELECT doc AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY doc
+    """,
+)
+def neardup_components(spark, sf_dir):
+    """Near-dup clustering: verified Jaccard pairs → connected components
+    by min-label propagation (component id = canonical keeper id). The
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    aug = _docs_aug(spark, sf_dir)
+    bands = dedup.minhash_bands(aug, "text", "doc_id")
+    pairs = dedup.candidate_pairs(bands, max_bucket=_LSH_MAX_BUCKET)
+    verified = dedup.jaccard_verify(pairs, aug, "text", "doc_id", 0.8)
+    comp = dedup.connected_components(verified)
+    return comp.select(
+        F.col("doc").alias("doc_id"), F.col("comp").cast("bigint").alias("component")
+    )
+
+
+@q(
     "simhash",
     _AUG_SQL
     + """

@@ -83,6 +83,38 @@ def test_simhash_hamming_pairs_match_bruteforce(spark):
     assert got[(1, 5)] == 0 and got[(1, 2)] == 1
 
 
+def test_connected_components_basic(spark):
+    """Chain + separate pair + convergence semantics."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "a long, b long",
+    )
+    got = {
+        r["doc"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+    spark.catalog.clearCache()
+
+
+def test_connected_components_long_chain_strict(spark):
+    """A 30-node chain (diameter 29) converges within default rounds; a
+    tiny max_iter raises instead of returning wrong components."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long"
+    )
+    got = {
+        r["doc"]: r["comp"]
+        for r in dedup.connected_components(pairs, max_iter=40).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 31
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    spark.catalog.clearCache()
+
+
 def test_simhash64_segments_independent(spark):
     """Identical docs agree on all segments; the 4 segments of one doc are
     not copies of each other (distinct md5 bit-planes)."""
