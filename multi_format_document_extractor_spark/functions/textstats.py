@@ -112,8 +112,11 @@ def quality_score(col: Column) -> Column:
 
 
 def normalized_text(col: Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace,
+    fully stripped. Collapse BEFORE trim: Spark/DuckDB ``trim`` strips only
+    spaces, so a trailing tab/newline would otherwise survive as a trailing
+    space and split identical contents into different fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def fingerprint(col: Column) -> Column:

@@ -926,7 +926,7 @@ _AUG_SQL = """
     )
 """
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # b=8 bands × r=4 rows: candidate needs all 4 row-minima of some band to
 # agree — P(candidate) = 1 − (1 − s⁴)⁸ (discriminating, unlike r=1).
@@ -1399,8 +1399,8 @@ def token_counts(spark, sf_dir):
     "fingerprint",
     """
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-           ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
                            1, 8))::BIGINT AS fp64
     FROM documents
     """,
@@ -1466,6 +1466,112 @@ def multi_pattern_extract_q(spark, sf_dir):
             F.col("text"),
             ["order ([a-z]+)", "part ([a-z]+)", "key ([a-z]+)"],
         ).alias("extracted"),
+    )
+
+
+# =========================================================================
+# Training-set assembly (operators/training.py): quality gate → dedup
+# keepers → deterministic split → sequence packing
+# =========================================================================
+
+_Q_EXPRS = """
+      round(0.3 * least(length(text) / 1000.0, 1.0)
+          + 0.3 * least((CASE WHEN n_words > 0 THEN stop_hits / (1.0 * n_words)
+                              ELSE 0.0 END) * 4.0, 1.0)
+          + 0.2 * (CASE WHEN n_words > 0
+                         AND n_nonws / (1.0 * n_words) >= 3.0
+                         AND n_nonws / (1.0 * n_words) <= 10.0
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.2 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                                            THEN n_punct / (1.0 * length(text))
+                                            ELSE 0.0 END) * 4.0), 4)
+"""
+
+_HASH_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@q(
+    "training_corpus",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, text,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|it)\\b'))
+          AS stop_hits,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonws,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, {_Q_EXPRS} AS quality, n_words AS n_tokens
+      FROM raw
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND n_tokens BETWEEN 10 AND 100000
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN {_HASH_BUCKET} % 100 < 1 THEN 'test'
+                WHEN {_HASH_BUCKET} % 100 < 2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM dedup WHERE rn = 1
+    """,
+)
+def training_corpus_q(spark, sf_dir):
+    """Composed corpus assembly: quality floor + token band → exact-dedup
+    keepers → deterministic md5 train/val/test split."""
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = training.assemble_training_corpus(
+        d, min_quality=0.5, min_tokens=10
+    )
+    return out.select(
+        "doc_id", "quality", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"
+    )
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens, {_HASH_BUCKET} % 16 AS bucket FROM t
+    ), c AS (
+      SELECT *, sum(n_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+      ) - n_tokens AS strt FROM b
+    )
+    SELECT doc_id,
+           CAST(bucket * 1000000000 + floor(strt / 2048) AS BIGINT) AS seq_id,
+           CAST(strt - floor(strt / 2048) * 2048 AS BIGINT) AS seq_offset,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 2048-token sequences, packed
+    within 16 hash buckets (parallel windows, never a global order)."""
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TS.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    out = training.pack_sequences(d, "doc_id", "n_tokens", 2048, n_buckets=16)
+    return out.select(
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("seq_offset").cast("bigint").alias("seq_offset"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 

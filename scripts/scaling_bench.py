@@ -153,7 +153,8 @@ PDF layout parse / text passthrough) → noop sink, in both balancing modes:
 path at 100 TB) and **salted** (`repartition(4×cores, pmod(xxhash64(url),
 4096))` — the skew-adversarial path, paying a full-payload shuffle).
 Input: deterministic synthetic Common-Crawl corpus, {N_DOCS:,} pages
-(~70% HTML / 15% PDF / 10% text / 3% error-path / 2% oversized ≥1 MB;
+(~60% HTML / 13% PDF / 8% text / 10% DOCX+XLSX zips / 4% image /
+3% error-path / 2% oversized ≥1 MB;
 Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
 state (workers warm, package imported) — one-time per-executor startup
 excluded, as it amortizes on any real job. Levels alternate across

@@ -1,0 +1,104 @@
+"""Training-set assembly operators (operators/training.py): packing
+invariants vs a Python model, split determinism/proportions, dedup keeper
+semantics, and the composed chain."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from multi_format_document_extractor_spark.operators import training
+
+
+def _bucket(v, n):
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n
+
+
+def test_pack_sequences_matches_python_model(spark):
+    rows = [(i, (i * 37) % 900 + 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in training.pack_sequences(
+            df, "doc_id", "n_tokens", 1024, n_buckets=8
+        ).collect()
+    }
+    # python model: per bucket, ordered by id, running start offset
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for i, nt in rows:
+        by_bucket.setdefault(_bucket(i, 8), []).append((i, nt))
+    expect = {}
+    for b, docs in by_bucket.items():
+        start = 0
+        for i, nt in sorted(docs):
+            expect[i] = (b * 1_000_000_000 + start // 1024, start % 1024)
+            start += nt
+    assert got == expect
+
+
+def test_pack_sequences_offsets_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = training.pack_sequences(df, "doc_id", "n_tokens", 512).collect()
+    assert all(0 <= r["seq_offset"] < 512 for r in out)
+    # ~5 docs of 100 tokens start inside each 512-token sequence
+    from collections import Counter
+
+    sizes = Counter(r["seq_id"] for r in out)
+    assert max(sizes.values()) <= 6
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in training.hash_split(df, "doc_id", 5, 5).collect()}
+    b = {r["doc_id"]: r["split"] for r in training.hash_split(df, "doc_id", 5, 5).collect()}
+    assert a == b  # stable across runs
+    n = len(a)
+    frac_test = sum(1 for s in a.values() if s == "test") / n
+    frac_val = sum(1 for s in a.values() if s == "val") / n
+    assert 0.04 < frac_test < 0.06 and 0.04 < frac_val < 0.06
+    # python model agreement on the bucket rule
+    for i in (0, 1, 17, 9999):
+        bkt = _bucket(i, 100)
+        want = "test" if bkt < 5 else ("val" if bkt < 10 else "train")
+        assert a[i] == want
+
+
+def test_dedup_keepers_lowest_id_per_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same normalized content → dropped
+            (3, "different doc"),
+            (4, "HELLO\tWORLD\n"),  # same again → dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in training.dedup_keepers(df, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_assemble_training_corpus_chain(spark):
+    rows = [
+        (
+            i,
+            f"document number {i} here "
+            + "the quick brown fox jumps over the lazy dog and it is fine " * 4,
+        )
+        for i in range(50)
+    ]
+    rows += [(100 + i, "zz") for i in range(5)]  # fails token/quality gate
+    rows += [(200, rows[0][1])]  # exact dup of doc 0 → dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = training.assemble_training_corpus(df, pack_budget=256)
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    assert 200 not in ids and not any(i >= 100 for i in ids)
+    assert len(ids) == 50
+    assert {"quality", "n_tokens", "split", "seq_id", "seq_offset"} <= set(
+        out.columns
+    )
