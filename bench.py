@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "quality_score",       # text quality
     "token_counts",        # tokenization stats
     "window_agg",          # tumbling window (batch)
+    "training_corpus",     # quality gate → dedup keepers → split
+    "pack_sequences",      # fixed-token sequence packing
+    "neardup_components",  # connected components (iterative)
 ]
 
 

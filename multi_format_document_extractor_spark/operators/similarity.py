@@ -83,11 +83,14 @@ def ivf_assign(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     centroid_vec_col: str = "cv",
+    n_best: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by dot-product argmax
-    (IVF coarse quantizer). Centroids broadcast (K is small); the argmax is
-    a per-id window with a deterministic tiebreak on cell id, so assignment
-    is reproducible across engines. Output: vectors + ``cell``.
+    """Assign each vector to its ``n_best`` nearest centroids by
+    dot-product rank (IVF coarse quantizer; n_best=1 is the storage
+    assignment, n_best=nprobe is the query-side probe set). Centroids
+    broadcast (K is small); the rank is a per-id window with a
+    deterministic tiebreak on cell id, so assignment is reproducible
+    across engines. Output: vectors + ``cell`` (one row per kept cell).
 
     At scale this is a map-side-only operation: broadcast join + window
     over K rows per vector (AQE keeps it one stage); the corpus is never
@@ -103,7 +106,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= n_best)
         .drop("_rn", "_cscore")
     )
 
@@ -117,13 +120,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (nprobe=1) approximate top-k: score cosine only inside the
-    query's own centroid cell. Same output shape as brute_force_topk;
-    recall < 1.0 by construction — the exactness baseline quantifies it."""
+    """IVF approximate top-k: score cosine only inside the query's
+    ``nprobe`` nearest centroid cells. Same output shape as
+    brute_force_topk; recall < 1.0 by construction — the exactness
+    baseline quantifies it, and recall rises monotonically with nprobe
+    (each probe adds a disjoint candidate cell; candidates stay unique
+    because every corpus vector lives in exactly one cell). Candidate
+    cost scales as nprobe/K of the corpus — the standard IVF
+    recall-vs-cost dial."""
     cand = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     qcells = ivf_assign(
-        queries, centroids, id_col=query_id_col, vec_col=query_vec_col
+        queries,
+        centroids,
+        id_col=query_id_col,
+        vec_col=query_vec_col,
+        n_best=nprobe,
     )
     joined = cand.join(
         F.broadcast(

@@ -1332,7 +1332,8 @@ def _dotq(a: str, b: str, n: int = 64) -> str:
     )
 
 
-_IVF_SQL = f"""
+def _ivf_sql(nprobe: int) -> str:
+    return f"""
     WITH c AS (
       SELECT CAST(vec_id // 10 AS INT) AS cell, embedding AS cv
       FROM embeddings WHERE vec_id IN (10,20,30,40,50,60,70,80)
@@ -1347,7 +1348,7 @@ _IVF_SQL = f"""
       SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1
     ), q AS (
       SELECT vec_id AS query_id, embedding AS qv, cell
-      FROM cells WHERE vec_id IN (0, 1, 2)
+      FROM assigned WHERE rn <= {nprobe} AND vec_id IN (0, 1, 2)
     ), scored AS (
       SELECT q.query_id, cand.vec_id,
              round(({_dotq('cand.embedding', 'q.qv')})
@@ -1362,7 +1363,7 @@ _IVF_SQL = f"""
 """
 
 
-@q("ann_ivf", _IVF_SQL)
+@q("ann_ivf", _ivf_sql(1))
 def ann_ivf(spark, sf_dir):
     """IVF ANN (nprobe=1): 8 deterministic centroids (every 10th vector),
     nearest-centroid cell assignment by dot argmax, cosine top-k only
@@ -1387,6 +1388,32 @@ def ann_ivf(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return similarity.ivf_topk(e, queries, centroids, k=10).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@q("ann_ivf_probe2", _ivf_sql(2))
+def ann_ivf_probe2(spark, sf_dir):
+    """IVF ANN with nprobe=2: each query searches its TWO nearest cells —
+    the recall-vs-cost dial (candidates 2/K of the corpus instead of 1/K;
+    recall ≥ the nprobe=1 variant by construction, asserted in
+    tests/test_plans.py)."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double_vec(F.col("embedding")).alias("embedding")
+    )
+    centroids = e.where(
+        F.col("vec_id").isin(10, 20, 30, 40, 50, 60, 70, 80)
+    ).select(
+        F.floor(F.col("vec_id") / 10).cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    queries = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.ivf_topk(e, queries, centroids, k=10, nprobe=2).select(
         "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )
 

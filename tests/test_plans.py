@@ -98,14 +98,27 @@ def test_ann_ivf_recall_and_plan(spark):
     ivf_df = entry_mod.queries()["ann_ivf"](spark, SF_DIR)
     ivf = {(r.query_id, r.vec_id) for r in ivf_df.collect()}
     qs = {q for q, _ in exact}
-    recall = sum(
-        len({v for qq, v in exact if qq == q} & {v for qq, v in ivf if qq == q})
-        for q in qs
-    ) / (10 * len(qs))
+
+    def recall_of(pairs):
+        return sum(
+            len({v for qq, v in exact if qq == q} & {v for qq, v in pairs if qq == q})
+            for q in qs
+        ) / (10 * len(qs))
+
+    recall = recall_of(ivf)
     assert recall >= 0.25, recall
     p = plan(ivf_df)
     assert "SortMergeJoin" not in p
     assert "BroadcastExchange" in p
+    # nprobe=2 probes a second cell: recall must not decrease and here
+    # strictly improves on the near-uniform synthetic embeddings
+    probe2 = {
+        (r.query_id, r.vec_id)
+        for r in entry_mod.queries()["ann_ivf_probe2"](spark, SF_DIR).collect()
+    }
+    recall2 = recall_of(probe2)
+    assert recall2 >= recall, (recall, recall2)
+    assert recall2 >= 0.4, recall2
 
 
 def test_resume_day_prune_reaches_scan(spark, pages, tmp_path):
