@@ -23,10 +23,9 @@ from .functions import confidence as C
 from .functions import validate as V
 from .functions.rounding import rnd
 from .operators.extract import enrich_extracted, extract_pages
+from .operators.routing import ESCALATION_THRESHOLD, two_pass_escalation
 from .sinks import Warehouse
 from .sources.pages import read_pages
-
-ESCALATION_THRESHOLD = 0.7  # src/hybrid_pipeline.py:350-353
 
 # Per-format source confidence — the analog of the reference's per-parser
 # base confidence (src/parsers/*: each parser reports how trustworthy its
@@ -124,41 +123,45 @@ def process_table(
     src/hybrid_pipeline.py:308-360):
 
     - ``"rule_based"``: one deterministic pass over everything.
-    - ``"hybrid"``: cheap pass everywhere, then documents scoring below
-      ``threshold`` are RE-EXTRACTED with the "relaxed" recovery profile
-      (oracle.PROFILES) — a real second extractor, not just a score bump —
-      and rescored; winners keep ``mode='escalated'``. The escalated scan
-      re-reads only the low-confidence slice's payloads (semi-join on url
-      ahead of the second UDF pass), so the expensive pass's input is
-      filtered at the scan like SURVEY §3.2 prescribes.
+    - ``"hybrid"``: ``routing.two_pass_escalation`` (the one two-pass
+      protocol in the engine — materialization boundary included) with
+      documents scoring below ``threshold`` RE-EXTRACTED with the
+      "relaxed" recovery profile (oracle.PROFILES) — a real second
+      extractor, not just a score bump — and rescored; winners keep
+      ``mode='escalated'``. The escalated scan re-reads only the
+      low-confidence slice's payloads (semi-join on url ahead of the
+      second UDF pass), so the expensive pass's input is filtered at the
+      scan like SURVEY §3.2 prescribes.
 
     Returns the scored table; ``mode`` column records the path per row.
     """
-    pass1 = score_extracted(
-        extract_pages(pages, salt_partitions=salt_partitions, max_bytes=max_bytes),
-        run_date=run_date,
-    )
+
+    def cheap(df: DataFrame) -> DataFrame:
+        return score_extracted(
+            extract_pages(df, salt_partitions=salt_partitions, max_bytes=max_bytes),
+            run_date=run_date,
+        )
+
     if mode == "rule_based":
-        return pass1.withColumn("mode", F.lit("rule_based"))
+        return cheap(pages).withColumn("mode", F.lit("rule_based"))
     if mode != "hybrid":
         raise ValueError(f"unknown mode: {mode!r}")
 
-    pass1 = pass1.persist()  # both branches read pass 1 exactly once
-    kept = pass1.where(F.col("confidence") >= threshold).withColumn(
-        "mode", F.lit("rule_based")
+    def expensive(low: DataFrame) -> DataFrame:
+        retry_pages = pages.join(low.select("url"), "url", "left_semi")
+        return score_extracted(
+            extract_pages(
+                retry_pages,
+                salt_partitions=salt_partitions,
+                max_bytes=max_bytes,
+                profile="relaxed",
+            ),
+            run_date=run_date,
+        )
+
+    return two_pass_escalation(
+        pages, cheap, expensive, conf_col="confidence", threshold=threshold
     )
-    low_urls = pass1.where(F.col("confidence") < threshold).select("url")
-    retry_pages = pages.join(low_urls, "url", "left_semi")
-    escalated = score_extracted(
-        extract_pages(
-            retry_pages,
-            salt_partitions=salt_partitions,
-            max_bytes=max_bytes,
-            profile="relaxed",
-        ),
-        run_date=run_date,
-    ).withColumn("mode", F.lit("escalated"))
-    return kept.unionByName(escalated)
 
 
 def run_pipeline(

@@ -396,14 +396,29 @@ def _make_xlsx(rng: random.Random) -> tuple[bytes, str, int]:
             + "</sheetData></worksheet>"
         )
         exp_blocks.append("\n".join(exp_lines))
+    # ~half the workbooks route sheets through workbook.xml.rels with
+    # NON-positional member numbering (what real Excel output looks like
+    # after a sheet delete/reorder) — the parser must resolve via r:id,
+    # not member position; the rest are rels-less minimal containers
+    # exercising the positional fallback.
+    use_rels = rng.random() < 0.5
+    offset = rng.randint(1, 3) if use_rels else 0
+    member_names = [
+        f"xl/worksheets/sheet{i + 1 + offset}.xml"
+        for i in range(len(sheet_xmls))
+    ]
+    r_xmlns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet_tags = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}"'
+        + (f' r:id="rId{i + 1}"' if use_rels else "")
+        + "/>"
+        for i, n in enumerate(names)
+    )
     members = [
         (
             "xl/workbook.xml",
-            f'<workbook xmlns="{_X_XMLNS}"><sheets>'
-            + "".join(
-                f'<sheet name="{n}" sheetId="{i + 1}"/>'
-                for i, n in enumerate(names)
-            )
+            f'<workbook xmlns="{_X_XMLNS}" xmlns:r="{r_xmlns}"><sheets>'
+            + sheet_tags
             + "</sheets></workbook>",
         ),
         (
@@ -412,10 +427,21 @@ def _make_xlsx(rng: random.Random) -> tuple[bytes, str, int]:
             + "".join(f"<si><t>{s}</t></si>" for s in shared)
             + "</sst>",
         ),
-    ] + [
-        (f"xl/worksheets/sheet{i + 1}.xml", x)
-        for i, x in enumerate(sheet_xmls)
     ]
+    if use_rels:
+        members.append(
+            (
+                "xl/_rels/workbook.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                + "".join(
+                    f'<Relationship Id="rId{i + 1}" Type="{r_xmlns}/worksheet" '
+                    f'Target="worksheets/sheet{i + 1 + offset}.xml"/>'
+                    for i in range(len(sheet_xmls))
+                )
+                + "</Relationships>",
+            )
+        )
+    members += list(zip(member_names, sheet_xmls))
     return _zip_bytes(members), "\n\n".join(exp_blocks), n_rows_total
 
 

@@ -356,6 +356,13 @@ def simhash_hamming_pairs(segs: DataFrame, max_hamming: int = 3) -> DataFrame:
     (Σ bit_count(xor)) is then computed for candidates only and filtered
     to ≤ ``max_hamming`` (must stay < N_SIMHASH_SEGMENTS for the
     pigeonhole guarantee to be exhaustive). Returns (a, b, hamming)."""
+    if max_hamming >= N_SIMHASH_SEGMENTS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee: "
+            f"with {N_SIMHASH_SEGMENTS} segments the banded join is only "
+            f"exhaustive for hamming < {N_SIMHASH_SEGMENTS} (pairs whose "
+            "differing bits span every segment would be silently missed)"
+        )
     seg_cols = [f"seg{k}" for k in range(N_SIMHASH_SEGMENTS)]
     long = segs.select(
         "doc",

@@ -77,12 +77,21 @@ def apply_corrections(
     Relational form: ``review(key, field, value, conf)`` LEFT JOIN
     ``corrections(key, field, corrected_value, annotator_id)``;
     WHEN MATCHED → corrected value, conf 1.0, corrected flag set;
-    WHEN NOT MATCHED → prediction unchanged. Scale: corrections are
-    human-annotation-scale (a review queue, never the corpus), so the join
-    broadcasts the corrections side — the big review table is not shuffled.
+    WHEN NOT MATCHED → prediction unchanged. SQL MERGE errors on multiple
+    matches; here conflicting corrections for one (key, field) — two
+    annotators disagreeing — resolve DETERMINISTICALLY to one winner
+    (lowest corrected_value, then annotator_id) so the review table's
+    cardinality is preserved instead of fanning out. Scale: corrections
+    are human-annotation-scale (a review queue, never the corpus), so the
+    join broadcasts the corrections side — the big review table is not
+    shuffled.
     """
     c = F.broadcast(
-        corrections.select(key, field, "corrected_value", "annotator_id")
+        _pick_first(
+            corrections.select(key, field, "corrected_value", "annotator_id"),
+            [key, field],
+            [F.col("corrected_value").asc(), F.col("annotator_id").asc()],
+        )
     )
     matched = F.col("corrected_value").isNotNull()
     return (

@@ -15,7 +15,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 ESCALATION_THRESHOLD = 0.7  # src/hybrid_pipeline.py:350-353
 
@@ -33,19 +32,21 @@ def two_pass_escalation(
     column ('rule_based' | 'escalated') mirroring the reference's
     ExtractionMetrics.mode (src/hybrid_pipeline.py:40-51).
 
-    ``materialize`` persists pass 1 (memory, spill to disk) before the two
-    branches read it: both the kept and the escalated branch reference
-    pass1, and without a materialization boundary Spark re-executes the
-    full cheap lineage — at corpus scale, the whole scan + Arrow + Python
-    extraction — once per branch (round-1 VERDICT #4). The persist is the
-    in-session form of SURVEY §3.2's job-level strategy; a multi-job
-    deployment would write pass 1 to the warehouse and read it back
-    (sinks.Warehouse), which survives executor loss too. Eviction is safe
-    (lineage recomputes); set ``materialize=False`` only when ``cheap`` is
-    known to be a trivial native projection."""
+    ``materialize`` localCheckpoints pass 1 before the two branches read
+    it: both the kept and the escalated branch reference pass1, and
+    without a materialization boundary Spark re-executes the full cheap
+    lineage — at corpus scale, the whole scan + Arrow + Python extraction
+    — once per branch (round-1 VERDICT #4). localCheckpoint (rather than
+    persist) both truncates the plan AND leaves cleanup to the
+    ContextCleaner when the result is dropped — no caller-visible cache
+    handle to leak. The in-session boundary stands in for SURVEY §3.2's
+    job-level strategy; a multi-job deployment would write pass 1 to the
+    warehouse and read it back (sinks.Warehouse), which also survives
+    executor loss. Set ``materialize=False`` only when ``cheap`` is known
+    to be a trivial native projection."""
     pass1 = cheap(df)
     if materialize:
-        pass1 = pass1.persist(StorageLevel.MEMORY_AND_DISK)
+        pass1 = pass1.localCheckpoint()
     kept = pass1.where(F.col(conf_col) >= threshold).withColumn(
         "mode", F.lit("rule_based")
     )

@@ -145,12 +145,18 @@ def assemble_training_corpus(
     min_quality: float = 0.5,
     langs: list[str] | None = None,
     min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
     pack_budget: int | None = None,
 ) -> DataFrame:
     """The composed corpus-assembly chain: quality gate → exact-dedup
     keepers → deterministic split (→ optional sequence packing)."""
     out = quality_gate(
-        docs, text_col, min_quality=min_quality, langs=langs, min_tokens=min_tokens
+        docs,
+        text_col,
+        min_quality=min_quality,
+        langs=langs,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
     )
     out = dedup_keepers(out, text_col, id_col)
     out = hash_split(out, id_col)

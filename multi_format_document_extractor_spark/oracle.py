@@ -275,10 +275,17 @@ def _scan_blocks(data: str) -> list[_Block]:
             blocks.append(cur)
             cur = _Block()
 
-    for m in _SCAN_RE.finditer(data):
+    # search-from-pos loop, NOT finditer: a script/style skip moves ``pos``
+    # past raw content, and scanning must RESUME at pos — finditer would
+    # keep yielding matches that merely started inside the skipped region,
+    # desynchronizing the scan (a script containing '<!--' would swallow
+    # the markup after it — the legacy comment-hiding idiom is common).
+    search = _SCAN_RE.search
+    while True:
+        m = search(data, pos)
+        if m is None:
+            break
         start = m.start()
-        if start < pos:
-            continue  # stale match inside a skipped script/style region
         if start > pos and not drop_depth:
             chunk = data[pos:start]
             if link_depth:
@@ -300,7 +307,8 @@ def _scan_blocks(data: str) -> list[_Block]:
             if tag in _CDATA_CLOSE:
                 # raw-content element; script/style are _DROP_TAGS, so the
                 # content is skipped wholesale (html.parser: cdata mode with
-                # drop_depth>0 — identical net effect)
+                # drop_depth>0 — identical net effect); the while-search
+                # loop resumes cleanly at the post-skip pos
                 mm = _CDATA_CLOSE[tag].search(data, pos)
                 if mm is None:
                     pos = n
@@ -538,29 +546,57 @@ def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
     ]
 
 
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _xlsx_sheet_members(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet name, worksheet member path) in workbook order.
+
+    Resolved through ``xl/_rels/workbook.xml.rels`` r:id mapping when
+    present — REAL Excel output numbers members by creation, so after a
+    sheet delete/reorder positional pairing silently misattributes sheets
+    (round-2 code-review finding). Positional default naming is only the
+    fallback for rels-less minimal containers."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels: dict[str, str] = {}
+    try:
+        raw = zf.read("xl/_rels/workbook.xml.rels")
+    except KeyError:
+        raw = None
+    if raw is not None:
+        for rel in ET.fromstring(raw):
+            rid, target = rel.get("Id"), rel.get("Target", "")
+            if rid and target:
+                t = target.lstrip("/")
+                if not t.startswith("xl/"):
+                    t = "xl/" + t
+                rels[rid] = t
+    out: list[tuple[str, str]] = []
+    for i, s in enumerate(wb.iter(f"{_X}sheet")):
+        name = s.get("name", f"sheet{i + 1}")
+        member = rels.get(s.get(f"{_R_NS}id", ""))
+        out.append((name, member or f"xl/worksheets/sheet{i + 1}.xml"))
+    return out
+
+
 def _xlsx_extract(zf: zipfile.ZipFile) -> tuple[bytes, int]:
     """Multi-sheet scan, mirroring the reference's read-all-sheets step
     (src/parsers/excel_parser.py:36-40). Each sheet renders as a
     ``## <name>`` header plus one ``cell | cell`` line per row (cells in
     document order, shared-string indirection resolved); sheets join with a
-    blank line. n_blocks = total rows across sheets. Sheet i in workbook
-    order pairs with member ``xl/worksheets/sheet{i+1}.xml`` (the standard
-    default member naming)."""
+    blank line. n_blocks = total rows across sheets. Sheets resolve to
+    members via the workbook rels (``_xlsx_sheet_members``); a listed sheet
+    whose member is missing raises — errors are data, never silent loss."""
     shared = _xlsx_shared_strings(zf)
-    names = [
-        s.get("name", f"sheet{i + 1}")
-        for i, s in enumerate(
-            ET.fromstring(zf.read("xl/workbook.xml")).iter(f"{_X}sheet")
-        )
-    ]
     blocks: list[str] = []
     n_rows = 0
-    for i, name in enumerate(names):
-        member = f"xl/worksheets/sheet{i + 1}.xml"
+    for name, member in _xlsx_sheet_members(zf):
         try:
             raw = zf.read(member)
         except KeyError:
-            continue
+            raise ValueError(
+                f"xlsx sheet {name!r}: worksheet member {member!r} missing"
+            ) from None
         lines = [f"## {name}"]
         for row in ET.fromstring(raw).iter(f"{_X}row"):
             cells = []

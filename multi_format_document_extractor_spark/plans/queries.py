@@ -1528,8 +1528,9 @@ def training_corpus_q(spark, sf_dir):
     from ..operators import training
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # thresholds MUST mirror the SQL above (0.5 / 10..100000 token band)
     out = training.assemble_training_corpus(
-        d, min_quality=0.5, min_tokens=10
+        d, min_quality=0.5, min_tokens=10, max_tokens=100_000
     )
     return out.select(
         "doc_id", "quality", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"

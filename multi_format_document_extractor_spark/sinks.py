@@ -206,7 +206,11 @@ class Warehouse:
         anti-join's build side for an unbounded stream. Writes a data-less
         seal-marker commit; returns its record (None if nothing new)."""
         commits = self.commits()
-        new = {d for d in days if d is not None} - self._complete_days(commits)
+        # Diff against MARKER days, not all sealed days: a day sealed only
+        # by a batch data commit still needs its watermark marker, or
+        # prune_scope="markers" readers would anti-join it forever (and
+        # never apply the beyond-horizon drop contract to it).
+        new = {d for d in days if d is not None} - self._marker_days(commits)
         if not new:
             return None
         record = {

@@ -115,6 +115,16 @@ def test_connected_components_long_chain_strict(spark):
     spark.catalog.clearCache()
 
 
+def test_simhash_hamming_guard_rejects_unsound_bound(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, 2, 3, 4)], "doc int, seg0 int, seg1 int, seg2 int, seg3 int"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_hamming_pairs(df, max_hamming=4)
+
+
 def test_simhash64_segments_independent(spark):
     """Identical docs agree on all segments; the 4 segments of one doc are
     not copies of each other (distinct md5 bit-planes)."""

@@ -96,6 +96,11 @@ def test_targeted_equivalence_cases():
         "<script>var x = '<p>not a tag</p>';</script><p>real</p>",
         "<style>p { color: red; }</style><p>visible</p>",
         "<script>unterminated to eof",
+        # constructs STARTING inside a script must not desync the scan
+        # (legacy comment-hiding idiom; round-2 code-review finding)
+        '<script>x="<!--"</script><div>mid block</div><!-- c --><p>end</p>',
+        "<style>/* <p> */</style><p>after style</p>",
+        '<script>if (a<b) x("</div>");</script><div>real</div>',
         "<SCRIPT>UPPER</SCRIPT><P>text</P>",
         "x <3 y < z <p>block</p>",
         "<br/><hr /><img src='x'/>",

@@ -141,6 +141,46 @@ def test_xlsx_shared_inline_and_numeric_cells():
     assert e.n_blocks == 3
 
 
+def test_xlsx_sheets_resolve_via_rels_not_position():
+    """Real Excel numbering: after a delete, workbook order and member
+    numbers diverge — resolution must follow workbook.xml.rels r:id."""
+    from multi_format_document_extractor_spark.corpus import _X_XMLNS, _zip_bytes
+
+    r_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    members = [
+        (
+            "xl/workbook.xml",
+            f'<workbook xmlns="{_X_XMLNS}" xmlns:r="{r_ns}"><sheets>'
+            '<sheet name="A" sheetId="1" r:id="rId1"/>'
+            '<sheet name="C" sheetId="3" r:id="rId2"/></sheets></workbook>',
+        ),
+        (
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{r_ns}/worksheet" Target="worksheets/sheet1.xml"/>'
+            f'<Relationship Id="rId2" Type="{r_ns}/worksheet" Target="worksheets/sheet3.xml"/>'
+            "</Relationships>",
+        ),
+        (
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{_X_XMLNS}"><sheetData>'
+            '<row r="1"><c t="inlineStr"><is><t>alpha</t></is></c></row>'
+            "</sheetData></worksheet>",
+        ),
+        (
+            "xl/worksheets/sheet3.xml",
+            f'<worksheet xmlns="{_X_XMLNS}"><sheetData>'
+            '<row r="1"><c t="inlineStr"><is><t>gamma</t></is></c></row>'
+            "</sheetData></worksheet>",
+        ),
+    ]
+    e = oracle.extract(_zip_bytes(members))
+    assert e.ok and e.text == b"## A\nalpha\n\n## C\ngamma"
+    # a listed sheet whose member is MISSING is an error row, never silence
+    e2 = oracle.extract(_zip_bytes(members[:3]))
+    assert not e2.ok and "worksheet member" in e2.error
+
+
 def test_unsupported_zip_and_corrupt_zip_are_error_rows():
     from multi_format_document_extractor_spark.corpus import _zip_bytes
 
