@@ -71,15 +71,19 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(df, reps: int = 2) -> float:
-    """Best-of-N wall time. The box this runs on is shared (the round driver
-    schedules its own jobs concurrently); a single sample can absorb a
-    foreign CPU burst and misreport a query as 10× slower than steady state.
-    Min-of-2 bounds that noise while keeping the bench under ~2 min."""
+def _timed(make_df, reps: int = 2) -> float:
+    """Best-of-N wall time of BUILD + EXECUTE. ``make_df`` is a thunk:
+    construction must be inside the timed window because iterative
+    operators (connected components) run their driver loop eagerly at
+    build time — timing only the final write would measure a cached
+    no-op. The box this runs on is shared (the round driver schedules its
+    own jobs concurrently); a single sample can absorb a foreign CPU burst
+    and misreport a query as 10× slower than steady state. Min-of-N
+    bounds that noise while keeping the bench under ~2 min."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        _run(df)
+        _run(make_df())
         best = min(best, time.time() - t0)
     return best
 
@@ -114,18 +118,20 @@ def main() -> None:
     # a secondary entry. See operators/extract.py for the tradeoff.
     # Headline gets best-of-3 (the shared host's contention windows can
     # poison any single sample 3-10×; see BENCH.md protocol).
-    extract_sec = _timed(extract_pages(pages), reps=3)
+    extract_sec = _timed(lambda: extract_pages(pages), reps=3)
     times["extract_pages"] = round(extract_sec, 3)
     docs_per_sec = N_DOCS / extract_sec
     times["extract_pages_salted"] = round(
-        _timed(extract_pages(pages, salt_partitions=int(CPUS) * 4)), 3
+        _timed(lambda: extract_pages(pages, salt_partitions=int(CPUS) * 4)), 3
     )
 
     # -- registry queries at the driver's sf dir -----------------------------
     from multi_format_document_extractor_spark.plans.queries import QUERIES
 
     for name in BENCH_QUERIES:
-        times[name] = round(_timed(QUERIES[name](spark, SF_DIR)), 3)
+        times[name] = round(
+            _timed(lambda q=QUERIES[name]: q(spark, SF_DIR)), 3
+        )
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

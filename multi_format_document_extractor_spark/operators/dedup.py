@@ -346,6 +346,28 @@ def connected_components(
     return labels
 
 
+def drop_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup removal: keep one document per connected
+    component of the verified-pair graph (the component id, i.e. the
+    smallest member id), plus every document with no near-dup edge.
+
+    One broadcast-sized join against the component table (components are
+    pair-graph-sized — the near-dup subset, not the corpus), so the big
+    side is never shuffled."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    losers = F.broadcast(
+        comp.where(F.col("doc") != F.col("comp")).select(
+            F.col("doc").alias(id_col)
+        )
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_hamming_pairs(segs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by 64-bit Hamming distance, banded — never all-pairs.
 

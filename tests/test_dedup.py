@@ -115,6 +115,22 @@ def test_connected_components_long_chain_strict(spark):
     spark.catalog.clearCache()
 
 
+def test_drop_near_dups_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_near_dups(docs, pairs, "doc_id").collect()
+    )
+    # components {1,2,3}→keep 1, {5,6}→keep 5; singletons untouched
+    assert kept == [0, 1, 4, 5, 7, 8, 9]
+    spark.catalog.clearCache()
+
+
 def test_simhash_hamming_guard_rejects_unsound_bound(spark):
     import pytest
 
