@@ -169,6 +169,25 @@ def test_two_pass_runs_cheap_pass_exactly_once(spark, pages):
         spark.catalog.clearCache()
 
 
+def test_pack_sequences_single_bucket_exchange(spark):
+    """Packing must shuffle ONCE on the hash bucket (parallel windows) —
+    a global-order window would show Exchange SinglePartition."""
+    df = entry_mod.queries()["pack_sequences"](spark, SF_DIR)
+    p = plan(df)
+    assert "SinglePartition" not in p
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_training_corpus_map_side_gate(spark):
+    """The quality gate is pure codegen ahead of the dedup window's single
+    exchange: no Python eval, no extra shuffles."""
+    df = entry_mod.queries()["training_corpus"](spark, SF_DIR)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") == 1  # the fingerprint window only
+
+
 def test_enrichment_adds_no_udf_or_shuffle(spark, pages):
     """enrich_extracted must stay in the UDF stage's codegen span: exactly
     one MapInPandas, no extra Exchange, no Python eval nodes."""
