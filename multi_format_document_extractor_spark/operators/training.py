@@ -138,6 +138,28 @@ def pack_sequences(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic per-group quota sample: within each group, rank rows
+    by the md5 of their id (a fixed pseudo-random order — same sample
+    every run, no sampling state, engine-portable) and keep the first
+    ``n_per_group``. The balanced-corpus primitive (e.g. equal documents
+    per language); one shuffle on the group key, with the rank evaluated
+    map-side."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def assemble_training_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -1576,6 +1576,28 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+@q(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents) WHERE rn <= 40
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-language quota sample (40 docs/lang) — balanced-
+    corpus sampling with no sampling state: the md5-of-id rank IS the
+    sample."""
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return training.stratified_sample(d, "lang", "doc_id", 40)
+
+
 # =========================================================================
 # Windowed aggregation: batch + Structured Streaming (same oracle)
 # =========================================================================

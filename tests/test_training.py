@@ -82,6 +82,29 @@ def test_dedup_keepers_lowest_id_per_content(spark):
     assert kept == [1, 3]
 
 
+def test_stratified_sample_deterministic_quota(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = training.stratified_sample(df, "lang", "doc_id", 10)
+    got = {}
+    for r in a.collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert all(len(v) == 10 for v in got.values()) and len(got) == 3
+    # same sample on a second run (no sampling state)
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in training.stratified_sample(df, "lang", "doc_id", 10).collect()
+    }
+    assert b == {(l, d) for l, ds in got.items() for d in ds}
+    # matches the python model of the md5 rank
+    for lang, ds in got.items():
+        members = [i for i, l in rows if l == lang]
+        expect = set(
+            sorted(members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+        )
+        assert ds == expect
+
+
 def test_assemble_training_corpus_chain(spark):
     rows = [
         (
