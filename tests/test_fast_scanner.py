@@ -158,6 +158,34 @@ def test_scanner_linear_on_adversarial_payloads():
         assert time.time() - t0 < 5.0, (len(d), d[:20])
 
 
+def test_burnin_large_sweep():
+    """Opt-in burn-in (MFDE_BURNIN=1): 8 extra corpus seeds + 60k
+    structured soups + 30k raw-byte totality probes. Run before releases;
+    too slow for every CI pass."""
+    import os
+
+    if not os.environ.get("MFDE_BURNIN"):
+        import pytest
+
+        pytest.skip("set MFDE_BURNIN=1 for the large sweep")
+    from multi_format_document_extractor_spark.corpus import gen_rows
+
+    for seed in range(200, 208):
+        for r in gen_rows(700, seed=seed):
+            if r.format == "html" and r.html:
+                assert same(r.html.decode("utf-8", errors="replace"))
+    rng = random.Random(777)
+    for _ in range(60000):
+        assert same(_rand_doc(rng))
+    rng2 = random.Random(999)
+    for _ in range(30000):
+        p = bytes(rng2.getrandbits(8) for _ in range(rng2.randrange(0, 300)))
+        a, b = extract(p), extract(p)
+        assert (a.format, a.text, a.n_blocks, a.ok) == (
+            b.format, b.text, b.n_blocks, b.ok,
+        )
+
+
 def test_extract_uses_fast_scanner_and_matches_corpus():
     """End-to-end: extract() over corpus html equals the golden text."""
     from multi_format_document_extractor_spark.corpus import gen_rows
