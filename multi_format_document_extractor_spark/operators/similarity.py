@@ -7,8 +7,10 @@ pairwise space from O(n·m) to per-bucket). Dot products run as native
 
 Scale notes: at 100 TB the brute-force path broadcast-joins a small query
 set against the corpus (one scan, no shuffle); the LSH path shuffles once
-on the bucket key; the IVF path broadcast-assigns every vector to its
-nearest centroid cell and searches only the query's cell — candidate count
+on the bucket key (hot buckets capped BEFORE the self-join — see
+``lsh_ann_pairs``); the IVF path inlines the K centroids as a literal
+array and folds per row (``F.aggregate`` argmax — zero row explosion,
+zero Exchange), then searches only the query's cell — candidate count
 drops by ~K with one equi-join on the cell id.
 """
 
@@ -64,10 +66,29 @@ def brute_force_topk(
     )
 
 
-def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57)) -> Column:
+def lsh_dims(n_bits: int, dim: int = 64) -> tuple[int, ...]:
+    """Evenly spread 1-indexed probe dimensions for ``sign_lsh_bucket``.
+    ``n_bits`` is the scale dial: 2^n_bits buckets, so the within-bucket
+    self-join cost is O(n²/2^n_bits) — size it to the corpus (e.g. 20
+    bits ⇒ ~10⁶ buckets keeps 10⁹ vectors at ~10³/bucket)."""
+    if not 1 <= n_bits <= dim:
+        raise ValueError(f"n_bits must be in [1, {dim}], got {n_bits}")
+    return tuple(1 + (i * dim) // n_bits for i in range(n_bits))
+
+
+def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = lsh_dims(8)) -> Column:
     """Coordinate-sign LSH: one bit per probed dimension (1-indexed).
     Deterministic, engine-portable; a production variant would use seeded
-    random hyperplanes (same plan shape, literal hyperplanes inlined)."""
+    random hyperplanes (same plan shape, literal hyperplanes inlined).
+    Bucket-count dial: pass ``dims=lsh_dims(n_bits, dim)``; capped at 31
+    bits because the bucket key is a 32-bit int (2³¹ buckets already puts
+    10¹² vectors at ~500/bucket — beyond that, band multiple 31-bit keys
+    like MinHash rather than widening one key)."""
+    if len(dims) > 31:
+        raise ValueError(
+            f"sign_lsh_bucket supports at most 31 probe bits (int bucket "
+            f"key), got {len(dims)}"
+        )
     bucket = F.lit(0)
     for i, d in enumerate(dims):
         bucket = bucket + F.when(
@@ -87,27 +108,58 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``n_best`` nearest centroids by
     dot-product rank (IVF coarse quantizer; n_best=1 is the storage
-    assignment, n_best=nprobe is the query-side probe set). Centroids
-    broadcast (K is small); the rank is a per-id window with a
-    deterministic tiebreak on cell id, so assignment is reproducible
-    across engines. Output: vectors + ``cell`` (one row per kept cell).
+    assignment, n_best=nprobe is the query-side probe set).
 
-    At scale this is a map-side-only operation: broadcast join + window
-    over K rows per vector (AQE keeps it one stage); the corpus is never
-    shuffled for assignment."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    Map-side only, by construction: the K centroids are collected to the
+    driver (a K-row action — the literal-inlining analog of a broadcast,
+    and the same cost class) and inlined as one literal
+    ``array<struct<cell,cv>>``; each corpus row folds over that array with
+    ``F.transform`` + ``array_sort`` (pure codegen). No crossJoin row
+    explosion, no ``Window.partitionBy(id)``, and therefore NO Exchange of
+    the corpus — the round-2 version's K×n explode + per-id window forced
+    an ``Exchange hashpartitioning(vec_id)`` that would shuffle K× the
+    corpus (each row carrying the full vector) at 10¹² docs. Absence of
+    that Exchange is pinned in tests/test_plans.py.
+
+    The tiebreak (score desc, cell asc) matches the previous window
+    ordering, so assignment stays reproducible across engines. Output:
+    vectors + ``cell`` (one row per kept cell; nprobe>1 explodes the
+    probe slice map-side — a Generate node, still no Exchange)."""
+    cents = sorted(
+        centroids.select(cell_col, centroid_vec_col).collect(),
+        key=lambda r: r[cell_col],
+    )
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set")
+    lit_cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[cell_col])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r[centroid_vec_col]]).alias(
+                    "cv"
+                ),
+            )
+            for r in cents
+        ]
+    )
+    # score desc == neg-score asc; struct comparison falls through to the
+    # cell id on ties, matching the old window's deterministic tiebreak
+    ranked = F.array_sort(
+        F.transform(
+            lit_cents,
+            lambda c: F.struct(
+                (-dot(F.col(vec_col), c["cv"])).alias("_neg"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    probe = F.transform(
+        F.slice(ranked, 1, n_best), lambda s: s["cell"]
+    )
+    return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.col(cell_col),
-        dot(F.col(vec_col), F.col(centroid_vec_col)).alias("_cscore"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col(cell_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_best)
-        .drop("_rn", "_cscore")
+        F.explode(probe).alias(cell_col),
     )
 
 
@@ -165,12 +217,37 @@ def lsh_ann_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dims: tuple[int, ...] = lsh_dims(8),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: bucket by sign-LSH, score cosine
-    only within buckets. One shuffle on the bucket key."""
+    only within buckets. One shuffle on the bucket key.
+
+    Two scale dials (both required at corpus scale — the round-2 fixed
+    8-bit/256-bucket version was O(n²/256) within buckets, ~10¹⁶ candidate
+    pairs at 10⁹ vectors):
+
+    - ``dims`` sets the bucket count (2^len(dims) buckets; use
+      ``lsh_dims(n_bits)`` sized so n/2^n_bits stays join-friendly).
+    - ``max_bucket`` drops buckets holding more than that many vectors
+      BEFORE the self-join — one degenerate bucket (zero vectors, a
+      boilerplate embedding mass) would otherwise emit O(m²) rows. Dropped
+      buckets lose recall for their members by design; exact-duplicate
+      vectors inside them are still caught by exact dedup on the vector
+      hash. Mirrors ``dedup.candidate_pairs(max_bucket=...)``."""
     b = vectors.select(
-        F.col(id_col), F.col(vec_col), sign_lsh_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), dims=dims).alias("bucket"),
     )
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket", "left_semi")
     l = b.select(
         F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
     )

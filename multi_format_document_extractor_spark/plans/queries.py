@@ -932,6 +932,8 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # agree — P(candidate) = 1 − (1 − s⁴)⁸ (discriminating, unlike r=1).
 _N_BANDS, _ROWS_PER_BAND = 8, 4
 _LSH_MAX_BUCKET = 100  # mega-cell cap ahead of the candidate self-join
+_SIMHASH_MAX_BUCKET = 1000  # 16-bit segment-cell cap (dedup VERDICT r2 #5)
+_EMBED_MAX_BUCKET = 500  # sign-LSH bucket cap (similarity VERDICT r2 #3)
 
 _WORDS_SQL = (
     """
@@ -1183,9 +1185,18 @@ def simhash64_q(spark, sf_dir):
       UNION ALL SELECT doc_id, 1, seg1 FROM segs
       UNION ALL SELECT doc_id, 2, seg2 FROM segs
       UNION ALL SELECT doc_id, 3, seg3 FROM segs
+    ), ok_cells AS (
+      SELECT seg_id, seg_val FROM longf GROUP BY seg_id, seg_val
+      HAVING count(*) > 1 AND count(*) <= """
+    + str(_SIMHASH_MAX_BUCKET)
+    + """
+    ), longc AS (
+      SELECT l.doc_id, l.seg_id, l.seg_val
+      FROM longf l JOIN ok_cells o
+        ON l.seg_id = o.seg_id AND l.seg_val = o.seg_val
     ), cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM longf l JOIN longf r
+      FROM longc l JOIN longc r
         ON l.seg_id = r.seg_id AND l.seg_val = r.seg_val
        AND l.doc_id < r.doc_id
     )
@@ -1203,9 +1214,11 @@ def simhash64_q(spark, sf_dir):
 def simhash_neardup(spark, sf_dir):
     """Banded Hamming near-dup join: pairs within Hamming ≤3 of the 64-bit
     fingerprint, found via the pigeonhole segment-equality join (never
-    all-pairs)."""
+    all-pairs); hot segment cells capped before the self-join."""
     segs = dedup.simhash64(_docs_aug(spark, sf_dir), "text", "doc_id")
-    return dedup.simhash_hamming_pairs(segs, max_hamming=3)
+    return dedup.simhash_hamming_pairs(
+        segs, max_hamming=3, max_bucket=_SIMHASH_MAX_BUCKET
+    )
 
 
 # =========================================================================
@@ -1276,12 +1289,17 @@ _NEARDUP_SQL = f"""
       SELECT vec_id + 1000000, embedding FROM embeddings WHERE mod(vec_id, 50) = 0
     ), b AS (
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM aug
+    ), ok AS (
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING count(*) > 1 AND count(*) <= {_EMBED_MAX_BUCKET}
+    ), bc AS (
+      SELECT b.vec_id, b.embedding, b.bucket FROM b JOIN ok USING (bucket)
     ), pairs AS (
       SELECT l.vec_id AS a, r.vec_id AS b,
              round(({_dot_sql('l.embedding', 'r.embedding')})
                    / (sqrt({_dot_sql('l.embedding', 'l.embedding')})
                       * sqrt({_dot_sql('r.embedding', 'r.embedding')})), 4) AS score
-      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      FROM bc l JOIN bc r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
     )
     SELECT a, b, score FROM pairs WHERE score >= 0.95
 """
@@ -1290,8 +1308,9 @@ _NEARDUP_SQL = f"""
 @q("embed_neardup", _NEARDUP_SQL)
 def embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: sign-LSH bucket join, cosine only within
-    buckets (the scale path vs all-pairs). Exact duplicate vectors injected
-    deterministically (every 50th id)."""
+    buckets (the scale path vs all-pairs); hot buckets capped before the
+    self-join. Exact duplicate vectors injected deterministically (every
+    50th id)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _to_double_vec(F.col("embedding")).alias("embedding")
     )
@@ -1299,7 +1318,9 @@ def embed_neardup(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     aug = e.unionByName(dup)
-    return similarity.lsh_ann_pairs(aug, threshold=0.95)
+    return similarity.lsh_ann_pairs(
+        aug, threshold=0.95, max_bucket=_EMBED_MAX_BUCKET
+    )
 
 
 # =========================================================================

@@ -131,6 +131,44 @@ def test_drop_near_dups_keeps_one_per_component(spark):
     spark.catalog.clearCache()
 
 
+def test_simhash_hamming_pairs_capped_on_hot_cells(spark):
+    """A boilerplate fingerprint mass (identical segments) must not go
+    quadratic: with max_bucket its cells are excluded from the self-join,
+    while a near pair in a cold cell survives (round-2 VERDICT #5)."""
+    mass = [(i, 0x1234, 0x00FF, 0x7A7A, 0x0F0F) for i in range(100)]
+    survivors = [
+        (200, 0x4321, 0xAA00, 0x1111, 0x2222),
+        (201, 0x4321, 0xAA00, 0x1111, 0x2223),  # hamming 1, cold cells
+    ]
+    df = spark.createDataFrame(
+        mass + survivors, "doc int, seg0 int, seg1 int, seg2 int, seg3 int"
+    )
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_hamming_pairs(
+            df, max_hamming=3, max_bucket=50
+        ).collect()
+    }
+    assert capped == {(200, 201)}
+    # uncapped, the identical mass emits C(100,2) pairs — the hazard is real
+    n_uncapped = dedup.simhash_hamming_pairs(df, max_hamming=3).count()
+    assert n_uncapped >= 4950
+
+
+def test_drop_near_dups_has_no_forced_broadcast(spark):
+    """The loser set may be corpus-scale on web corpora (30-50% dup rates),
+    so the anti-join must carry NO explicit broadcast hint — AQE decides at
+    runtime (round-2 VERDICT #2)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = dedup.drop_near_dups(docs, pairs, "doc_id")
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+    spark.catalog.clearCache()
+
+
 def test_simhash_hamming_guard_rejects_unsound_bound(spark):
     import pytest
 

@@ -1,0 +1,113 @@
+"""Scale-hazard regression tests for the similarity path (round-2 VERDICT
+#1/#3): map-side IVF assignment (no corpus shuffle, argmax correctness)
+and bounded sign-LSH candidate generation on adversarial same-bucket
+corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_format_document_extractor_spark.operators import similarity
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_lsh_dims_spread_and_bounds():
+    assert similarity.lsh_dims(8) == (1, 9, 17, 25, 33, 41, 49, 57)
+    assert similarity.lsh_dims(4, 16) == (1, 5, 9, 13)
+    assert len(set(similarity.lsh_dims(20, 64))) == 20
+    with pytest.raises(ValueError):
+        similarity.lsh_dims(0)
+    with pytest.raises(ValueError):
+        similarity.lsh_dims(65, 64)
+
+
+def test_sign_lsh_bucket_rejects_int_overflow(spark):
+    with pytest.raises(ValueError, match="31 probe bits"):
+        similarity.sign_lsh_bucket(
+            F.col("embedding"), dims=similarity.lsh_dims(32)
+        )
+
+
+def test_ivf_assign_matches_bruteforce_argmax(spark):
+    """The literal-centroid fold must pick the same cell as an explicit
+    per-vector dot-product argmax (tiebreak: score desc, cell asc)."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7, 0.7, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.0, 0.0, 0.0]),  # score 0 vs every centroid → tie → cell 1
+    ]
+    cents = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    v = _vecs(spark, vecs)
+    c = spark.createDataFrame(cents, "cell int, cv array<double>")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(v, c).collect()
+    }
+    expect = {}
+    for vid, vv in vecs:
+        scored = sorted(
+            ((-sum(a * b for a, b in zip(vv, cv)), cell) for cell, cv in cents)
+        )
+        expect[vid] = scored[0][1]
+    assert got == expect
+    assert got[4] == 1  # deterministic tiebreak on smallest cell id
+
+
+def test_ivf_assign_nprobe_is_map_side_and_ordered(spark):
+    """n_best>1 returns the top cells in rank order with zero Exchange —
+    assignment must never shuffle the corpus (round-2 VERDICT #1)."""
+    v = _vecs(spark, [(0, [1.0, 0.5, 0.0])])
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "cell int, cv array<double>",
+    )
+    out = similarity.ivf_assign(v, c, n_best=2)
+    cells = [r["cell"] for r in out.collect()]
+    assert cells == [1, 2]
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_lsh_ann_pairs_capped_on_degenerate_bucket(spark):
+    """An identical-vector mass in one bucket must not go quadratic: with
+    max_bucket the hot bucket is excluded from the self-join while a
+    near-dup pair in a cold bucket survives (round-2 VERDICT #3)."""
+    hot = [1.0] * 64  # bucket 255 (every probed dim positive)
+    cold_a = [-1.0] + [1.0] * 63  # dim 1 negative → different bucket
+    cold_b = [-1.0] + [1.0] * 62 + [0.9]
+    rows = [(i, hot) for i in range(100)]
+    rows += [(200, cold_a), (201, cold_b)]
+    df = _vecs(spark, rows)
+    capped = {
+        (r["a"], r["b"])
+        for r in similarity.lsh_ann_pairs(
+            df, threshold=0.95, max_bucket=50
+        ).collect()
+    }
+    assert capped == {(200, 201)}
+    n_uncapped = similarity.lsh_ann_pairs(df, threshold=0.95).count()
+    assert n_uncapped >= 4950  # C(100,2) — the hazard is real
+
+
+def test_lsh_ann_pairs_bucket_count_dial(spark):
+    """More hyperplane bits split the space: a pair split by the extra
+    probed dimension stops being a candidate at higher n_bits."""
+    a = [1.0] * 64
+    # differs in sign on dim 5: probed by lsh_dims(16) = (1, 5, 9, ...),
+    # NOT by lsh_dims(8) = (1, 9, 17, ...)
+    b = [1.0] * 4 + [-1.0] + [1.0] * 59
+    df = _vecs(spark, [(1, a), (2, b)])
+    coarse = similarity.lsh_ann_pairs(
+        df, threshold=0.5, dims=similarity.lsh_dims(8)
+    ).count()
+    fine = similarity.lsh_ann_pairs(
+        df, threshold=0.5, dims=similarity.lsh_dims(16)
+    ).count()
+    assert coarse == 1
+    assert fine == 0
