@@ -32,6 +32,7 @@ from .sources.pages import read_pages
 # extraction channel is). Error-path formats carry zero.
 SOURCE_CONFIDENCE = {
     "text": 0.95,
+    "csv": 0.95,  # structured table parse, deterministic (CSVParser analog)
     "html": 0.90,
     "zip": 0.85,
     "pdf": 0.80,

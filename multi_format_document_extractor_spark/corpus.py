@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3  # v3: CSV docs (first-class csv format) + latin-1 pages
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -255,6 +255,41 @@ def _make_text(rng: random.Random) -> tuple[bytes, str, int]:
     expected = "\n".join(stripped)
     n_blocks = sum(1 for ln in stripped if ln)
     return raw.encode("utf-8"), expected, n_blocks
+
+
+def _make_csv(rng: random.Random) -> tuple[bytes, str, int]:
+    """Order-like CSV table (header + data rows). Expected text comes from
+    the generator's own knowledge of the cells it wrote (cells stripped,
+    joined ' | '), independent of oracle.extract_csv — keeping T1 a
+    two-implementation check. ~10% of docs carry a latin-1 payload
+    (accented client names) to exercise the encoding-fallback chain."""
+    hdr = ["order_id", "client", "qty", "unit_price"]
+    latin1 = rng.random() < 0.10
+    clients = (
+        ["café_imports", "résumé_gmbh", "añejo_trading"]
+        if latin1
+        else ["acme_corp", "globex", "initech", "umbrella"]
+    )
+    n_rows = rng.randint(2, 10)
+    lines = [",".join(hdr)]
+    exp = [" | ".join(hdr)]
+    for _ in range(n_rows):
+        cells = [
+            f"ORD-{rng.randint(100, 999)}",
+            rng.choice(clients),
+            str(rng.randint(1, 40)),
+            f"{rng.randint(1, 500)}.{rng.randint(0, 99):02d}",
+        ]
+        # messy spacing around cells; expected text is the stripped cells
+        raw = ",".join(
+            (" " + c + " ") if rng.random() < 0.3 else c for c in cells
+        )
+        lines.append(raw)
+        exp.append(" | ".join(cells))
+    sep = "\r\n" if rng.random() < 0.3 else "\n"
+    doc = sep.join(lines) + (sep if rng.random() < 0.5 else "")
+    enc = "latin-1" if latin1 else "utf-8"
+    return doc.encode(enc), "\n".join(exp), n_rows
 
 
 # ---------------------------------------------------------------------------
@@ -484,8 +519,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             kind = "html"
         elif r < 0.78:
             kind = "pdf"
-        elif r < 0.86:
+        elif r < 0.83:
             kind = "text"
+        elif r < 0.86:
+            kind = "csv"
         elif r < 0.91:
             kind = "docx"
         elif r < 0.96:
@@ -513,6 +550,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             payload, exp_s, n_blocks = _make_xlsx(rng)
             expected, fmt = exp_s.encode("utf-8"), "zip"
             noisy = exp_s
+        elif kind == "csv":
+            payload, exp_s, n_blocks = _make_csv(rng)
+            expected, fmt = exp_s.encode("utf-8"), "csv"
+            noisy = payload.decode("latin-1")  # total; payload may be latin-1
         elif kind == "image":
             payload, exp_s, n_blocks = _make_image(rng)
             expected, fmt = b"", "image"

@@ -56,7 +56,7 @@ if TYPE_CHECKING:
 EXTRACT_DDL = (
     "url string, warc_ts timestamp, lang string, format string, "
     "text_out binary, n_blocks int, ok boolean, error string, "
-    "in_bytes long, checksum long, truncated boolean"
+    "in_bytes long, checksum long, truncated boolean, encoding string"
 )
 
 DEFAULT_SALT_BUCKETS = 4096  # >> max executor count; cheap modulo key
@@ -108,6 +108,7 @@ def _make_extract_batches(max_bytes: int | None, profile: str = "default"):
             ]
             out["checksum"] = [zlib.crc32(r.text) for r in results]
             out["truncated"] = truncated
+            out["encoding"] = [r.encoding for r in results]
             yield out
 
     return _extract_batches

@@ -1059,19 +1059,16 @@ def surrogate_ids(spark, sf_dir):
     is a nondeterminism hazard; the engine's surrogate is
     ORD-{run_date}-{pmod(xxhash64(url),900)+100} — deterministic per url and
     run. Registered rows-only because xxhash64 deliberately stays
-    Spark-native (it is the same hash the salt key uses); uniqueness and
-    shape are asserted here instead."""
+    Spark-native (it is the same hash the salt key uses); the id-shape
+    invariant is pinned in tests/test_queries_oracle.py::
+    test_surrogate_ids_shape — registry queries build plans, they never
+    run driver actions (round-2 VERDICT #4)."""
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
     )
-    out = d.select(
+    return d.select(
         "url", N.surrogate_order_id(F.col("url"), "2026-07-01").alias("order_id")
     )
-    ok = out.where(
-        F.col("order_id").rlike(r"^ORD-20260701-[1-9][0-9]{2}$")
-    ).count()
-    assert ok == out.count(), "surrogate id shape violated"
-    return out
 
 
 @q(

@@ -51,7 +51,8 @@ from .operators.extract import extract_pages
 RESULT_DDL = (
     "url string, warc_ts timestamp, lang string, format string, "
     "text_out binary, n_blocks int, ok boolean, error string, "
-    "in_bytes long, checksum long, truncated boolean, day string"
+    "in_bytes long, checksum long, truncated boolean, encoding string, "
+    "day string"
 )
 
 LINEAGE_DDL = (

@@ -23,11 +23,24 @@ def format_col(html: Column) -> Column:
     whitespace set is EXACTLY the oracle's ``lstrip(" \\t\\r\\n")``
     (oracle.py sniff_format) — Spark's one-arg ltrim strips only 0x20 and
     would diverge on tab/newline-prefixed HTML (caught by
-    tests/test_properties.py).
+    tests/test_properties.py). The CSV shape probe mirrors
+    ``oracle._csv_sniff`` exactly: first CSV_PROBE_BYTES bytes, '\\n'
+    split, trailing-'\\r' strip, line 1 has ≥2 commas, line 2 exists
+    non-empty with the same comma count.
     """
     head = F.regexp_replace(
         F.decode(F.substring(html, 1, 16), "ISO-8859-1"), "^[ \t\r\n]+", ""
     )
+    window = F.decode(F.substring(html, 1, 4096), "ISO-8859-1")
+    parts = F.split(window, "\n")
+    l1 = F.regexp_replace(F.get(parts, 0), "\r$", "")
+    # get(parts, 1) is NULL (never an ANSI error) when there is no second
+    # line; every comparison below is then NULL → the `when` does not fire
+    # (== oracle returning False)
+    l2 = F.regexp_replace(F.get(parts, 1), "\r$", "")
+    c1 = F.size(F.split(l1, ",")) - F.lit(1)
+    c2 = F.size(F.split(l2, ",")) - F.lit(1)
+    is_csv = (c1 >= 2) & (l2 != "") & (c2 == c1)
     return (
         F.when(html.isNull() | (F.length(html) == 0), F.lit("unknown"))
         .when(F.substring(html, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
@@ -39,6 +52,7 @@ def format_col(html: Column) -> Column:
             F.lit("image"),
         )
         .when(head.startswith("<"), F.lit("html"))
+        .when(is_csv, F.lit("csv"))
         .otherwise(F.lit("text"))
     )
 

@@ -83,6 +83,52 @@ def test_size_cap_truncates_only_oversized(spark, corpus_dir):
         out.unpersist()
 
 
+def test_encoding_fallback_chain_byte_identity(spark):
+    """Non-utf8 pages decode via the reference's fallback chain
+    (utf-8 → latin-1 → cp1252, strict; latin-1 is total so the chain ends
+    there) instead of silently replacing bytes with U+FFFD. The Spark path
+    and the oracle agree byte-for-byte, and the pick is recorded in the
+    ``encoding`` column."""
+    from multi_format_document_extractor_spark import oracle
+
+    filler = "plain filler words about density and layout " * 8
+    html_l1 = (
+        f"<html><body><p>café au lait résumé {filler}</p></body></html>"
+    ).encode("latin-1")
+    # 0x80 is € in cp1252 but U+0080 in latin-1; the reference's chain hits
+    # latin-1 first, so U+0080 is the contract (cp1252 is unreachable)
+    txt_cp = b"price \x80 99\nsecond line caf\xe9\n"
+    txt_utf8 = "café utf-8 line\n".encode("utf-8")
+    rows = [
+        ("enc://html-latin1", html_l1),
+        ("enc://text-cp1252ish", txt_cp),
+        ("enc://text-utf8", txt_utf8),
+    ]
+    import datetime
+
+    pages = spark.createDataFrame(
+        [
+            (u, datetime.datetime(2025, 1, 1), p, None, "en")
+            for u, p in rows
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["url"]: r for r in extract_pages(pages).collect()}
+    for url, payload in rows:
+        o = oracle.extract(payload)
+        g = got[url]
+        assert bytes(g["text_out"]) == o.text, url
+        assert g["encoding"] == o.encoding, url
+    assert got["enc://html-latin1"]["encoding"] == "latin-1"
+    assert got["enc://text-cp1252ish"]["encoding"] == "latin-1"
+    assert got["enc://text-utf8"]["encoding"] == "utf-8"
+    # recovered text, not mojibake: é survived the latin-1 decode
+    assert "café".encode("utf-8") in bytes(got["enc://html-latin1"]["text_out"])
+    assert "�".encode("utf-8") not in bytes(
+        got["enc://text-cp1252ish"]["text_out"]
+    )
+
+
 def test_format_filter_pushes_down_before_udf(spark, corpus_dir):
     pages = read_pages(spark, corpus_dir + "/pages.parquet")
     out = extract_pages(pages, only_formats=["pdf"])

@@ -31,12 +31,12 @@ def test_classify_block_rules():
 
 def test_html_edge_cases():
     # empty body
-    t, n = oracle.extract_html(b"<html><head><title>x</title></head><body></body></html>")
+    t, n, _ = oracle.extract_html(b"<html><head><title>x</title></head><body></body></html>")
     assert t == b"" and n == 0
     # single content paragraph with nested inline tags
     words = "alpha beta gamma delta " * 10
     page = f"<html><body><p>{words[:50]}<b>bold</b> {words[50:]}</p></body></html>"
-    t, n = oracle.extract_html(page.encode())
+    t, n, _ = oracle.extract_html(page.encode())
     assert n == 1 and b"bold" in t
 
 
@@ -200,3 +200,25 @@ def test_image_routes_to_media_path():
         e = oracle.extract(magic + b"\x01\x02\x03")
         assert e.format == "image" and not e.ok and e.text == b""
         assert sub in e.error and "media path" in e.error
+
+
+def test_csv_sniff_and_extract():
+    """Structural CSV probe + normalization: stripped cells joined ' | ',
+    n_blocks = data rows, CRLF and latin-1 payloads handled via the
+    encoding chain."""
+    doc = b"order_id,client,qty\r\nORD-1, acme ,3\r\n ORD-2,globex,7\r\n"
+    assert oracle.sniff_format(doc) == "csv"
+    t, n, enc = oracle.extract_csv(doc)
+    assert t == b"order_id | client | qty\nORD-1 | acme | 3\nORD-2 | globex | 7"
+    assert n == 2 and enc == "utf-8"
+    # latin-1 payload: recovered text, not U+FFFD
+    l1 = "id,client,total\n1,café,9\n".encode("latin-1")
+    t2, n2, enc2 = oracle.extract_csv(l1)
+    assert enc2 == "latin-1" and "café".encode("utf-8") in t2 and n2 == 1
+    # full dispatch routes csv + records the encoding
+    r = oracle.extract(l1)
+    assert r.format == "csv" and r.ok and r.encoding == "latin-1"
+    # non-table text with commas but inconsistent counts stays text
+    assert oracle.sniff_format(b"one, two, three\njust one, comma\n") == "text"
+    # single line is never csv
+    assert oracle.sniff_format(b"a,b,c") == "text"

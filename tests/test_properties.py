@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 
 from multi_format_document_extractor_spark.oracle import (
     FORMAT_HTML,
+    FORMAT_CSV,
     FORMAT_IMAGE,
     FORMAT_PDF,
     FORMAT_TEXT,
@@ -35,18 +36,31 @@ def test_extract_is_total_and_deterministic(payload):
     a = extract(payload)
     b = extract(payload)
     assert isinstance(a.text, bytes)
-    assert (a.format, a.text, a.n_blocks, a.ok, a.error) == (
+    assert (a.format, a.text, a.n_blocks, a.ok, a.error, a.encoding) == (
         b.format,
         b.text,
         b.n_blocks,
         b.ok,
         b.error,
+        b.encoding,
     )
     assert a.checksum == zlib.crc32(a.text)
+    # encoding chain: html/text record the decode pick (utf-8 when the
+    # payload is valid utf-8, else latin-1 — the total fallback); formats
+    # that never reach decode_chain record None
+    if a.format in (FORMAT_HTML, FORMAT_TEXT, FORMAT_CSV) and a.ok:
+        try:
+            payload.decode("utf-8")
+            assert a.encoding == "utf-8"
+        except UnicodeDecodeError:
+            assert a.encoding == "latin-1"
+    else:
+        assert a.encoding is None
     assert a.format in (
         FORMAT_HTML,
         FORMAT_PDF,
         FORMAT_TEXT,
+        FORMAT_CSV,
         FORMAT_ZIP,
         FORMAT_IMAGE,
         FORMAT_UNKNOWN,
@@ -61,7 +75,10 @@ def _model_sniff(payload: bytes | None) -> str:
     """Independent restatement of the sniff spec (NOT the implementation):
     magic prefixes first, then a 16-byte probe whose leading whitespace is
     exactly ``" \\t\\r\\n"`` (NOT Python's default lstrip set — 0xA0 NBSP and
-    Unicode spaces must fall through to text)."""
+    Unicode spaces must fall through to text), then the structural CSV
+    probe: within the first 4096 bytes, line 1 (split on LF, one trailing
+    CR stripped) has ≥2 commas and line 2 is present, non-empty, with the
+    same comma count."""
     if not payload:
         return FORMAT_UNKNOWN
     if payload.startswith(b"%PDF-"):
@@ -72,6 +89,17 @@ def _model_sniff(payload: bytes | None) -> str:
         return FORMAT_IMAGE
     if payload[:16].decode("ISO-8859-1").lstrip(" \t\r\n").startswith("<"):
         return FORMAT_HTML
+    lines = payload[:4096].decode("ISO-8859-1").split("\n")
+    if len(lines) >= 2:
+        first, second = (
+            l[:-1] if l.endswith("\r") else l for l in lines[:2]
+        )
+        if (
+            first.count(",") >= 2
+            and second != ""
+            and second.count(",") == first.count(",")
+        ):
+            return FORMAT_CSV
     return FORMAT_TEXT
 
 
@@ -84,7 +112,19 @@ def test_sniff_matches_magic_bytes(payload):
 # Prefixes that historically diverged between sniff models; exercised both
 # bare and ahead of every magic class.
 _SNIFF_EDGE_PREFIXES = [b"", b"\xa0", b" " * 20, b" \t\r\n", b"\x85", b"\x0b"]
-_SNIFF_BODIES = [b"", b"<html>", b"%PDF-1.4", b"PK\x03\x04x", b"\x89PNG\r\n", b"words"]
+_SNIFF_BODIES = [
+    b"",
+    b"<html>",
+    b"%PDF-1.4",
+    b"PK\x03\x04x",
+    b"\x89PNG\r\n",
+    b"words",
+    b"a,b,c\n1,2,3",
+    b"a,b,c\r\n1,2,3\r\n",
+    b"a,b,c\n1,2",  # inconsistent column count → text
+    b"a,b,c\n",  # no second line content → text
+    b"a,b\nc,d",  # only 1 comma → text
+]
 
 
 def test_sniff_regressions():

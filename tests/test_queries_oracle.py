@@ -88,3 +88,22 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "url" in df.columns
+
+
+def test_surrogate_ids_shape(spark):
+    """F13 invariant, moved out of the registry query path (round-2
+    VERDICT #4): every surrogate id is ORD-{run_date}-{3-digit}, unique
+    per url within the run."""
+    out = entry_mod.queries()["surrogate_ids"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    import re
+
+    pat = re.compile(r"^ORD-20260701-[1-9][0-9]{2}$")
+    assert all(pat.match(r["order_id"]) for r in rows)
+    # deterministic per url: same plan built twice yields identical ids
+    again = {
+        r["url"]: r["order_id"]
+        for r in entry_mod.queries()["surrogate_ids"](spark, SF_DIR).collect()
+    }
+    assert all(again[r["url"]] == r["order_id"] for r in rows)
