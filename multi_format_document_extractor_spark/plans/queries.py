@@ -779,7 +779,18 @@ def uncertainty_scores(spark, sf_dir):
 
 @q("entropy_scores")  # rows-only: ln() is not bit-reproducible across engines
 def entropy_scores(spark, sf_dir):
-    """F28: normalized entropy (active_learning.py:106-111)."""
+    """F28: normalized entropy (active_learning.py:106-111).
+
+    DISPLAY-ONLY metric, permanently rows-only by design: entropy needs a
+    transcendental ln() whose last-ulp behavior differs between libm
+    implementations, so a cross-engine hash comparison would be flaky at
+    ~1e-12 probability per value — exactly the class of nondeterminism
+    this engine bans from checked paths. Every DECISION path that the
+    reference derives from entropy (top-k budgets, stratified picks,
+    combined uncertainty) uses the rational gini/margin/least-confidence
+    surrogates instead, all oracle-checked (`uncertainty_scores`,
+    `topk_uncertain`, `stratified_topk`); this query exists so a user of
+    the reference's entropy display keeps the column."""
     p = _probs_df(spark, sf_dir)
     return p.select(
         "vec_id", rnd(sampling.entropy(F.col("probs")), 6).alias("entropy")
@@ -1393,6 +1404,65 @@ def quality_q(spark, sf_dir):
     word-length sanity + punctuation noise."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+
+
+def _router_sql() -> str:
+    from ..functions import router as RT
+
+    reason = " ".join(
+        f"WHEN route = '{k}' THEN '{v}'" for k, v in RT.REASONS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|it)\\b'))
+          AS stop_hits,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonws,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        length(text) AS n_total
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_words,
+        round(0.3 * least(n_total / 1000.0, 1.0)
+            + 0.3 * least((CASE WHEN n_words > 0 THEN stop_hits / (1.0 * n_words)
+                                ELSE 0.0 END) * 4.0, 1.0)
+            + 0.2 * (CASE WHEN n_words > 0
+                           AND n_nonws / (1.0 * n_words) >= 3.0
+                           AND n_nonws / (1.0 * n_words) <= 10.0
+                          THEN 1.0 ELSE 0.0 END)
+            + 0.2 * greatest(0.0, 1.0 - (CASE WHEN n_total > 0
+                                              THEN n_punct / (1.0 * n_total)
+                                              ELSE 0.0 END) * 4.0), 4) AS quality
+      FROM t
+    ), routed AS (
+      SELECT doc_id,
+        CASE WHEN n_words = 0 THEN 'manual'
+             WHEN quality < {RT.QUALITY_NOISE_MAX} THEN 'relaxed'
+             WHEN n_words >= {RT.TOKENS_COMPLEX_MIN}
+                  AND quality >= {RT.QUALITY_CLEAN_MIN} THEN 'layout'
+             WHEN n_words <= {RT.TOKENS_SIMPLE_MAX} THEN 'fast'
+             ELSE 'hybrid' END AS route
+      FROM s
+    )
+    SELECT doc_id, route, CASE {reason} END AS reason FROM routed
+    """
+
+
+@q("doc_router", _router_sql())
+def doc_router(spark, sf_dir):
+    """Feature-based extraction-profile router: the reference's
+    model_router rule ladder (src/ai_models/model_router.py:398-468) over
+    native text features — token count as the size/complexity axis, the
+    composite quality score as the density/noise axis. Pure codegen CASE:
+    routing adds no stage (the reference pays a CNN forward pass per doc).
+    Rule order is the contract; the SQL mirror re-states the same ladder."""
+    from ..functions.router import route_profile
+
+    d = _t(spark, sf_dir, "documents")
+    route, reason = route_profile(F.col("text"))
+    return d.select("doc_id", route.alias("route"), reason.alias("reason"))
 
 
 @q(

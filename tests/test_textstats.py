@@ -115,3 +115,35 @@ def test_lang_id_und_on_markerless_text(spark):
     )
     got = {r["sid"]: r["pred"] for r in df.select("sid", TS.lang_id(F.col("text")).alias("pred")).collect()}
     assert got == {"x": "und", "y": "und"}
+
+
+def test_router_ladder_order_and_branches(spark):
+    """The routing rule ladder fires in reference order (empty → noise →
+    complex → simple → default) and every branch is reachable."""
+    import pyspark.sql.functions as F
+
+    from multi_format_document_extractor_spark.functions.router import (
+        route_profile,
+    )
+
+    stops = "the a of to in is it and"
+    cases = [
+        (0, "", "manual"),
+        (1, "!!! ??? %%% ###", "relaxed"),  # punct noise → low quality
+        (2, " ".join([stops + " window table"] * 10), "layout"),  # 100 toks
+        (3, "the cat sat on the mat", "fast"),
+        (4, " ".join(["the alpha beta gamma"] * 10), "hybrid"),  # 40 toks
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id int, text string"
+    )
+    route, reason = route_profile(F.col("text"))
+    got = {
+        r["doc_id"]: (r["route"], r["reason"])
+        for r in df.select(
+            "doc_id", route.alias("route"), reason.alias("reason")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i][0] == want, (i, got[i])
+        assert got[i][1]  # every route carries a reason string
