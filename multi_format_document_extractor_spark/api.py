@@ -36,6 +36,7 @@ SOURCE_CONFIDENCE = {
     "html": 0.90,
     "zip": 0.85,
     "pdf": 0.80,
+    "pbm": 0.75,  # pixel-decoded content (the OCR channel analog)
     "image": 0.0,
     "unknown": 0.0,
 }

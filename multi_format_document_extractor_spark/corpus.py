@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 3  # v3: CSV docs (first-class csv format) + latin-1 pages
+CORPUS_VERSION = 3  # v3: CSV docs + latin-1 pages + readable P4 bitmaps
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -491,6 +491,20 @@ def _make_image(rng: random.Random) -> tuple[bytes, str, int]:
     return magic + body, "", 0
 
 
+def _make_pbm(rng: random.Random) -> tuple[bytes, str, int]:
+    """Readable image: text rendered into a binary P4 bitmap with the
+    shared FONT5X7 contract (oracle.render_pbm does the rendering; the
+    EXPECTED text is the generator's own line list, so the decode side is
+    still independently checked)."""
+    from .oracle import render_pbm
+
+    n_lines = rng.randint(1, 3)
+    lines = [
+        _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
+    ]
+    return render_pbm(lines), "\n".join(lines), n_lines
+
+
 # ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
@@ -527,6 +541,8 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             kind = "docx"
         elif r < 0.96:
             kind = "xlsx"
+        elif r < 0.98:
+            kind = "pbm"
         else:
             kind = "image"
 
@@ -554,6 +570,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             payload, exp_s, n_blocks = _make_csv(rng)
             expected, fmt = exp_s.encode("utf-8"), "csv"
             noisy = payload.decode("latin-1")  # total; payload may be latin-1
+        elif kind == "pbm":
+            payload, exp_s, n_blocks = _make_pbm(rng)
+            expected, fmt = exp_s.encode("utf-8"), "pbm"
+            noisy = exp_s
         elif kind == "image":
             payload, exp_s, n_blocks = _make_image(rng)
             expected, fmt = b"", "image"

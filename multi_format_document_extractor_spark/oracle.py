@@ -43,6 +43,7 @@ FORMAT_TEXT = "text"
 FORMAT_CSV = "csv"  # comma-table shape probe on would-be text payloads
 FORMAT_ZIP = "zip"  # PK container: docx/xlsx parsed, other zips → error row
 FORMAT_IMAGE = "image"  # png/jpeg/gif: routed to the multimodal media path
+FORMAT_PBM = "pbm"  # P4 bitmap: deterministic pixel→text decode (demo OCR)
 FORMAT_UNKNOWN = "unknown"
 
 _ZIP_MAGIC = b"PK\x03\x04"
@@ -82,6 +83,8 @@ def sniff_format(payload: bytes | None) -> str:
         return FORMAT_ZIP
     if payload.startswith(_IMAGE_MAGICS):
         return FORMAT_IMAGE
+    if payload[:2] == b"P4" and payload[2:3] in (b" ", b"\t", b"\r", b"\n"):
+        return FORMAT_PBM
     head = payload[:16].decode("latin-1").lstrip(" \t\r\n")
     if head.startswith("<"):
         return FORMAT_HTML
@@ -543,6 +546,140 @@ def extract_text(payload: bytes) -> tuple[bytes, int, str]:
 
 
 # ---------------------------------------------------------------------------
+# PBM bitmap → text: a REAL pixel-decode content path for images, fully
+# deterministic (the reference extracts image content with EasyOCR/TrOCR —
+# src/parsers/ocr_parser.py:59-217; the sandbox has no OCR model, so the
+# engine defines a co-designed contract instead: corpus renders text in the
+# 5×7 glyph font below into binary P4 bitmaps, and this decoder recovers it
+# by unpacking pixels and classifying each 6×8 glyph cell — the same
+# decode→segment→classify pipeline shape as OCR, with an exact-match
+# classifier). PNG/JPEG/GIF stay on the media/error path: no deterministic
+# decoder exists for them in a stdlib-only sandbox.
+# ---------------------------------------------------------------------------
+
+# 5×7 uppercase font: 7 rows of 5 bits per glyph (MSB = leftmost pixel).
+# This table IS the format contract (like the PDF text-op subset): the
+# corpus renderer and this decoder both consume it; glyphs are pairwise
+# distinct so exact matching is unambiguous.
+FONT5X7: dict[str, tuple[int, ...]] = {
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+}
+_GLYPH_REV = {v: k for k, v in FONT5X7.items()}
+GLYPH_W, GLYPH_H = 6, 8  # cell size: 5×7 glyph + 1px spacing each axis
+
+
+def _pbm_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """P4 header parse: magic, whitespace/comment-separated width and
+    height, single whitespace byte, then MSB-first bit-packed rows each
+    padded to a byte boundary."""
+    if payload[:2] != b"P4":
+        raise ValueError("not a P4 bitmap")
+    i, toks = 2, []
+    while len(toks) < 2:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PBM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after the height token
+    w, h = toks
+    raster = payload[i:]
+    if w <= 0 or h <= 0 or len(raster) < ((w + 7) // 8) * h:
+        raise ValueError("truncated PBM raster")
+    return w, h, raster
+
+
+def extract_pbm(payload: bytes) -> tuple[bytes, int]:
+    """Decode a P4 bitmap and classify 6×8 glyph cells against FONT5X7.
+    Lines of glyphs become text lines (trailing spaces stripped; unknown
+    bitmaps decode to '?'); n_blocks = number of non-empty lines."""
+    w, h, raster = _pbm_parse(payload)
+    stride = (w + 7) // 8
+
+    def px(x: int, y: int) -> int:
+        b = raster[y * stride + (x >> 3)]
+        return (b >> (7 - (x & 7))) & 1
+
+    lines: list[str] = []
+    for row0 in range(0, h - GLYPH_H + 1, GLYPH_H):
+        chars: list[str] = []
+        for col0 in range(0, w - (GLYPH_W - 1) + 1, GLYPH_W):
+            rows = tuple(
+                sum(
+                    px(col0 + gx, row0 + gy) << (4 - gx)
+                    for gx in range(5)
+                )
+                for gy in range(7)
+            )
+            chars.append(_GLYPH_REV.get(rows, "?"))
+        lines.append("".join(chars).rstrip())
+    while lines and not lines[-1]:
+        lines.pop()
+    n_blocks = sum(1 for ln in lines if ln)
+    return "\n".join(lines).encode("utf-8"), n_blocks
+
+
+def render_pbm(lines: list[str]) -> bytes:
+    """Render text lines into a P4 bitmap with FONT5X7 (the generator half
+    of the contract; corpus.py calls this so payload and decoder share ONE
+    rendering definition while expected text stays generator-owned)."""
+    if not lines:
+        raise ValueError("render_pbm needs at least one line")
+    up = [ln.upper() for ln in lines]
+    bad = {c for ln in up for c in ln if c not in FONT5X7}
+    if bad:
+        raise ValueError(f"glyphs not in FONT5X7: {sorted(bad)}")
+    w = max(len(ln) for ln in up) * GLYPH_W
+    h = len(up) * GLYPH_H
+    stride = (w + 7) // 8
+    raster = bytearray(stride * h)
+    for li, ln in enumerate(up):
+        for ci, ch in enumerate(ln):
+            rows = FONT5X7[ch]
+            for gy in range(7):
+                y = li * GLYPH_H + gy
+                for gx in range(5):
+                    if (rows[gy] >> (4 - gx)) & 1:
+                        x = ci * GLYPH_W + gx
+                        raster[y * stride + (x >> 3)] |= 1 << (7 - (x & 7))
+    return b"P4\n" + f"{w} {h}\n".encode() + bytes(raster)
+
+
+# ---------------------------------------------------------------------------
 # Office containers: real DOCX/XLSX parsing via stdlib zipfile + ElementTree
 # (reference parses these with python-docx / pandas.read_excel —
 # src/parsers/word_parser.py:30-60, src/parsers/excel_parser.py:30-49; here
@@ -757,6 +894,8 @@ def extract(payload: bytes | None, profile: str = "default") -> Extracted:
             text, n_blocks, enc = extract_html(payload, profile)  # type: ignore[arg-type]
         elif fmt == FORMAT_CSV:
             text, n_blocks, enc = extract_csv(payload)  # type: ignore[arg-type]
+        elif fmt == FORMAT_PBM:
+            text, n_blocks = extract_pbm(payload)  # type: ignore[arg-type]
         elif fmt == FORMAT_TEXT:
             text, n_blocks, enc = extract_text(payload)  # type: ignore[arg-type]
         else:

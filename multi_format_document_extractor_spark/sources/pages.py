@@ -51,6 +51,11 @@ def format_col(html: Column) -> Column:
             | (F.substring(html, 1, 4) == F.lit(b"GIF8")),
             F.lit("image"),
         )
+        .when(
+            (F.substring(html, 1, 2) == F.lit(b"P4"))
+            & F.substring(html, 3, 1).isin(b" ", b"\t", b"\r", b"\n"),
+            F.lit("pbm"),
+        )
         .when(head.startswith("<"), F.lit("html"))
         .when(is_csv, F.lit("csv"))
         .otherwise(F.lit("text"))

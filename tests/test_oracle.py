@@ -222,3 +222,29 @@ def test_csv_sniff_and_extract():
     assert oracle.sniff_format(b"one, two, three\njust one, comma\n") == "text"
     # single line is never csv
     assert oracle.sniff_format(b"a,b,c") == "text"
+
+
+def test_pbm_render_decode_roundtrip():
+    """The pixel→text path: render with FONT5X7, decode by glyph-cell
+    classification — byte-identical text back, garbage → error row."""
+    from multi_format_document_extractor_spark.oracle import (
+        FONT5X7,
+        _GLYPH_REV,
+        extract_pbm,
+        render_pbm,
+    )
+
+    assert len(_GLYPH_REV) == len(FONT5X7)  # glyphs pairwise distinct
+    lines = ["HELLO WORLD", "SPARK SCAN", "A"]
+    t, n = extract_pbm(render_pbm(lines))
+    assert t == b"HELLO WORLD\nSPARK SCAN\nA" and n == 3
+    r = oracle.extract(render_pbm(["DENSITY LAYOUT"]))
+    assert r.format == "pbm" and r.ok and r.encoding is None
+    assert r.text == b"DENSITY LAYOUT" and r.n_blocks == 1
+    # truncated raster / malformed header are error rows, never exceptions
+    bad = oracle.extract(b"P4\n100 100\n\x00\x01")
+    assert bad.format == "pbm" and not bad.ok and "PBM" in bad.error
+    bad2 = oracle.extract(b"P4\nxx\n")
+    assert bad2.format == "pbm" and not bad2.ok
+    # PNG/JPEG/GIF still route to the media path (no deterministic codec)
+    assert not oracle.extract(b"\x89PNG\r\n\x1a\nxxxx").ok

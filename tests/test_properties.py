@@ -19,6 +19,7 @@ from multi_format_document_extractor_spark.oracle import (
     FORMAT_HTML,
     FORMAT_CSV,
     FORMAT_IMAGE,
+    FORMAT_PBM,
     FORMAT_PDF,
     FORMAT_TEXT,
     FORMAT_UNKNOWN,
@@ -61,6 +62,7 @@ def test_extract_is_total_and_deterministic(payload):
         FORMAT_PDF,
         FORMAT_TEXT,
         FORMAT_CSV,
+        FORMAT_PBM,
         FORMAT_ZIP,
         FORMAT_IMAGE,
         FORMAT_UNKNOWN,
@@ -87,6 +89,8 @@ def _model_sniff(payload: bytes | None) -> str:
         return FORMAT_ZIP
     if payload.startswith((b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
         return FORMAT_IMAGE
+    if payload[:2] == b"P4" and payload[2:3] in (b" ", b"\t", b"\r", b"\n"):
+        return FORMAT_PBM
     if payload[:16].decode("ISO-8859-1").lstrip(" \t\r\n").startswith("<"):
         return FORMAT_HTML
     lines = payload[:4096].decode("ISO-8859-1").split("\n")
@@ -124,6 +128,8 @@ _SNIFF_BODIES = [
     b"a,b,c\n1,2",  # inconsistent column count → text
     b"a,b,c\n",  # no second line content → text
     b"a,b\nc,d",  # only 1 comma → text
+    b"P4\n6 8\n" + b"\x00" * 8,  # P4 bitmap magic
+    b"P4x",  # P4 without whitespace → text
 ]
 
 
