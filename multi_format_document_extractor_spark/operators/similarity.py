@@ -163,6 +163,79 @@ def ivf_assign(
     )
 
 
+def quantize_vec(vec: Column, scale: int = 1024) -> Column:
+    """Snap every coordinate to a multiple of 1/scale (scale a power of
+    two). This is what makes distributed k-means EXACTLY reproducible:
+    sums of doubles are order-dependent in general (each add can round),
+    but sums of fixed-point values k/1024 with |k| bounded stay exactly
+    representable, so ANY summation order — Spark's partial aggregation
+    tree, DuckDB's serial loop — yields the bit-identical total, and
+    avg = exact_sum / n is then a single deterministic IEEE division.
+    The quantization error (≤ 2⁻¹¹ per coordinate) is far below any
+    embedding model's noise floor. Uses the repo's portable rounding
+    contract (floor(x·s + 0.5)/s — functions/rounding.py) with a
+    power-of-two s, because ONLY a binary scale makes the quantized
+    values exactly representable (k/1000 is not a binary fraction)."""
+    s = float(scale)
+    return F.transform(vec, lambda x: F.floor(x * s + 0.5) / F.lit(s))
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means refinement of an IVF coarse quantizer, Spark-shaped:
+
+    - **Assignment is map-side** (``ivf_assign``'s literal-centroid fold —
+      zero Exchange of the corpus, the round-2 fix applied to training
+      too).
+    - **Update is one partial aggregation**: ``groupBy(cell)`` with one
+      ``avg`` per dimension — map-side combine reduces each partition to
+      ≤K rows before the (tiny) shuffle; no row explosion, no vector-wide
+      shuffle. At 10¹² vectors each iteration moves K×dim doubles per
+      partition, nothing else.
+    - **Deterministic across engines**: inputs must be quantized
+      (``quantize_vec``) so per-cell sums are exact in any order; empty
+      cells keep their previous centroid. Centroid coordinates are
+      re-quantized after each update so the next iteration's dot products
+      are exact too.
+
+    Returns (cell, cv) like the input. ``init_centroids`` seeds determine
+    everything — no RNG anywhere (reference analog: the deterministic
+    document-characteristics clustering the model router's config implies,
+    done as data instead of a learned network)."""
+    cents = init_centroids.select(
+        F.col("cell"), quantize_vec(F.col("cv")).alias("cv")
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            vectors, cents, id_col=id_col, vec_col=vec_col, n_best=1
+        )
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), d)).alias(f"m{d}")
+                for d in range(1, dim + 1)
+            ]
+        )
+        new = means.select(
+            "cell",
+            quantize_vec(
+                F.array(*[F.col(f"m{d}") for d in range(1, dim + 1)])
+            ).alias("cv"),
+        )
+        # empty cells fall back to their previous centroid (deterministic)
+        prev = cents.select("cell", F.col("cv").alias("_prev"))
+        cents = (
+            prev.join(new, "cell", "left")
+            .select("cell", F.coalesce(F.col("cv"), F.col("_prev")).alias("cv"))
+        )
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

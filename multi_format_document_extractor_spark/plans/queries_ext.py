@@ -1389,6 +1389,109 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+def _kmeans_sql(n_iter: int = 2, k: int = 10) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — the DuckDB mirror of
+    kmeans_centroids + ivf_topk on QUANTIZED vectors. Quantization to
+    multiples of 1/1024 makes every per-cell sum exactly representable, so
+    Spark's partial-aggregation tree and DuckDB's serial fold produce
+    bit-identical means (operators/similarity.quantize_vec)."""
+    qv = (
+        "list_transform(embedding,"
+        " x -> floor(CAST(x AS DOUBLE) * 1024 + 0.5) / 1024.0)"
+    )
+    means = ", ".join(f"avg(emb[{d}]) AS m{d}" for d in range(1, 65))
+    relist = ", ".join(
+        f"floor(m.m{d} * 1024 + 0.5) / 1024.0" for d in range(1, 65)
+    )
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, {qv} AS emb FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id // 10 AS INT) AS cell, emb AS cv
+      FROM e WHERE vec_id IN (10,20,30,40,50,60,70,80)
+    )"""
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        sql += f""", a{i} AS (
+      SELECT e.vec_id, e.emb, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_dotq('e.emb', 'c.cv')}) DESC, c.cell ASC
+             ) AS rn
+      FROM e CROSS JOIN {prev} c
+    ), m{i} AS (
+      SELECT cell, {means} FROM a{i} WHERE rn = 1 GROUP BY cell
+    ), c{i} AS (
+      SELECT p.cell,
+             CASE WHEN m.m1 IS NULL THEN p.cv
+                  ELSE list_value({relist}) END AS cv
+      FROM {prev} p LEFT JOIN m{i} m ON p.cell = m.cell
+    )"""
+        prev = f"c{i}"
+    sql += f""", assigned AS (
+      SELECT e.vec_id, e.emb, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_dotq('e.emb', 'c.cv')}) DESC, c.cell ASC
+             ) AS rn
+      FROM e CROSS JOIN {prev} c
+    ), cells AS (
+      SELECT vec_id, emb, cell FROM assigned WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qv, cell
+      FROM assigned WHERE rn = 1 AND vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, cand.vec_id,
+             round(({_dotq('cand.emb', 'q.qv')})
+                   / (sqrt({_dotq('cand.emb', 'cand.emb')})
+                      * sqrt({_dotq('q.qv', 'q.qv')})), 4) AS score
+      FROM cells cand JOIN q ON cand.cell = q.cell
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= {k}
+"""
+    return sql
+
+
+@q("ann_ivf_kmeans", _kmeans_sql(2))
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: 2 Lloyd's iterations refine the
+    deterministic seed centroids before assignment (reference analog: the
+    learned document-characteristics clustering behind model_router's
+    routing; here trained as data on Spark). Scale shape per iteration:
+    map-side literal-fold assignment (zero corpus Exchange) + ONE partial
+    aggregation of 64 avg columns (map-side combine → ≤K rows per
+    partition reach the shuffle). Vectors are quantized to 1/1024 so the
+    distributed means are bit-identical to the serial DuckDB oracle —
+    floating-point determinism by construction, not by luck. The driver
+    loop runs n_iter K-row collects (iterative algorithm, same sanctioned
+    class as connected_components)."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.quantize_vec(
+            _to_double_vec(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    init = e.where(
+        F.col("vec_id").isin(10, 20, 30, 40, 50, 60, 70, 80)
+    ).select(
+        F.floor(F.col("vec_id") / 10).cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    cents = similarity.kmeans_centroids(e, init, n_iter=2)
+    queries = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.ivf_topk(e, queries, cents, k=10).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 @q("ann_ivf_probe2", _ivf_sql(2))
 def ann_ivf_probe2(spark, sf_dir):
     """IVF ANN with nprobe=2: each query searches its TWO nearest cells —

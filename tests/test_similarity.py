@@ -111,3 +111,42 @@ def test_lsh_ann_pairs_bucket_count_dial(spark):
     ).count()
     assert coarse == 1
     assert fine == 0
+
+
+def test_kmeans_deterministic_and_empty_cell_fallback(spark):
+    """Two builds yield bit-identical centroids (fixed-point quantization
+    makes distributed means order-independent); a cell that attracts no
+    vectors keeps its previous centroid instead of vanishing."""
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.1, 0.0]),
+            (1, [0.9, 0.0, 0.1]),
+            (2, [0.0, 1.0, 0.1]),
+            (3, [0.1, 0.9, 0.0]),
+        ],
+    )
+    vq = vecs.select(
+        "vec_id", similarity.quantize_vec(F.col("embedding")).alias("embedding")
+    )
+    init = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, -1.0, -1.0]),  # attracts nothing (all dots negative)
+        ],
+        "cell int, cv array<double>",
+    )
+    a = {
+        r["cell"]: list(r["cv"])
+        for r in similarity.kmeans_centroids(vq, init, n_iter=2, dim=3).collect()
+    }
+    b = {
+        r["cell"]: list(r["cv"])
+        for r in similarity.kmeans_centroids(vq, init, n_iter=2, dim=3).collect()
+    }
+    assert a == b
+    assert a[3] == [-1.0, -1.0, -1.0]  # empty cell: previous centroid kept
+    # trained cells moved toward their members' means
+    assert a[1][0] > 0.8 and a[2][1] > 0.8
+    spark.catalog.clearCache()
