@@ -1718,6 +1718,25 @@ def streaming_window(spark, sf_dir):
     return streaming_event_window_counts(spark, sf_dir)
 
 
+@q(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, event_type
+    FROM events
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Watermark-bounded streaming exact dedup (dropDuplicates per
+    (user, event_type, 5-min bucket)); state evicts beyond the lateness
+    horizon, so it holds at unbounded stream length. Single-batch drain
+    equals the exact DISTINCT set — hash-checked here."""
+    from ..streaming.ingest import streaming_dedup_events
+
+    return streaming_dedup_events(spark, sf_dir)
+
+
 def _register_streaming_sessionize():
     """Custom stateful streaming op (applyInPandasWithState) sharing the
     batch sessionize oracle — identical values via a different engine path."""

@@ -164,6 +164,49 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession, sf_dir: str, lateness: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: collapse repeated (user, event_type) events
+    inside a 5-minute bucket to their first occurrence — the streaming form
+    of exact dedup (operators/dedup.exact_dedup_groups is the batch corpus
+    form). ``dropDuplicates`` under a watermark bounds the dedup state at
+    unbounded scale: keys older than ``lateness`` behind the max event time
+    are evicted, so state is O(keys-per-lateness-window), never O(stream).
+    A duplicate arriving later than the watermark would re-emit (the
+    standard streaming-dedup contract — the warehouse anti-join is the
+    backstop, sinks.Warehouse.pending). The availableNow drain here is
+    single-batch, so the result equals the exact DISTINCT set and is
+    hash-checked against the DuckDB oracle."""
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(_stage_dir(sf_dir))
+    dd = (
+        stream.withWatermark("ts", lateness)
+        .select(
+            "user_id",
+            "event_type",
+            F.window("ts", "5 minutes").alias("w"),
+        )
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "event_type",
+        )
+    )
+    query = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form: readStream over the events parquet → tumbling-window
     aggregation → in-memory sink, drained synchronously (availableNow).
