@@ -27,9 +27,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 SEED = 42
 
-# Representative registry queries (one per operator family; the full 38-query
+# Representative registry queries (one per operator family; the full 80-query
 # matrix is exercised by the driver's correctness pass, not the bench).
 BENCH_QUERIES = [
+    "doc_router",          # feature-based profile routing (codegen CASE)
     "order_rollup",        # canonical hash agg (A2)
     "total_reconcile",     # join + reconcile (F25)
     "validation_rules",    # rules-as-data (P*)

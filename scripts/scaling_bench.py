@@ -148,13 +148,15 @@ def parent() -> None:
         f"""# BENCH — extraction throughput & scaling (measured)
 
 Job: magic-byte sniff → `mapInPandas` extraction (HTML boilerplate removal /
-PDF layout parse / text passthrough) → noop sink, in both balancing modes:
+PDF layout parse / CSV table parse / P4 bitmap glyph decode / DOCX+XLSX zip
+parse / text passthrough, all with the utf-8→latin-1 encoding chain) → noop
+sink, in both balancing modes:
 **split** (default: byte-ranged scan splits, zero shuffle — the production
 path at 100 TB) and **salted** (`repartition(4×cores, pmod(xxhash64(url),
 4096))` — the skew-adversarial path, paying a full-payload shuffle).
-Input: deterministic synthetic Common-Crawl corpus, {N_DOCS:,} pages
-(~60% HTML / 13% PDF / 8% text / 10% DOCX+XLSX zips / 4% image /
-3% error-path / 2% oversized ≥1 MB;
+Input: deterministic synthetic Common-Crawl corpus v3, {N_DOCS:,} pages
+(~60% HTML / 13% PDF / 5% text / 3% CSV / 10% DOCX+XLSX zips / 2% readable
+P4 bitmaps / 2% opaque image / 3% error-path / 2% oversized ≥1 MB;
 Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
 state (workers warm, package imported) — one-time per-executor startup
 excluded, as it amortizes on any real job. Levels alternate across

@@ -127,6 +127,17 @@ def test_ann_ivf_recall_and_plan(spark):
     assert recall2 >= 0.4, recall2
 
 
+def test_doc_router_is_stageless(spark):
+    """Feature routing must stay a pure codegen CASE over the scan — no
+    Exchange, no Python eval (the reference pays a CNN forward pass per
+    document for the same decision)."""
+    df = entry_mod.queries()["doc_router"](spark, SF_DIR)
+    p = plan(df)
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+    assert "*(1) Project" in p, p  # the '*' marks whole-stage codegen
+
+
 def test_resume_day_prune_reaches_scan(spark, pages, tmp_path):
     """Sealed-day pruning must appear as a pushable predicate in the
     optimized plan of pending(), ahead of the anti-join."""
