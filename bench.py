@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "ann_topk",            # brute-force cosine top-k
     "embed_neardup",       # sign-LSH bucketed cosine pairs
     "quality_score",       # text quality
+    "repetition_filter",   # Gopher repetition gate (HOF codegen)
+    "url_dedup",           # canonical-URL dedup (explode + hash agg)
     "token_counts",        # tokenization stats
     "window_agg",          # tumbling window (batch)
     "training_corpus",     # quality gate → dedup keepers → split

@@ -1,0 +1,239 @@
+"""Web-corpus hygiene columns: PII scrubbing, Gopher-style repetition
+rules, and URL canonicalization.
+
+These are the filters every large-scale web-text training pipeline runs
+between extraction and dedup (C4 / Gopher / RefinedWeb lineage), missing
+from the reference (its corpus is 5 office documents —
+``src/pipeline.py:207-215`` — so it never needed them). All native
+Catalyst expressions — regexes and higher-order array functions only, no
+Python, no shuffle — so each is DuckDB-oracle-checkable and rides inside
+whole-stage codegen at 100 TB.
+
+Cross-engine regex discipline: every pattern below is valid and
+equivalently interpreted in both Java regex (Spark) and RE2-ish (DuckDB) —
+character classes, bounded repetition, ``\\b``, and ``(?i)`` only; no
+backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .rounding import rnd
+
+# --- PII patterns (scrub order matters: email first — its local part can
+# contain digits/dots that the looser patterns would otherwise bite into;
+# the replacement tokens contain no digits, so later passes can't re-match
+# inside an earlier redaction).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{7,15}"
+
+_PII = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One count column per PII class (n_email, n_ip, n_phone), counted on
+    the raw text (before any scrub)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in _PII
+    ]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails → IPv4s → phones with typed tokens, in that order."""
+    out = col
+    for _, pat, token in _PII:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def words_of(col: Column) -> Column:
+    """Whitespace tokens (callers must guard empty/blank text — both
+    engines return [''] for the empty string)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def chunk_lines(wordarr: Column, width: int = 8) -> Column:
+    """Derive pseudo-lines from a word array: consecutive ``width``-word
+    chunks rejoined with single spaces. The repetition rules below are
+    line-based (Gopher §A.2.1); extractor output that lost its newlines
+    (single-line soup) still gets a deterministic line structure this way,
+    and real multi-line text can pass ``split(text, '\\n')`` instead."""
+    n_lines = F.ceil(F.size(wordarr) / float(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(wordarr, (i - 1) * width + 1, width), " "
+        ),
+    )
+
+
+def dup_line_fraction(lines: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (Gopher: drop if > 0.30)."""
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(lines: Column) -> Column:
+    """Fraction of characters sitting in repeated line occurrences:
+    Σ over distinct lines of (count−1)·len, over total line chars
+    (Gopher: drop if > 0.20)."""
+    dup_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(lines),
+            lambda d: (
+                F.size(F.filter(lines, lambda x: x == d)) - 1
+            ).cast("long")
+            * F.length(d).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        F.transform(lines, lambda l: F.length(l).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        total > 0, dup_chars.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def bigrams_of(wordarr: Column) -> Column:
+    """Adjacent word pairs joined with one space (empty when < 2 words)."""
+    n = F.size(wordarr)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(wordarr, i), F.element_at(wordarr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_gram_stats(grams: Column) -> tuple[Column, Column]:
+    """(max occurrence count, the lexicographically-first gram achieving
+    it) — the deterministic mode. Quadratic in DISTINCT grams × grams,
+    which is fine per document (docs are KB-scale after extraction); a
+    corpus with MB-scale single documents should pre-truncate (the
+    extractor's ``max_bytes`` cap upstream already bounds this)."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+    )
+    max_cnt = F.coalesce(F.array_max(counts), F.lit(0))
+    pick = F.array_min(
+        F.filter(
+            F.array_distinct(grams),
+            lambda d: F.size(F.filter(grams, lambda x: x == d)) == max_cnt,
+        )
+    )
+    return max_cnt, pick
+
+
+def top_bigram_char_fraction(text: Column, wordarr: Column) -> Column:
+    """Fraction of text characters covered by the most frequent word
+    bigram: count·len(bigram)/len(text) (Gopher: drop if > 0.20)."""
+    grams = bigrams_of(wordarr)
+    max_cnt, pick = top_gram_stats(grams)
+    return F.when(
+        (F.length(text) > 0) & (max_cnt > 0),
+        (max_cnt * F.length(pick)).cast("double")
+        / F.length(text).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column, wordarr: Column) -> Column:
+    """Hash/ellipsis symbols per word (Gopher: drop if > 0.10)."""
+    syms = F.regexp_count(text, F.lit(r"#|\.\.\."))
+    n = F.size(wordarr)
+    return F.when(
+        n > 0, syms.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# --- URL canonicalization -------------------------------------------------
+
+_TRACKING_RE = r"(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?"
+
+
+def canonical_url(col: Column) -> Column:
+    """Crawl-grade URL canonicalization: drop scheme, leading ``www.``,
+    fragments, and tracking params (utm_*/gclid/fbclid), then tidy dangling
+    ``?``/``&`` and a trailing slash. Pure sequential regex passes so the
+    DuckDB mirror (same patterns, 'g' flag) is byte-identical."""
+    u = F.regexp_replace(col, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, _TRACKING_RE, "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def host_of(canon: Column) -> Column:
+    """Host part of a canonicalized URL (everything before the first
+    ``/``, ``?`` or ``#``). regexp_extract instead of parse_url so the
+    oracle side is the identical expression."""
+    return F.regexp_extract(canon, r"^([^/?#]+)", 1)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB mirror of ``canonical_url`` (same passes, same order)."""
+    u = f"regexp_replace({expr}, '^https?://', '', 'g')"
+    u = f"regexp_replace({u}, '^www\\.', '', 'g')"
+    u = f"regexp_replace({u}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACKING_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    u = f"regexp_replace({u}, '/$', '', 'g')"
+    return u
+
+
+def gopher_keep(
+    dup_line_frac: Column,
+    dup_char_frac: Column,
+    top_bigram_frac: Column,
+    sym_ratio: Column,
+) -> Column:
+    """The composed Gopher repetition gate (published thresholds)."""
+    return (
+        (dup_line_frac <= 0.30)
+        & (dup_char_frac <= 0.20)
+        & (top_bigram_frac <= 0.20)
+        & (sym_ratio <= 0.10)
+    )
+
+
+__all__ = [
+    "EMAIL_RE",
+    "IPV4_RE",
+    "PHONE_RE",
+    "pii_counts",
+    "scrub_pii",
+    "words_of",
+    "chunk_lines",
+    "dup_line_fraction",
+    "dup_line_char_fraction",
+    "bigrams_of",
+    "top_gram_stats",
+    "top_bigram_char_fraction",
+    "symbol_word_ratio",
+    "canonical_url",
+    "canonical_url_sql",
+    "host_of",
+    "gopher_keep",
+    "rnd",
+]

@@ -1856,9 +1856,10 @@ def multimodal_meta(spark, sf_dir):
     return media_metadata(d)
 
 
-# Second operator batch registers itself via the same decorator (must land
-# before the rounding pass below).
+# Second and third operator batches register themselves via the same
+# decorator (must land before the rounding pass below).
 from . import queries_ext as _queries_ext  # noqa: E402,F401
+from . import queries_web as _queries_web  # noqa: E402,F401
 
 # Apply the engine-portable rounding contract to every oracle SQL string
 # (see functions/rounding.py — round() is not engine-reproducible on

@@ -1,0 +1,409 @@
+"""Registry extension 3: web-corpus hygiene operators (round 3).
+
+The filters a Common-Crawl-scale training pipeline runs between extraction
+and dedup — PII scrubbing, Gopher-style repetition gates, URL
+canonicalization / host rollups / URL-level dedup, and crawl snapshot
+diffing. The reference never needed these (its corpus is 5 office
+documents, ``src/pipeline.py:207-215``); they are the web-text analog of
+its validation/normalization layer (``src/utils/validators.py``,
+``src/parsers/*`` cleanup passes). Same contract as plans/queries.py:
+every Spark query paired with DuckDB oracle SQL, column names and the
+``rnd()`` rounding contract aligned on both sides.
+
+Scale notes are per-query; the common theme is that everything up to the
+final aggregation is per-row whole-stage codegen (regex + higher-order
+array functions), so the only Exchanges are the ones the semantics force
+(one partial agg for host rollups, one equi-join for snapshot diff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import webtext as W
+from ..functions.rounding import rnd
+from .queries import _t, q
+
+# =========================================================================
+# PII scrubbing (redaction-as-columns)
+# =========================================================================
+
+_PII_TEXT_SQL = """
+      SELECT c_custkey,
+             c_name || ' <'
+               || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+               || '@example.com> tel +1555000' || CAST(c_custkey AS VARCHAR)
+               || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+               || CAST(c_nationkey AS VARCHAR)
+               || ' ' || c_mktsegment AS text
+      FROM customer
+"""
+
+
+def _pii_text_col():
+    local = F.lower(F.regexp_replace(F.col("c_name"), r"[^A-Za-z0-9]", ""))
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        local,
+        F.lit("@example.com> tel +1555000"),
+        F.col("c_custkey").cast("string"),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(" "),
+        F.col("c_mktsegment"),
+    )
+
+
+@q(
+    "pii_scrub",
+    f"""
+    WITH t AS ({_PII_TEXT_SQL})
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{W.EMAIL_RE}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{W.IPV4_RE}')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(
+             regexp_replace(regexp_replace(text, '{W.EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{W.IPV4_RE}', '<IP>', 'g'),
+             '{W.PHONE_RE}')) AS INT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{W.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{W.IPV4_RE}', '<IP>', 'g'),
+             '{W.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM t
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction as pure codegen columns: typed counts + the scrubbed
+    text (emails → IPv4s → phones, order chosen so no pass can re-match
+    inside an earlier redaction — functions/webtext.py). The PII-bearing
+    text is synthesized deterministically from customer fields (the
+    testdata corpus itself is PII-free soup), identically on both engines,
+    so the regex behavior is what's actually hash-checked. Zero Exchange:
+    scan → project. n_phone is counted after the email/IP passes (a raw
+    '+…' count would double-count digits inside emails on neither engine —
+    counted post-scrub purely so the three counts describe the scrubbed
+    output exactly)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _pii_text_col().alias("text")
+    )
+    after_ip = F.regexp_replace(
+        F.regexp_replace(F.col("text"), W.EMAIL_RE, "<EMAIL>"),
+        W.IPV4_RE,
+        "<IP>",
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count(F.col("text"), F.lit(W.EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(W.IPV4_RE)).alias("n_ip"),
+        F.regexp_count(after_ip, F.lit(W.PHONE_RE)).alias("n_phone"),
+        W.scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+# =========================================================================
+# Gopher-style repetition gate
+# =========================================================================
+
+
+@q(
+    "repetition_filter",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), l AS (
+      SELECT doc_id, text, w,
+             list_transform(
+               generate_series(1, CAST(ceil(len(w) / 8.0) AS INT)),
+               i -> array_to_string(w[((i-1)*8+1):(i*8)], ' ')) AS lines,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM d
+    ), s AS (
+      SELECT doc_id, text, w, lines, grams,
+             coalesce(list_max(list_transform(list_distinct(grams),
+               g -> len(list_filter(grams, x -> x = g)))), 0) AS max_cnt,
+             list_aggregate(list_transform(list_distinct(lines),
+               d2 -> (len(list_filter(lines, x -> x = d2)) - 1)
+                     * length(d2)), 'sum') AS dup_chars,
+             list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+               AS line_chars
+      FROM l
+    ), m AS (
+      SELECT *,
+             CASE WHEN len(lines) > 0 THEN
+               (len(lines) - len(list_distinct(lines))) / len(lines)
+             ELSE 0.0 END AS dlf_raw,
+             CASE WHEN line_chars > 0 THEN dup_chars / line_chars
+             ELSE 0.0 END AS dcf_raw,
+             CASE WHEN length(text) > 0 AND max_cnt > 0 THEN
+               max_cnt * length(list_min(list_filter(list_distinct(grams),
+                 g -> len(list_filter(grams, x -> x = g)) = max_cnt)))
+               / length(text)
+             ELSE 0.0 END AS tbf_raw,
+             CASE WHEN len(w) > 0 THEN
+               len(regexp_extract_all(text, '#|\.\.\.')) / len(w)
+             ELSE 0.0 END AS swr_raw
+      FROM s
+    )
+    SELECT doc_id,
+           round(dlf_raw, 4) AS dup_line_frac,
+           round(dcf_raw, 4) AS dup_char_frac,
+           round(tbf_raw, 4) AS top_bigram_frac,
+           round(swr_raw, 4) AS symbol_ratio,
+           (round(dlf_raw, 4) <= 0.30 AND round(dcf_raw, 4) <= 0.20
+            AND round(tbf_raw, 4) <= 0.20 AND round(swr_raw, 4) <= 0.10)
+             AS keep
+    FROM m
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher §A.2.1 repetition rules as native array/HOF codegen:
+    duplicate-line fraction, duplicate-line CHAR fraction, top-bigram char
+    fraction, symbol-to-word ratio, and the composed keep gate at the
+    published thresholds (0.30/0.20/0.20/0.10). Pseudo-lines are
+    deterministic 8-word chunks (extractor output is single-line; real
+    newline-bearing text would split on '\\n' instead —
+    functions/webtext.chunk_lines). Zero Exchange: scan → project; the
+    top-gram mode is quadratic in per-doc DISTINCT bigrams, bounded by the
+    extractor's max_bytes cap upstream. The gate compares ROUNDED values on
+    both engines so the boundary is engine-exact."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    w = W.words_of(F.col("text"))
+    d = d.select("doc_id", "text", w.alias("w"))
+    lines = W.chunk_lines(F.col("w"), 8)
+    d = d.select("doc_id", "text", "w", lines.alias("lines"))
+    dlf = rnd(W.dup_line_fraction(F.col("lines")), 4)
+    dcf = rnd(W.dup_line_char_fraction(F.col("lines")), 4)
+    tbf = rnd(W.top_bigram_char_fraction(F.col("text"), F.col("w")), 4)
+    swr = rnd(W.symbol_word_ratio(F.col("text"), F.col("w")), 4)
+    out = d.select(
+        "doc_id",
+        dlf.alias("dup_line_frac"),
+        dcf.alias("dup_char_frac"),
+        tbf.alias("top_bigram_frac"),
+        swr.alias("symbol_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        W.gopher_keep(
+            F.col("dup_line_frac"),
+            F.col("dup_char_frac"),
+            F.col("top_bigram_frac"),
+            F.col("symbol_ratio"),
+        ),
+    )
+
+
+# =========================================================================
+# URL canonicalization: host rollup + URL-level dedup
+# =========================================================================
+
+_URL_BASE_SQL = (
+    "'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+_URL_SQL = f"""
+      SELECT doc_id, lang, n_chars,
+             'https://www.' || {_URL_BASE_SQL}
+               || CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN '?utm_source=feed&x=1' WHEN 1 THEN '/'
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+"""
+
+
+def _url_base_col():
+    return F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _url_col():
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&x=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(
+        F.lit("")
+    )
+    return F.concat(
+        F.lit("https://www."), _url_base_col(), suffix, frag
+    )
+
+
+@q(
+    "host_stats",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             {W.canonical_url_sql("url")} AS canon
+      FROM u
+    )
+    SELECT regexp_extract(canon, '^([^/?#]+)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM c GROUP BY host
+    """,
+)
+def host_stats(spark, sf_dir):
+    """Per-host crawl rollup over canonicalized URLs (scheme/www/fragment/
+    tracking-param stripped — functions/webtext.canonical_url): doc count,
+    unique-URL count, language spread, mean size. URLs are synthesized
+    deterministically from doc_id (identically on both engines) since the
+    testdata has no URL column. ONE partial aggregation on host — map-side
+    combine reduces each partition to ≤|hosts| rows before the shuffle;
+    this is the per-domain quality table C4-style pipelines join against
+    for domain filtering."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", _url_col().alias("url")
+    )
+    c = u.select(
+        "lang",
+        "n_chars",
+        W.canonical_url(F.col("url")).alias("canon"),
+    )
+    return (
+        c.select(W.host_of(F.col("canon")).alias("host"), "canon", "lang",
+                 "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("canon").cast("bigint").alias("n_urls"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "url_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_URL_BASE_SQL} AS b FROM documents
+    ), raw AS (
+      SELECT doc_id, unnest([
+        'https://www.' || b,
+        'http://' || b || '?utm_campaign=x'
+      ]) AS url
+      FROM base
+    ), c AS (
+      SELECT doc_id, url, {W.canonical_url_sql("url")} AS canon FROM raw
+    )
+    SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+           min(url) AS kept_url, CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM c GROUP BY canon
+    """,
+)
+def url_dedup(spark, sf_dir):
+    """URL-level exact dedup after canonicalization: scheme/www/tracking
+    variants of the same resource collapse to one canonical key; the
+    keeper is the deterministic min raw URL. Each doc emits two synthetic
+    variants (https+www vs http+utm) that MUST collapse — n_variants = 2
+    on every row is the built-in self-check the oracle hashes. One
+    aggregation Exchange on the canonical key; at crawl scale this is the
+    first shuffle of the frontier pipeline and is pure map-side-combine
+    fodder (variants of a URL co-occur in crawl order)."""
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_base_col().alias("b")
+    )
+    raw = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://www."), F.col("b")),
+                F.concat(
+                    F.lit("http://"), F.col("b"), F.lit("?utm_campaign=x")
+                ),
+            )
+        ).alias("url"),
+    )
+    c = raw.select(
+        "doc_id", "url", W.canonical_url(F.col("url")).alias("canon")
+    )
+    return c.groupBy("canon").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.min("url").alias("kept_url"),
+        F.min("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
+# =========================================================================
+# Crawl snapshot diff (CDC between two corpus snapshots)
+# =========================================================================
+
+
+@q(
+    "snapshot_diff",
+    """
+    WITH a AS (
+      SELECT doc_id, text FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text = b.text THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Incremental-crawl CDC: classify every doc_id across two snapshots
+    as added / removed / changed / unchanged via ONE full-outer equi-join
+    on the key (snapshot B is derived deterministically from A on both
+    engines: 1-in-7 removed, 1-in-5 rewritten, 1-in-11 re-added under a
+    new id). At 100 TB both snapshots are bucketed by doc_id so the join
+    is co-located; text comparison rides inside the join projection —
+    change detection costs one shuffle-or-zero, never a second pass.
+    This is the resume/delta primitive (SURVEY §2 J4) generalized from
+    'which days are new' to full row-level drift."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.text") == F.col("b.text"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )

@@ -1,0 +1,149 @@
+"""Web-corpus hygiene operators (functions/webtext.py, plans/queries_web.py):
+unit behavior on crafted inputs + the plan shapes that make them scale.
+The cross-engine value checks live in tests/test_queries_oracle.py (the
+five queries are all oracle-backed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from multi_format_document_extractor_spark.functions import webtext as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _one(spark, text: str, cols: dict):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        *[c.alias(k) for k, c in cols.items()]
+    ).collect()[0]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    text = (
+        "reach me at jane.doe+spam@mail.example.co or +4915771234567, "
+        "server 192.168.0.1 backup 10.0.0.255; not-an-ip 1.2.3"
+    )
+    row = _one(
+        spark,
+        text,
+        {
+            "scrubbed": W.scrub_pii(F.col("text")),
+            "n_email": F.regexp_count(F.col("text"), F.lit(W.EMAIL_RE)),
+            "n_ip": F.regexp_count(F.col("text"), F.lit(W.IPV4_RE)),
+        },
+    )
+    assert "<EMAIL>" in row["scrubbed"]
+    assert "<PHONE>" in row["scrubbed"]
+    assert row["scrubbed"].count("<IP>") == 2
+    assert "jane.doe" not in row["scrubbed"]
+    assert "192.168" not in row["scrubbed"]
+    assert "1.2.3" in row["scrubbed"]  # 3-octet string is not an IPv4
+    assert row["n_email"] == 1 and row["n_ip"] == 2
+
+
+def test_scrub_pii_order_no_rematch(spark):
+    # after email redaction, the phone pass must not bite into '<EMAIL>'
+    row = _one(
+        spark,
+        "a+12345678b@x.io +12345678",
+        {"scrubbed": W.scrub_pii(F.col("text"))},
+    )
+    assert row["scrubbed"] == "<EMAIL> <PHONE>"
+
+
+def test_repetition_fractions_on_crafted_lines(spark):
+    # 4 lines, 'dup dup' twice: dup-line fraction 1/4
+    lines = ["dup dup", "dup dup", "uniq one", "uniq two"]
+    df = spark.createDataFrame([(lines,)], "lines array<string>")
+    row = df.select(
+        W.dup_line_fraction(F.col("lines")).alias("dlf"),
+        W.dup_line_char_fraction(F.col("lines")).alias("dcf"),
+    ).collect()[0]
+    assert abs(row["dlf"] - 0.25) < 1e-9
+    # dup chars = (2-1)*7 = 7 of total 7+7+8+8 = 30
+    assert abs(row["dcf"] - 7.0 / 30.0) < 1e-9
+
+
+def test_top_bigram_fraction_spam_doc(spark):
+    text = "buy now " * 10  # 'buy now' dominates
+    wordarr = W.words_of(F.col("text"))
+    row = _one(
+        spark,
+        text.strip(),
+        {"tbf": W.top_bigram_char_fraction(F.col("text"), wordarr)},
+    )
+    assert row["tbf"] > 0.20  # the Gopher gate would drop it
+
+
+def test_canonical_url_variants_collapse(spark):
+    variants = [
+        "https://www.Example.com/a/b?utm_source=x&id=2#frag",
+        "http://Example.com/a/b?id=2",
+        "https://Example.com/a/b?id=2&utm_campaign=y",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = [
+        r["c"]
+        for r in df.select(W.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert len(set(out)) == 1
+    assert out[0] == "Example.com/a/b?id=2"
+
+
+def test_canonical_url_bare_host_trailing_slash(spark):
+    row = _one(
+        spark,
+        "https://www.a.io/",
+        {"c": W.canonical_url(F.col("text")), "h": W.host_of(
+            W.canonical_url(F.col("text"))
+        )},
+    )
+    assert row["c"] == "a.io"
+    assert row["h"] == "a.io"
+
+
+def test_webtext_scan_queries_have_no_exchange(spark):
+    """pii_scrub and repetition_filter must stay scan → project (pure
+    codegen over the scan — the 100 TB shape); host_stats exactly one
+    aggregation Exchange."""
+    qs = entry_mod.queries()
+    for name in ("pii_scrub", "repetition_filter"):
+        p = plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in p, (name, p)
+        assert "Python" not in p and "MapInPandas" not in p, (name, p)
+    # host_stats carries two exact count-distincts → Expand + the standard
+    # two-phase distinct aggregation: at most 2 Exchanges, never more.
+    p = plan(qs["host_stats"](spark, SF_DIR))
+    assert 1 <= p.count("Exchange") <= 2, p
+
+
+def test_snapshot_diff_classes(spark):
+    """Every class appears and the partition sizes match the derivation
+    arithmetic on the sf0.001 documents table."""
+    df = entry_mod.queries()["snapshot_diff"](spark, SF_DIR)
+    by = {r["change_type"]: r["n"] for r in
+          df.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    n_removed = docs.where(F.col("doc_id") % 7 == 0).count()
+    n_added = docs.where(F.col("doc_id") % 11 == 0).count()
+    n_changed = docs.where(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 0)
+    ).count()
+    assert by["removed"] == n_removed
+    assert by["added"] == n_added
+    assert by["changed"] == n_changed
+    assert by["unchanged"] == n - n_removed - n_changed
+
+
+def test_url_dedup_collapses_both_variants(spark):
+    df = entry_mod.queries()["url_dedup"](spark, SF_DIR)
+    bad = df.where(F.col("n_variants") != 2).count()
+    assert bad == 0
