@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "quality_score",       # text quality
     "repetition_filter",   # Gopher repetition gate (HOF codegen)
     "url_dedup",           # canonical-URL dedup (explode + hash agg)
+    "paragraph_dedup",     # corpus-level span dedup (2-phase min-agg)
     "token_counts",        # tokenization stats
     "window_agg",          # tumbling window (batch)
     "training_corpus",     # quality gate → dedup keepers → split

@@ -166,6 +166,48 @@ def process_table(
     )
 
 
+def process_incremental(
+    pages: DataFrame,
+    prev_extracted: DataFrame,
+    salt_partitions: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Incremental re-extraction across crawl snapshots (the warehouse
+    day-resume of SURVEY §2 J4 generalized to row-level drift): run the
+    expensive UDF ONLY over pages that are new (url absent from the
+    previous run) or re-crawled (``warc_ts`` advanced past the previously
+    extracted row's — the crawl-snapshot change signal; the fixed input
+    schema carries no content hash, and hashing ``html`` natively would
+    read the payload for every row, which is exactly the work being
+    avoided). Unchanged urls reuse their previous extraction rows
+    verbatim; urls that left the corpus drop out.
+
+    Scale shape: two equi-joins on url (at 100 TB both tables are bucketed
+    by url, so the joins are co-located and shuffle-free) and ONE
+    mapInPandas stage whose input is the delta slice only — re-crawl rates
+    are single-digit percent per snapshot, so the expensive stage touches
+    ~1% of the corpus instead of 100%. Returns the extraction schema
+    (EXTRACT_DDL); feed through ``score_extracted`` as usual.
+    """
+    prev_key = prev_extracted.select(
+        "url", F.col("warc_ts").alias("_prev_ts")
+    )
+    annotated = pages.join(prev_key, "url", "left_outer")
+    todo = annotated.where(
+        F.col("_prev_ts").isNull() | (F.col("warc_ts") > F.col("_prev_ts"))
+    ).select(*pages.columns)
+    fresh = extract_pages(
+        todo, salt_partitions=salt_partitions, max_bytes=max_bytes
+    )
+    still = pages.select("url", F.col("warc_ts").alias("_new_ts"))
+    reused = (
+        prev_extracted.join(still, "url")
+        .where(F.col("warc_ts") >= F.col("_new_ts"))
+        .drop("_new_ts")
+    )
+    return fresh.unionByName(reused)
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,

@@ -165,6 +165,28 @@ def symbol_word_ratio(text: Column, wordarr: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# --- C4-style line rules --------------------------------------------------
+
+# Published C4 heuristics (Raffel et al. 2020 §2.2): a retained line must
+# end in terminal punctuation, carry at least 5 words, and not mention the
+# browser-boilerplate markers. Patterns are Java-regex/RE2 common subset.
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BLOCK_RE = r"javascript|cookie|lorem ipsum"
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_keep_line(line: Column) -> Column:
+    """The per-line C4 keep predicate (pure codegen; usable directly or as
+    an ``F.filter`` lambda over a split-lines array)."""
+    n_words = F.size(F.split(F.trim(line), r"\s+"))
+    return (
+        (n_words >= C4_MIN_LINE_WORDS)
+        & line.rlike(C4_TERMINAL_RE)
+        & ~F.lower(line).rlike(C4_BLOCK_RE)
+    )
+
+
 # --- URL canonicalization -------------------------------------------------
 
 _TRACKING_RE = r"(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?"
@@ -235,5 +257,10 @@ __all__ = [
     "canonical_url_sql",
     "host_of",
     "gopher_keep",
+    "C4_TERMINAL_RE",
+    "C4_BLOCK_RE",
+    "C4_MIN_LINE_WORDS",
+    "C4_MIN_KEPT_LINES",
+    "c4_keep_line",
     "rnd",
 ]

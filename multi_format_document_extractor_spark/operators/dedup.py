@@ -452,3 +452,68 @@ def simhash_hamming_pairs(
         .select("a", "b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the C4 "three-sentence span" /
+    RefinedWeb line-dedup step, at pseudo-paragraph granularity): every
+    paragraph that occurs anywhere else in the corpus is dropped from all
+    but its first occurrence — first = lowest (doc, position).
+
+    Paragraphs are deterministic ``width``-word chunks (extractor output is
+    single-line; real newline text would split on blank lines instead —
+    see ``functions.webtext.chunk_lines``). Returns one row per input doc:
+    (id, n_paras, n_kept, text_dedup) with kept paragraphs rejoined in
+    original order.
+
+    Scale shape: posexplode → TWO-PHASE min-aggregation on the paragraph
+    md5 (map-side combine collapses each partition's repeats before the
+    shuffle — this is why it's a groupBy + join-back rather than a single
+    window, whose per-key sort has no partial aggregation and melts on
+    boilerplate-hot paragraphs) → equi-join on the md5 (AQE skew-join
+    splits any residual hot hash) → one groupBy(id) rebuild. Three
+    Exchanges total, all on uniform md5/id keys; the reference has no
+    corpus-level notion at all (its pipeline is per-document,
+    ``src/pipeline.py:195-237``)."""
+    from ..functions import webtext as _W
+
+    pos_key = (F.col(id_col).cast("long") * F.lit(1_000_000_000)
+               + F.col("pos")).alias("_key")
+    ex = (
+        df.select(F.col(id_col), _W.words_of(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), _W.chunk_lines(F.col("_w"), width).alias("_p"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("_p")).alias("pos0", "para"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("para"),
+            F.md5(F.col("para")).alias("_fp"),
+        )
+        .select(F.col(id_col), "pos", "para", "_fp", pos_key)
+    )
+    keepers = ex.groupBy("_fp").agg(F.min("_key").alias("_min_key"))
+    j = ex.join(keepers, "_fp")
+    kept_struct = F.when(
+        F.col("_key") == F.col("_min_key"), F.struct("pos", "para")
+    )
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum((F.col("_key") == F.col("_min_key")).cast("long"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

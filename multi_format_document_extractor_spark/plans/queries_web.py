@@ -407,3 +407,246 @@ def snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("changed"))
         .alias("change_type"),
     )
+
+
+# =========================================================================
+# C4 line-level cleaning
+# =========================================================================
+
+_C4_PAGE_SQL = """
+      SELECT doc_id,
+             array_to_string(w[1:6], ' ') || '.' || chr(10)
+               || 'please enable javascript and accept our cookie policy.'
+               || chr(10)
+               || array_to_string(w[7:12], ' ') || '!' || chr(10)
+               || array_to_string(w[10:17], ' ')
+               || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || chr(10)
+               || array_to_string(w[2:4], ' ') || '.' AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE n_chars > 0)
+"""
+
+
+def _c4_page_col():
+    w = F.col("_w")
+    nl = F.lit("\n")
+    return F.concat(
+        F.array_join(F.slice(w, 1, 6), " "),
+        F.lit("."),
+        nl,
+        F.lit("please enable javascript and accept our cookie policy."),
+        nl,
+        F.array_join(F.slice(w, 7, 6), " "),
+        F.lit("!"),
+        nl,
+        F.array_join(F.slice(w, 10, 8), " "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        nl,
+        F.array_join(F.slice(w, 2, 3), " "),
+        F.lit("."),
+    )
+
+
+@q(
+    "c4_line_filter",
+    f"""
+    WITH t AS ({_C4_PAGE_SQL}),
+    l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM t
+    ), k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               len(string_split_regex(trim(x), '\\s+')) >= 5
+               AND regexp_matches(x, '[.!?"]$')
+               AND NOT regexp_matches(lower(x),
+                                      'javascript|cookie|lorem ipsum')
+             ) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(kept, chr(10)) AS kept_text,
+           len(kept) >= 3 AS keep
+    FROM k
+    """,
+)
+def c4_line_filter(spark, sf_dir):
+    """C4's line-level cleaning rules (Raffel et al. §2.2) as a native
+    array filter: a line survives iff it ends in terminal punctuation,
+    carries ≥5 words, and mentions none of the javascript/cookie/lorem
+    boilerplate markers; the document survives iff ≥3 lines survive. The
+    multi-line page text is synthesized deterministically from the corpus
+    word soup (identically on both engines — the testdata has no newlines),
+    then the OPERATOR does the real work: split on newline, per-line
+    predicate (functions/webtext.c4_keep_line), rejoin. Zero Exchange:
+    scan → project, whole-stage codegen end-to-end."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", W.words_of(F.col("text")).alias("_w"))
+        .select("doc_id", _c4_page_col().alias("text"))
+    )
+    lines = F.split(F.col("text"), r"\n")
+    d = d.select("doc_id", lines.alias("lines"))
+    kept = F.filter(F.col("lines"), W.c4_keep_line)
+    return d.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        (F.size(kept) >= W.C4_MIN_KEPT_LINES).alias("keep"),
+    )
+
+
+# =========================================================================
+# Corpus-level paragraph dedup
+# =========================================================================
+
+
+@q(
+    "paragraph_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), p AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(ceil(len(w) / 8.0) AS INT)),
+               i -> array_to_string(w[((i-1)*8+1):(i*8)], ' ')) AS paras
+      FROM d
+    ), e AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(paras))) AS pos,
+             unnest(paras) AS para
+      FROM p
+    ), k AS (
+      SELECT doc_id, pos, para,
+             doc_id * 1000000000 + pos AS key,
+             min(doc_id * 1000000000 + pos)
+               OVER (PARTITION BY md5(para)) AS min_key
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN key = min_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN key = min_key THEN para END,
+                               ' ' ORDER BY pos), '') AS text_dedup
+    FROM k GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Corpus-level duplicated-span removal (C4 three-sentence-span /
+    RefinedWeb line-dedup, at 8-word pseudo-paragraph granularity): a
+    paragraph seen anywhere else in the corpus survives only at its first
+    (doc, position) occurrence; per-doc output rejoins the kept paragraphs
+    in order (operators/dedup.paragraph_dedup). The corpus soup's small
+    vocabulary makes cross-doc repeats real, so the oracle checks genuine
+    collapses. Scale shape: two-phase min-agg on paragraph md5 (map-side
+    combine before the shuffle — deliberately NOT a window, whose per-key
+    sort has no partial agg and melts on boilerplate-hot paragraphs) →
+    md5 equi-join (AQE skew-split) → one groupBy(doc) rebuild."""
+    from ..operators.dedup import paragraph_dedup as _pd
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return _pd(d, "text", "doc_id", width=8)
+
+
+# =========================================================================
+# Per-host quota (domain balancing)
+# =========================================================================
+
+
+@q(
+    "host_quota",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    c AS (
+      SELECT doc_id, {W.canonical_url_sql("url")} AS canon FROM u
+    ), h AS (
+      SELECT doc_id, canon,
+             regexp_extract(canon, '^([^/?#]+)', 1) AS host
+      FROM c
+    )
+    SELECT host, canon, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY host ORDER BY md5(canon), canon) AS INT)
+             AS url_rank
+    FROM h
+    QUALIFY url_rank <= 5
+    """,
+)
+def host_quota(spark, sf_dir):
+    """Per-domain quota cap (RefinedWeb-style domain balancing / crawl
+    politeness): within each host, rank canonicalized URLs by md5 — a
+    fixed pseudo-random order, same sample every run, no sampling state —
+    and keep at most 5. ONE window Exchange on host; the rank is evaluated
+    inside the partition with no global sort. The md5-order trick is the
+    same deterministic-sampling primitive as operators/training.py's
+    stratified_sample, applied to the crawl frontier."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_col().alias("url")
+    )
+    c = u.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        W.canonical_url(F.col("url")).alias("canon"),
+    )
+    h = c.select(
+        "doc_id", "canon", W.host_of(F.col("canon")).alias("host")
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("host").orderBy(
+        F.md5(F.col("canon")).asc(), F.col("canon").asc()
+    )
+    return (
+        h.withColumn("url_rank", F.row_number().over(w))
+        .where(F.col("url_rank") <= 5)
+        .select("host", "canon", "doc_id", "url_rank")
+    )
+
+
+# =========================================================================
+# Incremental re-extraction (crawl-snapshot delta pipeline)
+# =========================================================================
+
+
+@q("incremental_extract")  # rows-only: output text comes from the UDF
+# extraction of binary payloads, which SQL cannot reproduce (same reason as
+# extract_pages); delta selection + reuse semantics are pinned in
+# tests/test_api.py::test_process_incremental_*
+def incremental_extract(spark, sf_dir):
+    """api.process_incremental over two derived corpus snapshots: snapshot
+    B re-crawls 1-in-5 urls (warc_ts advanced), drops 1-in-7, and keeps the
+    rest untouched. The UDF runs only over the re-crawled slice; untouched
+    urls reuse snapshot A's extraction rows verbatim. Returns per-url
+    (url, format, ok, checksum, reused) — reused = carried the old
+    warc_ts through."""
+    from ..api import process_incremental
+    from ..operators.extract import extract_pages
+    from ..sources.pages import read_pages
+    from .queries import _corpus_dir
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    prev = extract_pages(pages)
+    bump = F.col("url").rlike("[05]$")  # deterministic ~20% re-crawl set
+    drop = F.col("url").rlike("7$")
+    pages_b = pages.where(~drop).select(
+        "url",
+        F.when(bump, F.col("warc_ts") + F.expr("INTERVAL 7 DAYS"))
+        .otherwise(F.col("warc_ts"))
+        .alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    out = process_incremental(pages_b, prev)
+    return out.select(
+        "url",
+        "format",
+        "ok",
+        "checksum",
+        (~F.col("url").rlike("[05]$")).alias("reused"),
+    )

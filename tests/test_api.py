@@ -98,3 +98,53 @@ def test_run_pipeline_is_resumable(spark, corpus_dir, tmp_path):
     assert rec2["n_docs"] == 0  # nothing pending on resume
     assert scored2.count() == n1
     assert "confidence" in scored2.columns and "action" in scored2.columns
+
+
+def test_process_incremental_reuses_and_reextracts(spark, corpus_dir, tmp_path):
+    """The UDF must run ONLY over the delta slice: previous rows are
+    poisoned with a marker text, so any unchanged url still showing the
+    marker proves reuse (not re-extraction), and any changed/added url
+    showing real text proves the delta actually re-extracted."""
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pages,
+    )
+
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    prev_path = str(tmp_path / "prev_extracted")
+    extract_pages(pages).write.parquet(prev_path)
+    prev = spark.read.parquet(prev_path).withColumn(
+        "text_out", F.lit(b"PREV")
+    )
+
+    changed = F.col("url").rlike("0$")
+    dropped = F.col("url").rlike("7$")
+    base_b = pages.where(~dropped).select(
+        "url",
+        F.when(changed, F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+        .otherwise(F.col("warc_ts"))
+        .alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    added = pages.where(F.col("url").rlike("3$")).select(
+        F.concat(F.col("url"), F.lit("-new")).alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    )
+    pages_b = base_b.unionByName(added)
+
+    out = api.process_incremental(pages_b, prev)
+    assert _plan(out).count("MapInPandas") == 1  # delta slice only
+
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {
+        r["url"] for r in pages_b.select("url").collect()
+    }  # dropped urls gone, added urls present, no duplicates
+    for u, r in rows.items():
+        if u.endswith("-new") or u.endswith("0"):
+            assert bytes(r["text_out"]) != b"PREV", u  # re-extracted
+        else:
+            assert bytes(r["text_out"]) == b"PREV", u  # reused verbatim

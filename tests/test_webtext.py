@@ -147,3 +147,69 @@ def test_url_dedup_collapses_both_variants(spark):
     df = entry_mod.queries()["url_dedup"](spark, SF_DIR)
     bad = df.where(F.col("n_variants") != 2).count()
     assert bad == 0
+
+
+def test_c4_keep_line_rules(spark):
+    rows = [
+        ("short line.",),                      # <5 words
+        ("this line has five words.",),        # keep
+        ("no terminal punctuation here at all",),
+        ("Please enable JavaScript to view this page.",),  # blocklist
+        ("we use cookie tracking on this site.",),         # blocklist
+        ('he said "hello there my old friend"',),          # ends in quote
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    out = [
+        r["k"]
+        for r in df.select(W.c4_keep_line(F.col("line")).alias("k")).collect()
+    ]
+    assert out == [False, True, False, False, False, True]
+
+
+def test_c4_line_filter_plan_no_exchange(spark):
+    p = plan(entry_mod.queries()["c4_line_filter"](spark, SF_DIR))
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_paragraph_dedup_drops_later_occurrence(spark):
+    from multi_format_document_extractor_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-chunk
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + "iota kappa lamda mu nu xi omicron pi"),
+            (2, shared),  # exact repeat of doc 1's first paragraph
+            (3, "rho sigma tau upsilon phi chi psi omega"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_paras"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["text_dedup"] == ""
+    assert out[3]["n_kept"] == 1
+    assert out[1]["text_dedup"].startswith(shared)
+
+
+def test_paragraph_dedup_two_phase_agg_not_window(spark):
+    """The min-per-paragraph must be a partial (map-side) aggregation, not
+    a window: windows have no map-side combine, so a boilerplate-hot
+    paragraph would pull its entire occurrence set onto one task."""
+    p = plan(entry_mod.queries()["paragraph_dedup"](spark, SF_DIR))
+    assert "partial_min" in p, p
+    assert "Window" not in p, p
+
+
+def test_host_quota_bound(spark):
+    df = entry_mod.queries()["host_quota"](spark, SF_DIR).groupBy("host").agg(
+        F.count("*").alias("n"), F.max("url_rank").alias("mx")
+    )
+    rows = df.collect()
+    assert len(rows) == 37  # doc_id % 37 hosts
+    assert all(r["n"] <= 5 and r["mx"] <= 5 for r in rows)
