@@ -85,26 +85,24 @@ def dup_line_fraction(lines: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(
+        F.transform(arr, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def dup_line_char_fraction(lines: Column) -> Column:
-    """Fraction of characters sitting in repeated line occurrences:
-    Σ over distinct lines of (count−1)·len, over total line chars
-    (Gopher: drop if > 0.20)."""
-    dup_chars = F.aggregate(
-        F.transform(
-            F.array_distinct(lines),
-            lambda d: (
-                F.size(F.filter(lines, lambda x: x == d)) - 1
-            ).cast("long")
-            * F.length(d).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    total = F.aggregate(
-        F.transform(lines, lambda l: F.length(l).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Fraction of characters sitting in repeated line occurrences
+    (Gopher: drop if > 0.20). Computed algebraically as
+    (total − Σ distinct lens) / total — identical to Σ over distinct lines
+    of (count−1)·len, but LINEAR: the naive per-distinct
+    ``filter(lines, x == d)`` count is quadratic, and Spark performs no
+    CSE inside higher-order-function lambdas, so the naive form
+    re-evaluates the whole array per element."""
+    dup_chars = _char_sum(lines) - _char_sum(F.array_distinct(lines))
+    total = _char_sum(lines)
     return F.when(
         total > 0, dup_chars.cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
@@ -124,34 +122,59 @@ def bigrams_of(wordarr: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def top_gram_stats(grams: Column) -> tuple[Column, Column]:
-    """(max occurrence count, the lexicographically-first gram achieving
-    it) — the deterministic mode. Quadratic in DISTINCT grams × grams,
-    which is fine per document (docs are KB-scale after extraction); a
-    corpus with MB-scale single documents should pre-truncate (the
-    extractor's ``max_bytes`` cap upstream already bounds this)."""
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+def top_gram_run(grams: Column) -> Column:
+    """``struct(best int, best_gram string)``: the deterministic mode —
+    max occurrence count and the lexicographically-first gram achieving
+    it — via ONE linear fold over the SORTED gram array (equal grams are
+    adjacent after sorting, so the mode is the longest run; the strict
+    ``>`` update makes ties resolve to the earliest, i.e. smallest, gram).
+
+    Deliberately NOT the naive ``distinct × filter-count`` scan: Spark
+    performs no CSE inside higher-order-function lambdas, so that form
+    re-evaluates the full gram array per distinct element (effectively
+    cubic once the argmax filter nests it again) — measured as a
+    multi-minute hang at 5k docs. Callers should MATERIALIZE this struct
+    as a column before extracting fields; each field reference otherwise
+    re-runs the whole fold."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_gram"),
     )
-    max_cnt = F.coalesce(F.array_max(counts), F.lit(0))
-    pick = F.array_min(
-        F.filter(
-            F.array_distinct(grams),
-            lambda d: F.size(F.filter(grams, lambda x: x == d)) == max_cnt,
+
+    def merge(acc, x):
+        run_new = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1)
         )
+        better = run_new > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.when(better, run_new).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        merge,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["best_gram"].alias("best_gram")
+        ),
     )
-    return max_cnt, pick
 
 
 def top_bigram_char_fraction(text: Column, wordarr: Column) -> Column:
     """Fraction of text characters covered by the most frequent word
-    bigram: count·len(bigram)/len(text) (Gopher: drop if > 0.20)."""
-    grams = bigrams_of(wordarr)
-    max_cnt, pick = top_gram_stats(grams)
+    bigram: count·len(bigram)/len(text) (Gopher: drop if > 0.20).
+    Convenience wrapper evaluating the ``top_gram_run`` fold inline (3
+    field references → 3 linear folds); hot paths should materialize the
+    struct once instead (see ``plans/queries_web.repetition_filter``)."""
+    g = top_gram_run(bigrams_of(wordarr))
     return F.when(
-        (F.length(text) > 0) & (max_cnt > 0),
-        (max_cnt * F.length(pick)).cast("double")
+        (F.length(text) > 0) & (g["best"] > 0),
+        (g["best"] * F.length(g["best_gram"])).cast("double")
         / F.length(text).cast("double"),
     ).otherwise(F.lit(0.0))
 
@@ -250,7 +273,7 @@ __all__ = [
     "dup_line_fraction",
     "dup_line_char_fraction",
     "bigrams_of",
-    "top_gram_stats",
+    "top_gram_run",
     "top_bigram_char_fraction",
     "symbol_word_ratio",
     "canonical_url",

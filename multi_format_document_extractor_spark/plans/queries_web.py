@@ -179,10 +179,27 @@ def repetition_filter(spark, sf_dir):
     w = W.words_of(F.col("text"))
     d = d.select("doc_id", "text", w.alias("w"))
     lines = W.chunk_lines(F.col("w"), 8)
-    d = d.select("doc_id", "text", "w", lines.alias("lines"))
+    # Materialize the run-length fold ONCE: each field reference to a
+    # non-materialized aggregate re-runs the whole fold.
+    d = d.select(
+        "doc_id",
+        "text",
+        "w",
+        lines.alias("lines"),
+        W.top_gram_run(W.bigrams_of(F.col("w"))).alias("_g"),
+    )
     dlf = rnd(W.dup_line_fraction(F.col("lines")), 4)
     dcf = rnd(W.dup_line_char_fraction(F.col("lines")), 4)
-    tbf = rnd(W.top_bigram_char_fraction(F.col("text"), F.col("w")), 4)
+    tbf = rnd(
+        F.when(
+            (F.length("text") > 0) & (F.col("_g.best") > 0),
+            (F.col("_g.best") * F.length(F.col("_g.best_gram"))).cast(
+                "double"
+            )
+            / F.length("text").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
     swr = rnd(W.symbol_word_ratio(F.col("text"), F.col("w")), 4)
     out = d.select(
         "doc_id",
