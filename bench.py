@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "repetition_filter",   # Gopher repetition gate (HOF codegen)
     "url_dedup",           # canonical-URL dedup (explode + hash agg)
     "paragraph_dedup",     # corpus-level span dedup (2-phase min-agg)
+    "template_lines",      # site-template strip (cross-doc boilerplate)
     "token_counts",        # tokenization stats
     "window_agg",          # tumbling window (batch)
     "training_corpus",     # quality gate → dedup keepers → split

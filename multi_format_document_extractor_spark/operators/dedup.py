@@ -517,3 +517,87 @@ def paragraph_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def strip_template_lines(
+    df: DataFrame,
+    text_col: str,
+    host_col: str,
+    id_col: str,
+    width: int = 8,
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Site-level boilerplate removal (RefinedWeb-style template
+    stripping): a pseudo-line is a TEMPLATE for a host when it appears in
+    ≥ ``min_frac`` of that host's documents (hosts with < ``min_docs``
+    docs are never stripped — one page is not a template sample). Every
+    occurrence of a template line is removed from every doc of that host;
+    per-doc output rejoins the surviving lines in order:
+    (id, host, n_lines, n_template, text_clean).
+
+    The per-document repetition gate (Gopher rules) cannot see this class
+    of noise — a nav bar appears ONCE per page; only the cross-document
+    view exposes it. Scale shape: posexplode → distinct-doc count per
+    (host, line) — two-phase partial agg, same skew reasoning as
+    ``paragraph_dedup`` — a 37-row-per-host doc-count broadcast, the
+    template-set equi-join back (AQE skew-split on hot template lines),
+    and one groupBy(id) rebuild."""
+    from ..functions import webtext as _W
+
+    base = df.select(
+        F.col(id_col), F.col(host_col), F.col(text_col).alias("_txt")
+    )
+    ex = (
+        base.select(
+            F.col(id_col),
+            F.col(host_col),
+            _W.chunk_lines(_W.words_of(F.col("_txt")), width).alias("_p"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.posexplode(F.col("_p")).alias("pos0", "line"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("line"),
+        )
+    )
+    line_docs = ex.groupBy(host_col, "line").agg(
+        F.countDistinct(id_col).alias("_n_docs_with")
+    )
+    host_docs = base.groupBy(host_col).agg(
+        F.countDistinct(id_col).alias("_n_host_docs")
+    )
+    templates = (
+        line_docs.join(F.broadcast(host_docs), host_col)
+        .where(
+            (F.col("_n_host_docs") >= min_docs)
+            & (
+                F.col("_n_docs_with").cast("double")
+                / F.col("_n_host_docs").cast("double")
+                >= min_frac
+            )
+        )
+        .select(F.col(host_col), "line", F.lit(True).alias("_is_template"))
+    )
+    flagged = ex.join(templates, [host_col, "line"], "left_outer")
+    kept_struct = F.when(
+        F.col("_is_template").isNull(), F.struct("pos", "line")
+    )
+    return flagged.groupBy(id_col, host_col).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("_is_template").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_template"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

@@ -445,6 +445,13 @@ def extract_html(
     blocks = _scan_blocks(data) if USE_FAST_SCANNER else _blocks_ref(data)
     kept: list[str] = []
     for b in blocks:
+        # Whitespace collapse never lengthens a string, so the raw part-length
+        # sum is an upper bound on len(text()): blocks under min_chars can
+        # never classify as content — skip their collapse entirely (the
+        # boilerplate majority on link-farm pages). Byte-identical output:
+        # the skip only elides computing a string that would be discarded.
+        if sum(map(len, b.text_parts)) < min_chars:
+            continue
         t = b.text()
         if classify_block(len(t), b.link_chars, b.n_tags, ld_max, min_chars, td_min):
             kept.append(t)

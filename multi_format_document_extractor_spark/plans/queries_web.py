@@ -172,9 +172,11 @@ def repetition_filter(spark, sf_dir):
     deterministic 8-word chunks (extractor output is single-line; real
     newline-bearing text would split on '\\n' instead —
     functions/webtext.chunk_lines). Zero Exchange: scan → project; the
-    top-gram mode is quadratic in per-doc DISTINCT bigrams, bounded by the
-    extractor's max_bytes cap upstream. The gate compares ROUNDED values on
-    both engines so the boundary is engine-exact."""
+    top-gram mode is ONE linear run-length fold over the sorted bigrams
+    (functions/webtext.top_gram_run — Spark has no CSE inside HOF lambdas,
+    so the naive distinct×count scan was effectively cubic), materialized
+    once as a column. The gate compares ROUNDED values on both engines so
+    the boundary is engine-exact."""
     d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     w = W.words_of(F.col("text"))
     d = d.select("doc_id", "text", w.alias("w"))
@@ -667,3 +669,299 @@ def incremental_extract(spark, sf_dir):
         "checksum",
         (~F.col("url").rlike("[05]$")).alias("reused"),
     )
+
+
+# =========================================================================
+# Gopher composed quality gate (non-repetition rules)
+# =========================================================================
+
+
+@q(
+    "gopher_quality",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonws,
+             len(regexp_extract_all(text,
+                 '(?i)\b(the|a|and|of|to|in|is|it)\b')) AS stop_hits,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS alpha_words,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS syms
+      FROM d
+    ), r AS (
+      SELECT doc_id,
+             CAST(n_words AS INT) AS n_words,
+             round(CASE WHEN n_words > 0 THEN n_nonws / (1.0 * n_words)
+                        ELSE 0.0 END, 4) AS mean_word_len,
+             CAST(stop_hits AS INT) AS stop_hits,
+             round(CASE WHEN n_words > 0 THEN alpha_words / (1.0 * n_words)
+                        ELSE 0.0 END, 4) AS alpha_frac,
+             round(CASE WHEN n_words > 0 THEN syms / (1.0 * n_words)
+                        ELSE 0.0 END, 4) AS symbol_ratio
+      FROM m
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND stop_hits >= 2
+            AND alpha_frac >= 0.80
+            AND symbol_ratio <= 0.10) AS keep
+    FROM r
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """Gopher's non-repetition quality rules (Rae et al. §A.1.1) composed
+    as one gate: word-count bounds [50, 100k], mean word length [3, 10],
+    ≥2 stopword hits, ≥80% alphabetic words, symbol-to-word ratio ≤ 0.1.
+    Complements `repetition_filter` (the §A.2.1 half). Zero Exchange —
+    scan → project, one linear HOF for the alpha-word fraction; the gate
+    compares ROUNDED values on both engines so boundaries are
+    engine-exact."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "text", W.words_of(F.col("text")).alias("w"))
+    )
+    n_words = F.size("w")
+    n_nonws = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    stop_hits = F.regexp_count(
+        F.col("text"), F.lit(r"(?i)\b(the|a|and|of|to|in|is|it)\b")
+    )
+    alpha_words = F.size(
+        F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))
+    )
+    syms = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+
+    def ratio(num):
+        return F.when(
+            n_words > 0, num.cast("double") / n_words.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    r = d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        rnd(
+            F.when(
+                n_words > 0,
+                n_nonws.cast("double") / n_words.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_word_len"),
+        stop_hits.cast("int").alias("stop_hits"),
+        rnd(ratio(alpha_words), 4).alias("alpha_frac"),
+        rnd(ratio(syms), 4).alias("symbol_ratio"),
+    )
+    return r.withColumn(
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("alpha_frac") >= 0.80)
+        & (F.col("symbol_ratio") <= 0.10),
+    )
+
+
+# =========================================================================
+# Site-template line removal (cross-document boilerplate)
+# =========================================================================
+
+_TPL_TEXT_SQL = """
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) AS host,
+             'welcome to the official host' || CAST(doc_id % 37 AS VARCHAR)
+               || ' portal news index ' || text AS text2
+      FROM documents WHERE n_chars > 0
+"""
+
+
+@q(
+    "template_lines",
+    f"""
+    WITH d AS ({_TPL_TEXT_SQL}),
+    p AS (
+      SELECT doc_id, host,
+             list_transform(
+               generate_series(1, CAST(ceil(len(w) / 8.0) AS INT)),
+               i -> array_to_string(w[((i-1)*8+1):(i*8)], ' ')) AS paras
+      FROM (SELECT doc_id, host,
+                   string_split_regex(trim(text2), '\\s+') AS w
+            FROM d)
+    ), e AS (
+      SELECT doc_id, host,
+             unnest(generate_series(1, len(paras))) AS pos,
+             unnest(paras) AS line
+      FROM p
+    ), ld AS (
+      SELECT host, line, count(DISTINCT doc_id) AS n_docs_with
+      FROM e GROUP BY host, line
+    ), hd AS (
+      SELECT host, count(DISTINCT doc_id) AS n_host_docs
+      FROM d GROUP BY host
+    ), tpl AS (
+      SELECT ld.host, ld.line
+      FROM ld JOIN hd USING (host)
+      WHERE n_host_docs >= 2
+        AND n_docs_with / (1.0 * n_host_docs) >= 0.5
+    ), f AS (
+      SELECT e.doc_id, e.host, e.pos, e.line,
+             tpl.line IS NOT NULL AS is_t
+      FROM e LEFT JOIN tpl ON e.host = tpl.host AND e.line = tpl.line
+    )
+    SELECT doc_id, host,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_template,
+           coalesce(string_agg(CASE WHEN NOT is_t THEN line END,
+                               ' ' ORDER BY pos), '') AS text_clean
+    FROM f GROUP BY doc_id, host
+    """,
+)
+def template_lines(spark, sf_dir):
+    """Site-level boilerplate removal (operators/dedup.strip_template_lines):
+    a pseudo-line occurring in ≥50% of a host's documents is that host's
+    template (nav/footer) and is stripped from every doc. Each doc gets a
+    deterministic 8-word host banner prepended (identically on both
+    engines) so every host has a real template to find; bodies survive.
+    This is the cross-document noise class the per-document Gopher gates
+    cannot see — a nav bar appears once per page. Shapes: two-phase
+    distinct-doc count per (host, line), broadcast host-doc counts,
+    template equi-join back, one rebuild groupBy."""
+    from ..operators.dedup import strip_template_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 37).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.lit("welcome to the official host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(" portal news index "),
+            F.col("text"),
+        ).alias("text2"),
+    )
+    return strip_template_lines(d, "text2", "host", "doc_id", width=8)
+
+
+# =========================================================================
+# Eval-set decontamination (8-gram overlap)
+# =========================================================================
+
+_CANARY = " the quick brown fox jumps over the lazy sleeping dog"
+
+
+@q(
+    "decontaminate",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             doc_id % 97 = 0 AS is_eval,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 53 = 0
+                  THEN text || '{_CANARY}' ELSE text END AS text
+      FROM documents WHERE n_chars > 0
+    ), g AS (
+      SELECT doc_id, is_eval,
+             unnest(list_transform(
+               generate_series(1, CASE WHEN len(w) >= 8
+                                       THEN len(w) - 7 ELSE 0 END),
+               i -> array_to_string(w[i:(i+7)], ' '))) AS gram
+      FROM (SELECT doc_id, is_eval,
+                   string_split_regex(trim(text), '\\s+') AS w
+            FROM aug)
+    ), ev AS (
+      SELECT DISTINCT gram FROM g WHERE is_eval
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE NOT g.is_eval
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Pile lineage): flag every training
+    document sharing any word 8-gram with the held-out eval set. The eval
+    split is doc_id % 97; a deterministic canary sentence is planted in
+    both the eval docs and a known leak set (doc_id % 53) so the overlap
+    is real and exactly known — natural soup 8-grams were verified
+    non-overlapping. Scale shape: the eval n-gram set is benchmark-sized
+    (eval suites are tiny vs the corpus), so it BROADCASTS; the training
+    side is one scan + narrow explode + broadcast-hash semi-join + one
+    per-doc agg — the corpus is never shuffled by gram."""
+    from ..operators.dedup import shingles_of
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    is_eval = F.col("doc_id") % 97 == 0
+    planted = is_eval | (F.col("doc_id") % 53 == 0)
+    aug = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.when(planted, F.concat(F.col("text"), F.lit(_CANARY)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ex = (
+        aug.select(
+            "doc_id", "is_eval", W.words_of(F.col("text")).alias("w")
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(shingles_of(F.col("w"), 8)).alias("gram"),
+        )
+    )
+    ev = ex.where(F.col("is_eval")).select("gram").distinct()
+    return (
+        ex.where(~F.col("is_eval"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_shared"))
+    )
+
+
+# =========================================================================
+# Language-mismatch confusion matrix (corpus QA)
+# =========================================================================
+
+
+@q(
+    "lang_mismatch",
+    None,  # oracle late-bound below (reuses queries._LANG_SQL as a CTE)
+)
+def lang_mismatch(spark, sf_dir):
+    """Corpus-QA confusion matrix: the stored ``lang`` label vs the
+    engine's marker-based ``lang_id`` prediction, aggregated to
+    (lang, lang_pred, n_docs, is_match). The language filter every
+    training pipeline applies is only as good as this table says it is.
+    ONE aggregation Exchange on the (lang, lang_pred) pair — 12×13 cells
+    max, pure map-side combine."""
+    from ..functions import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "lang", TS.lang_id(F.col("text")).alias("lang_pred")
+    )
+    return (
+        p.groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn("is_match", F.col("lang") == F.col("lang_pred"))
+    )
+
+
+# Late-bind the lang_mismatch oracle: _LANG_SQL is module-level in
+# plans.queries, already imported by the time this module loads.
+from .queries import _LANG_SQL as _LANG_SQL_IMPORT  # noqa: E402
+from .queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["lang_mismatch"] = f"""
+    WITH pred AS ({_LANG_SQL_IMPORT})
+    SELECT d.lang, p.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           d.lang = p.lang_pred AS is_match
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+"""

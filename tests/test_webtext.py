@@ -213,3 +213,84 @@ def test_host_quota_bound(spark):
     rows = df.collect()
     assert len(rows) == 37  # doc_id % 37 hosts
     assert all(r["n"] <= 5 and r["mx"] <= 5 for r in rows)
+
+
+def test_strip_template_lines_crafted_hosts(spark):
+    from multi_format_document_extractor_spark.operators.dedup import (
+        strip_template_lines,
+    )
+
+    banner = "site nav home about contact login search help"  # 8 words
+    rows = [
+        (1, "a", banner + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "a", banner + " iota kappa lamda mu nu xi omicron pi"),
+        (3, "a", banner + " rho sigma tau upsilon phi chi psi omega"),
+        (4, "b", banner),  # single-doc host: never stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_template_lines(df, "text", "host", "doc_id").collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i]["n_lines"] == 2 and out[i]["n_template"] == 1
+        assert banner not in out[i]["text_clean"]
+        assert out[i]["text_clean"] != ""
+    assert out[4]["n_template"] == 0  # min_docs guard
+    assert out[4]["text_clean"] == banner
+
+
+def test_gopher_quality_gate_boundaries(spark):
+    df = entry_mod.queries()["gopher_quality"](spark, SF_DIR)
+    rows = df.collect()
+    # gate must be exactly the conjunction of its published rules on the
+    # rounded columns — recomputed independently here
+    for r in rows:
+        expect = (
+            50 <= r["n_words"] <= 100000
+            and 3.0 <= r["mean_word_len"] <= 10.0
+            and r["stop_hits"] >= 2
+            and r["alpha_frac"] >= 0.80
+            and r["symbol_ratio"] <= 0.10
+        )
+        assert r["keep"] == expect, r
+    # non-degenerate on the corpus: both outcomes occur
+    assert {r["keep"] for r in rows} == {True, False}
+
+
+def test_gopher_quality_plan_no_exchange(spark):
+    p = plan(entry_mod.queries()["gopher_quality"](spark, SF_DIR))
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_decontaminate_flags_exact_leak_set(spark):
+    df = entry_mod.queries()["decontaminate"](spark, SF_DIR)
+    got = {r["doc_id"]: r["n_shared"] for r in df.collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("n_chars") > 0
+    )
+    expected = {
+        r["doc_id"]
+        for r in docs.where(
+            (F.col("doc_id") % 53 == 0) & (F.col("doc_id") % 97 != 0)
+        ).collect()
+    }
+    # every planted leak is flagged; additional flags are legitimate
+    # NATURAL soup 8-gram overlaps with the eval docs (corpus-dependent —
+    # sf0.001 has some, sf0.01 has none)
+    assert expected.issubset(set(got))
+    # planted leaks carry ≥ the 3 pure-canary 8-grams
+    assert all(got[d] >= 3 for d in expected)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p, p  # eval gram set broadcasts
+    assert "SortMergeJoin" not in p, p  # corpus never shuffled by gram
+
+
+def test_lang_mismatch_matrix_totals(spark):
+    df = entry_mod.queries()["lang_mismatch"](spark, SF_DIR)
+    rows = df.collect()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n  # a true partition of docs
+    for r in rows:
+        assert r["is_match"] == (r["lang"] == r["lang_pred"])
