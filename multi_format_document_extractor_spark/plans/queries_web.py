@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import webtext as W
 from ..functions.rounding import rnd
-from .queries import _t, q
+from .queries import QUERIES, _t, q
 
 # =========================================================================
 # PII scrubbing (redaction-as-columns)
@@ -965,3 +965,60 @@ _ORACLES["lang_mismatch"] = f"""
     FROM documents d JOIN pred p USING (doc_id)
     GROUP BY d.lang, p.lang_pred
 """
+
+
+# =========================================================================
+# Composed cleaning pipeline (quality → repetition → dedup), per-doc verdict
+# =========================================================================
+
+# The composed oracle reuses the three stage oracles verbatim as CTE
+# subqueries — captured here at module-exec time (pre-rounding-pass;
+# the pass rewrites the composed string exactly as it rewrites the
+# individual ones, keeping stage and pipeline oracles in lockstep).
+_PIPELINE_SQL = f"""
+    WITH g AS ({_ORACLES['gopher_quality']}),
+    r AS ({_ORACLES['repetition_filter']}),
+    p AS ({_ORACLES['paragraph_dedup']})
+    SELECT g.doc_id,
+           CASE WHEN NOT g.keep THEN 'quality'
+                WHEN NOT r.keep THEN 'repetition'
+                WHEN p.n_kept < 0.5 * p.n_paras THEN 'duplication'
+                ELSE 'kept' END AS stage
+    FROM g JOIN r ON g.doc_id = r.doc_id
+           JOIN p ON g.doc_id = p.doc_id
+"""
+
+
+@q("web_clean_pipeline", _PIPELINE_SQL)
+def web_clean_pipeline(spark, sf_dir):
+    """The composed C4/RefinedWeb-style cleaning pipeline as ONE query:
+    every document gets the first stage that rejects it — 'quality'
+    (Gopher §A.1.1 gate) → 'repetition' (Gopher §A.2.1 gate) →
+    'duplication' (majority of its paragraphs are corpus-level dups) →
+    'kept'. Built by JOINING the three registered stage queries on doc_id,
+    and the oracle composes the same three oracle SQLs as CTEs — the
+    pipeline can never drift from its stages. Heuristic gates run before
+    the dedup verdict is consulted, mirroring the published pipeline order
+    (filter-then-dedup); at scale the two gate legs are pure scan→project
+    and fold into one pass, so the only real cost is paragraph_dedup's
+    aggregation, shared with the standalone stage."""
+    g = QUERIES["gopher_quality"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    r = QUERIES["repetition_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("r_keep")
+    )
+    p = QUERIES["paragraph_dedup"](spark, sf_dir).select(
+        "doc_id", "n_paras", "n_kept"
+    )
+    j = g.join(r, "doc_id").join(p, "doc_id")
+    return j.select(
+        "doc_id",
+        F.when(~F.col("q_keep"), F.lit("quality"))
+        .when(~F.col("r_keep"), F.lit("repetition"))
+        .when(
+            F.col("n_kept") < 0.5 * F.col("n_paras"), F.lit("duplication")
+        )
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+    )
