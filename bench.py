@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "url_dedup",           # canonical-URL dedup (explode + hash agg)
     "paragraph_dedup",     # corpus-level span dedup (2-phase min-agg)
     "template_lines",      # site-template strip (cross-doc boilerplate)
+    "lm_doc_score",        # CCNet-style LM quality buckets (bcast model)
+    "outlink_graph",       # href extract → host link graph
     "token_counts",        # tokenization stats
     "window_agg",          # tumbling window (batch)
     "training_corpus",     # quality gate → dedup keepers → split

@@ -247,6 +247,34 @@ def canonical_url_sql(expr: str) -> str:
     return u
 
 
+# --- Outlink / crawl-policy extraction -------------------------------------
+
+# Group-1 extraction patterns, Java-regex/RE2 common subset (no lookaround).
+HREF_RE = r'href="([^"]+)"'
+ROBOTS_META_RE = r'<meta name="robots" content="([^"]*)"'
+CANONICAL_HREF_RE = r'<link rel="canonical" href="([^"]*)"'
+
+
+def outlink_hosts(html: Column) -> Column:
+    """Hosts of every outlink on a page: href extraction → URL
+    canonicalization → host, as one nested HOF over the regex match array
+    (pure codegen — the crawl-frontier/link-graph primitive)."""
+    return F.transform(
+        F.regexp_extract_all(html, F.lit(HREF_RE), 1),
+        lambda u: host_of(canonical_url(u)),
+    )
+
+
+def robots_directives(html: Column) -> Column:
+    """``struct(noindex, nofollow)`` from the page's robots meta tag
+    (absent tag ⇒ both false — crawl-policy default is allow)."""
+    content = F.regexp_extract(html, ROBOTS_META_RE, 1)
+    return F.struct(
+        content.rlike("noindex").alias("noindex"),
+        content.rlike("nofollow").alias("nofollow"),
+    )
+
+
 def gopher_keep(
     dup_line_frac: Column,
     dup_char_frac: Column,
@@ -285,5 +313,10 @@ __all__ = [
     "C4_MIN_LINE_WORDS",
     "C4_MIN_KEPT_LINES",
     "c4_keep_line",
+    "HREF_RE",
+    "ROBOTS_META_RE",
+    "CANONICAL_HREF_RE",
+    "outlink_hosts",
+    "robots_directives",
     "rnd",
 ]

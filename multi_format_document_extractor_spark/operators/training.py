@@ -160,6 +160,137 @@ def stratified_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group TOKEN-budget quota (the corpus-mixing primitive: hit a
+    target token mixture across sources/languages, DoReMi/Pile-style
+    static weights). Rows are laid out in each group in the md5-of-id
+    order (a fixed pseudo-random order — same sample every run, no
+    sampling state) and kept while their FIRST token lands inside the
+    budget (the boundary document is included, mirroring
+    ``pack_sequences``' convention), so every group contributes ≈
+    ``budget`` tokens regardless of its document count or size mix —
+    the token-weighted generalization of ``stratified_sample``'s count
+    quota.
+
+    Adds ``cum_before`` (tokens laid out ahead of this doc) and ``kept``.
+    ONE window Exchange on the group key; the running sum is evaluated
+    inside each partition, integer-exact on both engines."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "cum_before", (cum - F.col(token_col)).cast("bigint")
+    ).withColumn("kept", F.col("cum_before") < budget)
+
+
+def unigram_model(
+    ref: DataFrame, word_arr_col: str, min_count: int = 5
+) -> DataFrame:
+    """Unigram reference model (CCNet lineage: a language model trained on
+    a trusted reference corpus scores candidate web text; KenLM's 5-gram
+    perplexity becomes a unigram corpus-frequency table here so the scores
+    stay integer-exact and engine-portable — no logs, no floats until one
+    final division). Returns ``(word, cnt)`` for every word occurring at
+    least ``min_count`` times in the reference slice.
+
+    ``min_count`` is the vocabulary bound: under a Zipf word law the
+    vocabulary with count ≥ k grows ~n/k·(1/s-ish), and in practice a
+    count-≥-5 web vocabulary is small enough to BROADCAST (CCNet itself
+    prunes its LM vocab) — that broadcast is what keeps scoring map-side.
+    One aggregation Exchange on word, map-side combined."""
+    return (
+        ref.select(F.explode(F.col(word_arr_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    word_arr_col: str = "w",
+    head_ppm: float = 33450.0,
+    tail_ppm: float = 33150.0,
+    max_oov_frac: float = 0.05,
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet perplexity-bucketing stage):
+    every document gets its mean reference-frequency in parts-per-million
+    of the model mass (``freq_ppm``), an out-of-vocabulary word fraction
+    (``oov_frac``), a head/middle/tail bucket, and the composed keep gate
+    (not tail, OOV below ``max_oov_frac``).
+
+    Determinism: counts are integers end-to-end; ``freq_ppm`` is ONE IEEE
+    division of exactly-represented operands (Σcnt·10⁶ and n_words·total
+    both < 2⁵³), so any engine computes the identical double, and the
+    bucket boundaries compare ROUNDED values (functions/rounding.py).
+    Normalizing by the model's total mass makes the score scale-invariant:
+    reference counts grow linearly with corpus size, ppm does not.
+
+    Scale shape: the model side is vocab-bounded and BROADCASTS; the
+    corpus side is one scan → narrow explode → broadcast-hash left join →
+    one per-doc aggregation (map-side combined). The corpus is never
+    shuffled by word. The scalar total joins as a broadcast 1-row
+    crossJoin. Building the model inline makes its subplan run twice in
+    one job (model + total — Spark shares no subplans across a crossJoin);
+    both runs cost only reference-slice work (CCNet's reference is ~10³×
+    smaller than the corpus it scores), and a production run materializes
+    the model table once and amortizes it across scoring batches."""
+    tot = model.agg(F.sum("cnt").cast("bigint").alias("_t"))
+    ex = docs.select(
+        F.col(id_col), F.explode(F.col(word_arr_col)).alias("word")
+    )
+    s = (
+        ex.join(F.broadcast(model), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("_f"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_oov"),
+        )
+    )
+    from ..functions.rounding import rnd
+
+    out = s.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.col("_n").cast("int").alias("n_words"),
+        rnd(F.col("_oov").cast("double") / F.col("_n").cast("double"), 4)
+        .alias("oov_frac"),
+        rnd(
+            F.col("_f").cast("double")
+            * 1000000.0
+            / (F.col("_n") * F.col("_t")).cast("double"),
+            2,
+        ).alias("freq_ppm"),
+    )
+    bucket = (
+        F.when(F.col("freq_ppm") >= head_ppm, F.lit("head"))
+        .when(F.col("freq_ppm") < tail_ppm, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    out = out.withColumn("bucket", bucket)
+    return out.withColumn(
+        "keep",
+        (F.col("bucket") != "tail") & (F.col("oov_frac") <= max_oov_frac),
+    )
+
+
 def assemble_training_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -989,6 +989,472 @@ _PIPELINE_SQL = f"""
 """
 
 
+# =========================================================================
+# Model-based quality scoring (CCNet perplexity-bucketing shape)
+# =========================================================================
+
+# 1-in-9 docs get six unique-per-doc gibberish tokens appended — each
+# occurs ≤ once in the reference slice, so it stays below min_count and is
+# genuinely out-of-vocabulary (a shared canary would enter the model).
+_OOV_SQL = "".join(
+    f" || ' q' || CAST(doc_id AS VARCHAR) || 'x{j}'" for j in range(1, 7)
+)
+
+
+def _oov_suffix():
+    parts = []
+    for j in range(1, 7):
+        parts += [
+            F.lit(" q"),
+            F.col("doc_id").cast("string"),
+            F.lit(f"x{j}"),
+        ]
+    return F.concat(*parts)
+
+
+@q(
+    "lm_doc_score",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 9 = 0 THEN text{_OOV_SQL}
+                  ELSE text END AS text
+      FROM documents WHERE n_chars > 0
+    ), d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+      FROM aug
+    ), ref AS (
+      SELECT unnest(w) AS word FROM d WHERE lang = 'en'
+    ), model AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ref
+      GROUP BY word HAVING count(*) >= 5
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS t FROM model
+    ), ex AS (
+      SELECT doc_id, unnest(w) AS word FROM d
+    ), s AS (
+      SELECT ex.doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS f,
+             CAST(sum(CASE WHEN m.word IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS oov
+      FROM ex LEFT JOIN model m USING (word) GROUP BY ex.doc_id
+    ), r AS (
+      SELECT doc_id, CAST(n AS INT) AS n_words,
+             round(oov / (1.0 * n), 4) AS oov_frac,
+             round(f * 1000000.0 / (n * t), 2) AS freq_ppm
+      FROM s, tot
+    ), b AS (
+      SELECT *,
+             CASE WHEN freq_ppm >= 33450.0 THEN 'head'
+                  WHEN freq_ppm < 33150.0 THEN 'tail'
+                  ELSE 'middle' END AS bucket
+      FROM r
+    )
+    SELECT doc_id, n_words, oov_frac, freq_ppm, bucket,
+           bucket <> 'tail' AND oov_frac <= 0.05 AS keep
+    FROM b
+    """,
+)
+def lm_doc_score(spark, sf_dir):
+    """CCNet-style model-based quality bucketing
+    (operators/training.unigram_model + lm_quality_score): a unigram
+    frequency model trained on the reference slice (``lang = 'en'``, the
+    CCNet target-language-Wikipedia role) scores every document's mean
+    reference-frequency in ppm of the model mass, plus an OOV fraction;
+    documents land in head/middle/tail buckets with a composed keep gate.
+    Planted unique-per-doc gibberish (1-in-9 docs) makes the OOV path
+    real. Scale: the count-≥-5 vocabulary is broadcast-sized (CCNet prunes
+    its LM the same way); corpus side = scan → explode → broadcast-hash
+    left join → ONE per-doc agg; the corpus is never shuffled by word
+    (pinned in tests/test_webtext.py). The ppm normalization makes the
+    bucket thresholds scale-invariant (reference counts grow with the
+    corpus; ppm of model mass does not — verified stable at sf0.001/0.01/
+    0.1)."""
+    from ..operators.training import lm_quality_score, unigram_model
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), _oov_suffix()),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = aug.select(
+        "doc_id", "lang", W.words_of(F.col("text")).alias("w")
+    )
+    model = unigram_model(d.where(F.col("lang") == "en"), "w", min_count=5)
+    return lm_quality_score(
+        d, model, id_col="doc_id", word_arr_col="w",
+        head_ppm=33450.0, tail_ppm=33150.0, max_oov_frac=0.05,
+    )
+
+
+# =========================================================================
+# Outlink extraction → host link graph (crawl-frontier primitive)
+# =========================================================================
+
+_LINK_PAGE_SQL = """
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS src_host,
+             '<p>x</p>'
+               || '<a href="https://www.host'
+               || CAST((doc_id * 7) % 37 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id * 3 AS VARCHAR)
+               || '?utm_source=feed">a</a> '
+               || '<a href="https://www.host'
+               || CAST((doc_id * 7 + 13) % 37 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id * 3 + 1 AS VARCHAR)
+               || '/">b</a> '
+               || '<a href="http://host'
+               || CAST((doc_id * 7 + 26) % 37 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id * 3 + 2 AS VARCHAR)
+               || '#s">c</a>' AS html
+      FROM documents
+"""
+
+
+def _link_page_cols():
+    def a(host_shift: int, page_shift: int, prefix: str, suffix: str):
+        return [
+            F.lit(f'<a href="{prefix}host'),
+            ((F.col("doc_id") * 7 + host_shift) % 37).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") * 3 + page_shift).cast("string"),
+            F.lit(f'{suffix}">'),
+        ]
+
+    html = F.concat(
+        F.lit("<p>x</p>"),
+        *a(0, 0, "https://www.", "?utm_source=feed"),
+        F.lit("a</a> "),
+        *a(13, 1, "https://www.", "/"),
+        F.lit("b</a> "),
+        *a(26, 2, "http://", "#s"),
+        F.lit("c</a>"),
+    )
+    src = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com"),
+    )
+    return src.alias("src_host"), html.alias("html")
+
+
+@q(
+    "outlink_graph",
+    f"""
+    WITH t AS ({_LINK_PAGE_SQL}),
+    e AS (
+      SELECT src_host,
+             unnest(list_transform(
+               regexp_extract_all(html, 'href="([^"]+)"', 1),
+               u -> regexp_extract({W.canonical_url_sql("u")},
+                                   '^([^/?#]+)', 1)
+             )) AS dst_host
+      FROM t
+    )
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM e GROUP BY src_host, dst_host
+    """,
+)
+def outlink_graph(spark, sf_dir):
+    """The crawl-frontier/link-graph primitive: extract every href on the
+    page (group-1 regex over raw HTML), canonicalize each URL, reduce to
+    the host link graph (src_host, dst_host, n_links). Pages are
+    synthesized deterministically from doc_id (3 anchors each, scheme/www/
+    tracking/fragment variants included so canonicalization does real
+    work — identically on both engines); the OPERATOR is
+    functions/webtext.outlink_hosts: regexp_extract_all → nested HOF
+    canonicalize → host, all codegen. ONE aggregation Exchange on the edge
+    key, map-side combined — at crawl scale this is the PageRank/frontier
+    input table and the host graph is ~10⁶× smaller than the page
+    corpus."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", *_link_page_cols()
+    )
+    e = t.select(
+        "src_host",
+        F.explode(W.outlink_hosts(F.col("html"))).alias("dst_host"),
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("n_links")
+    )
+
+
+# =========================================================================
+# Host PageRank over the outlink graph (crawl prioritization)
+# =========================================================================
+
+# The oracle unrolls the same 3 Jacobi iterations as chained CTEs. Each
+# edge contribution is quantized to a multiple of 1/2^20 BEFORE the
+# per-host sum so summation order cannot matter (operators/graph.py).
+_EDGES_SQL = f"""
+      SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      FROM (
+        SELECT src_host,
+               unnest(list_transform(
+                 regexp_extract_all(html, 'href="([^"]+)"', 1),
+                 u -> regexp_extract({W.canonical_url_sql("u")},
+                                     '^([^/?#]+)', 1)
+               )) AS dst_host
+        FROM ({_LINK_PAGE_SQL})
+      ) GROUP BY src_host, dst_host
+"""
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    return f"""
+    c{k} AS (
+      SELECT e.dst_host AS host,
+             sum(floor(r.rank * e.n_links / ow.ow * 1048576.0 + 0.5)
+                 / 1048576.0) AS s
+      FROM e JOIN r{k - 1} r ON e.src_host = r.host
+             JOIN ow ON e.src_host = ow.src_host
+      GROUP BY e.dst_host
+    ), r{k} AS (
+      SELECT h.host,
+             (1.0 - 0.85) / nn.c + 0.85 * coalesce(c{k}.s, 0.0) AS rank
+      FROM hosts h CROSS JOIN nn LEFT JOIN c{k} ON h.host = c{k}.host
+    )"""
+
+
+@q(
+    "host_pagerank",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    hosts AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM e
+        UNION ALL SELECT dst_host FROM e)
+    ),
+    nn AS (SELECT count(*) AS c FROM hosts),
+    ow AS (
+      SELECT src_host, CAST(sum(n_links) AS BIGINT) AS ow
+      FROM e GROUP BY src_host
+    ),
+    r0 AS (SELECT host, 1.0 / c AS rank FROM hosts, nn),
+    {_pagerank_iter_sql(1)},
+    {_pagerank_iter_sql(2)},
+    {_pagerank_iter_sql(3)}
+    SELECT host, round(rank, 6) AS rank FROM r3
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """Crawl-prioritization PageRank (operators/graph.host_pagerank) over
+    the host link graph that ``outlink_graph`` extracts: 3 fixed Jacobi
+    iterations, damping 0.85, weighted by link multiplicity. Cross-engine
+    exact because each edge contribution is quantized to 1/2²⁰ before the
+    only order-dependent step (the per-host sum); everything else is
+    single-op IEEE chains — the DuckDB oracle unrolls the identical
+    iterations and hash-matches. Scale: the host graph is ~10⁶× smaller
+    than the corpus; ranks/out-degrees broadcast into the edge join, one
+    map-side-combined groupBy(dst) per iteration, edges checkpointed once
+    (bounded lineage, like connected_components)."""
+    from ..operators.graph import host_pagerank as _pr
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", *_link_page_cols()
+    )
+    e = t.select(
+        "src_host",
+        F.explode(W.outlink_hosts(F.col("html"))).alias("dst_host"),
+    )
+    edges = e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("n_links")
+    )
+    return _pr(edges, n_iter=3, damping=0.85)
+
+
+# =========================================================================
+# Token-budget corpus mixing (per-group token quota)
+# =========================================================================
+
+
+@q(
+    "token_budget_mix",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS INT) AS n_chars,
+           CAST(cum - n_chars AS BIGINT) AS cum_before,
+           cum - n_chars < 6000 AS kept
+    FROM r
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Corpus mixing by token budget
+    (operators/training.token_budget_sample): every language contributes
+    ≈6000 chars (the token proxy) to the mix — documents are laid out per
+    group in fixed md5 order and kept while their first token lands inside
+    the budget. The token-weighted generalization of stratified_sample's
+    count quota (static mixing weights, DoReMi/Pile lineage). ONE window
+    Exchange on the group key; integer-exact running sum."""
+    from ..operators.training import token_budget_sample
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    return token_budget_sample(
+        d, group_col="lang", id_col="doc_id", token_col="n_chars",
+        budget=6000,
+    )
+
+
+# =========================================================================
+# Robots/canonical crawl-policy gate
+# =========================================================================
+
+_ROBOTS_PAGE_SQL = """
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) AS self_url,
+             '<head>'
+               || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN
+                      '<meta name="robots" content="noindex, nofollow">'
+                    WHEN 1 THEN
+                      '<meta name="robots" content="index, follow">'
+                    WHEN 2 THEN
+                      '<meta name="robots" content="noarchive">'
+                    ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN
+                    '<link rel="canonical" href="https://www.host'
+                      || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+                      || CAST(doc_id + 1 AS VARCHAR) || '">'
+                  WHEN doc_id % 6 = 3 THEN
+                    '<link rel="canonical" href="https://host'
+                      || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+                      || CAST(doc_id AS VARCHAR) || '/">'
+                  ELSE '' END
+               || '<title>t</title></head>' AS html
+      FROM documents
+"""
+
+
+def _robots_page_cols():
+    self_url = F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    meta = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit('<meta name="robots" content="index, follow">'),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit('<meta name="robots" content="noarchive">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    canon = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://www.host'),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://host'),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit('/">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<head>"), meta, canon, F.lit("<title>t</title></head>")
+    )
+    return self_url.alias("self_url"), html.alias("html")
+
+
+@q(
+    "robots_gate",
+    f"""
+    WITH t AS ({_ROBOTS_PAGE_SQL}),
+    f AS (
+      SELECT doc_id, self_url,
+             regexp_extract(html,
+               '<meta name="robots" content="([^"]*)"', 1) AS robots,
+             regexp_extract(html,
+               '<link rel="canonical" href="([^"]*)"', 1) AS canon_href
+      FROM t
+    )
+    SELECT doc_id,
+           robots LIKE '%noindex%' AS noindex,
+           robots LIKE '%nofollow%' AS nofollow,
+           canon_href <> ''
+             AND {W.canonical_url_sql("canon_href")} <> self_url
+             AS canonical_mismatch,
+           NOT (robots LIKE '%noindex%')
+             AND NOT (canon_href <> ''
+                      AND {W.canonical_url_sql("canon_href")} <> self_url)
+             AS crawl_keep
+    FROM f
+    """,
+)
+def robots_gate(spark, sf_dir):
+    """Crawl-policy gating: honor the page's own ``<meta name="robots">``
+    directives (noindex/nofollow) and detect canonical-URL mismatch (the
+    page declares a DIFFERENT canonical → it is a duplicate view and the
+    canonical target should be kept instead — rel=canonical is the
+    site-asserted twin of url_dedup). ``crawl_keep`` composes both. Heads
+    are synthesized deterministically from doc_id (3 robots classes ×
+    mismatching/self-variant/absent canonical links — the self-variant
+    link canonicalizes EQUAL so only true mismatches flag). Zero Exchange:
+    scan → project, two group-1 regex extracts + the canonicalization
+    chain, all codegen (functions/webtext.robots_directives)."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", *_robots_page_cols()
+    )
+    r = W.robots_directives(F.col("html"))
+    canon_href = F.regexp_extract(F.col("html"), W.CANONICAL_HREF_RE, 1)
+    f = t.select(
+        "doc_id",
+        "self_url",
+        r.alias("_r"),
+        canon_href.alias("canon_href"),
+    )
+    mismatch = (F.col("canon_href") != "") & (
+        W.canonical_url(F.col("canon_href")) != F.col("self_url")
+    )
+    return f.select(
+        "doc_id",
+        F.col("_r.noindex").alias("noindex"),
+        F.col("_r.nofollow").alias("nofollow"),
+        mismatch.alias("canonical_mismatch"),
+        (~F.col("_r.noindex") & ~mismatch).alias("crawl_keep"),
+    )
+
+
 @q("web_clean_pipeline", _PIPELINE_SQL)
 def web_clean_pipeline(spark, sf_dir):
     """The composed C4/RefinedWeb-style cleaning pipeline as ONE query:

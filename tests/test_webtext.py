@@ -294,3 +294,124 @@ def test_lang_mismatch_matrix_totals(spark):
     assert sum(r["n_docs"] for r in rows) == n  # a true partition of docs
     for r in rows:
         assert r["is_match"] == (r["lang"] == r["lang_pred"])
+
+
+def test_outlink_hosts_extract_and_canonicalize(spark):
+    row = _one(
+        spark,
+        '<a href="https://www.x.io/a?utm_source=f">1</a> '
+        '<b>no link</b> <a href="http://y.net/b/#frag">2</a>',
+        {"h": W.outlink_hosts(F.col("text"))},
+    )
+    assert row["h"] == ["x.io", "y.net"]
+
+
+def test_robots_directives_absent_defaults_allow(spark):
+    row = _one(
+        spark,
+        "<head><title>t</title></head>",
+        {"r": W.robots_directives(F.col("text"))},
+    )
+    assert row["r"]["noindex"] is False and row["r"]["nofollow"] is False
+    row = _one(
+        spark,
+        '<head><meta name="robots" content="noindex, nofollow"></head>',
+        {"r": W.robots_directives(F.col("text"))},
+    )
+    assert row["r"]["noindex"] is True and row["r"]["nofollow"] is True
+
+
+def test_robots_gate_classes(spark):
+    df = entry_mod.queries()["robots_gate"](spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    for doc_id, r in rows.items():
+        assert r["noindex"] == (doc_id % 4 == 0)
+        assert r["nofollow"] == (doc_id % 4 == 0)
+        # canonical mismatch only for the %6==0 class; the %6==3
+        # self-variant link canonicalizes EQUAL and must not flag
+        assert r["canonical_mismatch"] == (doc_id % 6 == 0)
+        assert r["crawl_keep"] == (doc_id % 4 != 0 and doc_id % 6 != 0)
+    p = plan(df)
+    assert "Exchange" not in p, p
+
+
+def test_outlink_graph_degree_conservation(spark):
+    df = entry_mod.queries()["outlink_graph"](spark, SF_DIR)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # 3 outlinks per page, all extracted and attributed
+    assert sum(r["n_links"] for r in rows) == 3 * n_docs
+    assert all(
+        r["src_host"].endswith(".example.com")
+        and r["dst_host"].endswith(".example.com")
+        for r in rows
+    )
+    # executed AQE plans print Final + Initial sections — count the final
+    p = plan(df).split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_lm_doc_score_oov_plant_and_buckets(spark):
+    df = entry_mod.queries()["lm_doc_score"](spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 9 == 0:
+            # six unique-per-doc gibberish tokens → real OOV, gate drops
+            assert r["oov_frac"] > 0.05, r
+            assert r["keep"] is False
+        else:
+            assert r["oov_frac"] == 0.0, r
+    # buckets non-degenerate on this corpus (verified at sf0.01/0.1 too)
+    buckets = {r["bucket"] for r in rows.values()}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_lm_doc_score_corpus_never_shuffled_by_word(spark):
+    """The scoring side must join the model via broadcast: the corpus is
+    shuffled ONLY by doc_id (one per-doc agg); the word-key exchanges
+    belong to the (reference-slice-sized) model build."""
+    p = plan(entry_mod.queries()["lm_doc_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning(doc_id") == 1, p
+
+
+def test_host_pagerank_hub_ranks_highest(spark):
+    from multi_format_document_extractor_spark.operators.graph import (
+        host_pagerank,
+    )
+
+    # star graph: everyone links to hub (weight 1); hub links back to a
+    edges = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)],
+        "src_host string, dst_host string, n_links bigint",
+    )
+    r = {x["host"]: x["rank"] for x in host_pagerank(edges).collect()}
+    assert set(r) == {"a", "b", "c", "hub"}
+    assert r["hub"] == max(r.values())
+    assert r["a"] > r["b"] == r["c"]  # hub's backlink boosts a
+    # no dangling hosts here → mass conserved (up to 6-dp rounding)
+    assert abs(sum(r.values()) - 1.0) < 4 * 5e-7
+    # deterministic: bit-identical on a rebuild
+    r2 = {x["host"]: x["rank"] for x in host_pagerank(edges).collect()}
+    assert r == r2
+
+
+def test_token_budget_mix_group_budgets(spark):
+    df = entry_mod.queries()["token_budget_mix"](spark, SF_DIR)
+    rows = df.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r["kept"]]
+        assert kept, lang
+        # every kept doc started inside the budget
+        assert all(r["cum_before"] < 6000 for r in kept)
+        # the quota binds: either the group ran out of docs, or the kept
+        # set crosses the budget (boundary doc included)
+        total = sum(r["n_chars"] for r in kept)
+        if len(kept) < len(rs):
+            assert total >= 6000, (lang, total)
+    p = plan(df).split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning") == 1, p
