@@ -247,6 +247,36 @@ def canonical_url_sql(expr: str) -> str:
     return u
 
 
+# --- Block classification (relational form of the extractor's rule) --------
+
+
+def classify_block_col(
+    text_chars: Column,
+    link_chars: Column,
+    n_tags: Column,
+    link_density_max: float = 0.33,
+    min_content_chars: int = 25,
+    text_density_min: float = 8.0,
+) -> Column:
+    """Native mirror of ``oracle.classify_block`` (the extraction
+    contract's per-block rule, oracle.py — keep the two in lockstep;
+    defaults are the 'default' profile): a block is main content iff it
+    has ≥ ``min_content_chars`` text chars, link density ≤
+    ``link_density_max`` and text density (chars per tag) ≥
+    ``text_density_min``. Pure codegen over integer block stats, so the
+    same rule the mapInPandas extractor applies per block is available
+    declaratively over block-feature tables."""
+    return (
+        (text_chars > 0)
+        & (text_chars >= min_content_chars)
+        & (
+            link_chars / (F.lit(1.0) * text_chars)
+            <= link_density_max
+        )
+        & (text_chars / (F.lit(1.0) + n_tags) >= text_density_min)
+    )
+
+
 # --- Outlink / crawl-policy extraction -------------------------------------
 
 # Group-1 extraction patterns, Java-regex/RE2 common subset (no lookaround).
@@ -313,6 +343,7 @@ __all__ = [
     "C4_MIN_LINE_WORDS",
     "C4_MIN_KEPT_LINES",
     "c4_keep_line",
+    "classify_block_col",
     "HREF_RE",
     "ROBOTS_META_RE",
     "CANONICAL_HREF_RE",

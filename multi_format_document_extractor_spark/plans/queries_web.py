@@ -1188,6 +1188,185 @@ def outlink_graph(spark, sf_dir):
 
 
 # =========================================================================
+# Block classification with neighbor context (Boilerpipe-style)
+# =========================================================================
+
+
+@q(
+    "block_classify",
+    """
+    WITH b AS (
+      SELECT doc_id, unnest(generate_series(1, 5)) AS pos
+      FROM documents WHERE n_chars > 0
+    ), f AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos,
+             CAST(10 + (doc_id * 13 + pos * 29) % 80 AS INT) AS text_chars,
+             CAST(CASE WHEN (doc_id + pos) % 4 = 0
+                  THEN 10 + (doc_id * 13 + pos * 29) % 80
+                  ELSE (doc_id + pos) % 7 END AS INT) AS link_chars,
+             CAST((doc_id * 7 + pos * 3) % 12 AS INT) AS n_tags
+      FROM b
+    ), c AS (
+      SELECT *,
+             text_chars >= 25
+               AND link_chars / (1.0 * text_chars) <= 0.33
+               AND text_chars / (1.0 + n_tags) >= 8.0 AS base_keep
+      FROM f
+    ), r AS (
+      SELECT *,
+             coalesce(lag(base_keep) OVER w, false) AS prev_keep,
+             coalesce(lead(base_keep) OVER w, false) AS next_keep
+      FROM c
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, pos, text_chars, link_chars, n_tags,
+           round(link_chars / (1.0 * text_chars), 4) AS link_density,
+           round(text_chars / (1.0 + n_tags), 4) AS text_density,
+           base_keep,
+           base_keep OR (text_chars >= 15 AND prev_keep AND next_keep)
+             AS keep
+    FROM r
+    """,
+)
+def block_classify(spark, sf_dir):
+    """The extraction contract's block-classification rule
+    (oracle.classify_block — link density ≤ 0.33, ≥25 text chars, text
+    density ≥ 8 chars/tag) as a DECLARATIVE operator over block-feature
+    rows, extended with Boilerpipe's neighbor-context rescue (Kohlschütter
+    et al.: a short block flanked by two content blocks is content —
+    context the extractor's per-block rule cannot see). Block features are
+    synthesized deterministically from (doc_id, pos) so every class
+    appears — link-heavy, tag-soup, short, rescued — identically on both
+    engines; the OPERATOR is functions/webtext.classify_block_col (pinned
+    in lockstep with the UDF's rule by tests/test_webtext.py) + one
+    lag/lead window. ONE window Exchange on doc_id; block features ride
+    with the extraction output at scale, so this composes downstream of
+    the UDF stage with no extra scan."""
+    b = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("pos"),
+        )
+    )
+    did, pos = F.col("doc_id"), F.col("pos")
+    f = b.select(
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        (10 + (did * 13 + pos * 29) % 80).cast("int").alias("text_chars"),
+        F.when(
+            (did + pos) % 4 == 0,
+            10 + (did * 13 + pos * 29) % 80,
+        )
+        .otherwise((did + pos) % 7)
+        .cast("int")
+        .alias("link_chars"),
+        ((did * 7 + pos * 3) % 12).cast("int").alias("n_tags"),
+    )
+    c = f.withColumn(
+        "base_keep",
+        W.classify_block_col(
+            F.col("text_chars"), F.col("link_chars"), F.col("n_tags")
+        ),
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("doc_id").orderBy("pos")
+    r = c.withColumn(
+        "prev_keep", F.coalesce(F.lag("base_keep").over(w), F.lit(False))
+    ).withColumn(
+        "next_keep", F.coalesce(F.lead("base_keep").over(w), F.lit(False))
+    )
+    return r.select(
+        "doc_id",
+        "pos",
+        "text_chars",
+        "link_chars",
+        "n_tags",
+        rnd(
+            F.col("link_chars") / (F.lit(1.0) * F.col("text_chars")), 4
+        ).alias("link_density"),
+        rnd(
+            F.col("text_chars") / (F.lit(1.0) + F.col("n_tags")), 4
+        ).alias("text_density"),
+        "base_keep",
+        (
+            F.col("base_keep")
+            | (
+                (F.col("text_chars") >= 15)
+                & F.col("prev_keep")
+                & F.col("next_keep")
+            )
+        ).alias("keep"),
+    )
+
+
+# =========================================================================
+# Anchor-text index (per-target link-text aggregation)
+# =========================================================================
+
+_ANCHOR_FULL_RE = r'<a href="[^"]+">[^<]*</a>'
+_ANCHOR_HREF_SQL = W.canonical_url_sql(
+    "regexp_extract(a, 'href=\"([^\"]+)\"', 1)"
+)
+
+
+@q(
+    "anchor_texts",
+    f"""
+    WITH t AS ({_LINK_PAGE_SQL}),
+    m AS (
+      SELECT unnest(regexp_extract_all(html, '{_ANCHOR_FULL_RE}')) AS a
+      FROM t
+    ), e AS (
+      SELECT regexp_extract({_ANCHOR_HREF_SQL},
+               '^([^/?#]+)', 1) AS dst_host,
+             regexp_extract(a, '>([^<]*)<', 1) AS anchor
+      FROM m
+    )
+    SELECT dst_host,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchors
+    FROM e GROUP BY dst_host
+    """,
+)
+def anchor_texts(spark, sf_dir):
+    """The anchor-text index (the classic off-page relevance signal:
+    what OTHER pages' link text says about a target): every ``<a>`` is
+    matched whole, then href and anchor text are pulled out per match
+    (regexp_extract_all yields only one group, so pairing href with its
+    text REQUIRES the match-then-project shape — a single two-group
+    extraction would mis-pair them), the href canonicalizes to the target
+    host, and anchors aggregate per host as (count, sorted distinct
+    texts). ONE aggregation Exchange on dst_host, map-side combined; at
+    crawl scale this is the retrieval-index side table built in the same
+    pass as ``outlink_graph``."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", *_link_page_cols()
+    )
+    m = t.select(
+        F.explode(
+            F.regexp_extract_all(F.col("html"), F.lit(_ANCHOR_FULL_RE), 0)
+        ).alias("a")
+    )
+    e = m.select(
+        W.host_of(
+            W.canonical_url(
+                F.regexp_extract(F.col("a"), W.HREF_RE, 1)
+            )
+        ).alias("dst_host"),
+        F.regexp_extract(F.col("a"), r">([^<]*)<", 1).alias("anchor"),
+    )
+    return e.groupBy("dst_host").agg(
+        F.count("*").cast("bigint").alias("n_anchors"),
+        F.array_join(
+            F.sort_array(F.collect_set("anchor")), " | "
+        ).alias("anchors"),
+    )
+
+
+# =========================================================================
 # Host PageRank over the outlink graph (crawl prioritization)
 # =========================================================================
 

@@ -415,3 +415,65 @@ def test_token_budget_mix_group_budgets(spark):
             assert total >= 6000, (lang, total)
     p = plan(df).split("== Initial Plan ==")[0]
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_classify_block_col_lockstep_with_oracle(spark):
+    """The native block rule must agree with oracle.classify_block (the
+    extraction contract) on a dense stat sweep, including every
+    threshold boundary."""
+    from multi_format_document_extractor_spark.oracle import classify_block
+
+    stats = [
+        (t, l, g)
+        for t in (0, 1, 24, 25, 26, 33, 80, 200)
+        for l in (0, 1, 8, 11, 26, 27, 80)
+        for g in (0, 2, 3, 9, 10, 24)
+        if l <= t or t == 0
+    ]
+    df = spark.createDataFrame(
+        stats, "text_chars int, link_chars int, n_tags int"
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            W.classify_block_col(
+                F.col("text_chars"), F.col("link_chars"), F.col("n_tags")
+            ).alias("k")
+        ).collect()
+    ]
+    want = [classify_block(t, l, g) for t, l, g in stats]
+    assert got == want
+
+
+def test_block_classify_rescue_classes(spark):
+    df = entry_mod.queries()["block_classify"](spark, SF_DIR)
+    rows = df.collect()
+    rescued = [r for r in rows if r["keep"] and not r["base_keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    kept = [r for r in rows if r["base_keep"]]
+    assert rescued and dropped and kept  # all classes exercised
+    # rescue only ever fires strictly between two content blocks
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["pos"]] = r
+    for r in rescued:
+        assert 1 < r["pos"] < 5
+        assert by_doc[r["doc_id"]][r["pos"] - 1]["base_keep"]
+        assert by_doc[r["doc_id"]][r["pos"] + 1]["base_keep"]
+        assert r["text_chars"] >= 15
+    p = plan(df).split("== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_anchor_texts_pairing(spark):
+    """href and its own anchor text must stay paired (the match-then-
+    project shape); anchors aggregate sorted-distinct per target host."""
+    df = entry_mod.queries()["anchor_texts"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_anchors"] for r in rows) == 3 * n_docs
+    for r in rows:
+        parts = r["anchors"].split(" | ")
+        assert parts == sorted(set(parts))
+        assert set(parts) <= {"a", "b", "c"}
