@@ -1844,6 +1844,48 @@ def warehouse_resume_q(spark, sf_dir):
     )
 
 
+@q("warehouse_compact")  # rows-only: filesystem snapshot side effects
+def warehouse_compact_q(spark, sf_dir):
+    """S10 completion: small-file compaction — two committed runs are
+    rewritten into ONE compacted run (kind='compact', replaces=[...]),
+    atomically at the marker rename; content and per-(day, format)
+    lineage checksums are preserved by construction (asserted in
+    tests/test_warehouse.py — Σ crc32 mod 2³² is order-insensitive).
+    Returns the post-compaction lineage table: exactly one visible run,
+    one row per (day, format)."""
+    import shutil
+    import tempfile
+
+    from ..sinks import Warehouse
+    from ..sources.pages import read_pages
+
+    root = tempfile.mkdtemp(prefix="mfde_whc_")
+    try:
+        wh = Warehouse(root)
+        pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+        first_day = pages.select(
+            F.min(F.date_format("warc_ts", "yyyy-MM-dd")).alias("d")
+        ).collect()[0]["d"]
+        wh.run(
+            spark,
+            pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == first_day),
+            run_id="day1",
+        )
+        wh.run(spark, pages, run_id="rest")
+        wh.compact(spark, run_id="compacted")
+        lineage = wh.read_lineage(spark).select(
+            "run_id", "day", "format", "doc_count", "byte_count", "checksum"
+        )
+        rows = lineage.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "run_id string, day string, format string, doc_count long, "
+        "byte_count long, checksum long",
+    )
+
+
 @q("multimodal_meta")  # rows-only: stubbed codec, deterministic fake decode
 def multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata via a pandas-UDF

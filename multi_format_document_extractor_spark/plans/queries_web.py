@@ -1,11 +1,17 @@
-"""Registry extension 3: web-corpus hygiene operators (round 3).
+"""Registry extension 3: web-corpus hygiene + crawl-graph operators
+(round 3).
 
-The filters a Common-Crawl-scale training pipeline runs between extraction
-and dedup — PII scrubbing, Gopher-style repetition gates, URL
-canonicalization / host rollups / URL-level dedup, and crawl snapshot
-diffing. The reference never needed these (its corpus is 5 office
-documents, ``src/pipeline.py:207-215``); they are the web-text analog of
-its validation/normalization layer (``src/utils/validators.py``,
+What a Common-Crawl-scale training pipeline runs between extraction and
+training: PII scrubbing, Gopher repetition/quality gates, C4 line rules,
+URL canonicalization / host rollups / quotas / URL dedup, corpus-level
+paragraph dedup, site-template removal, eval-set decontamination,
+CCNet-style LM quality bucketing, token-budget mixing, block
+classification with neighbor context, the outlink/host link graph with
+PageRank and the anchor-text index, robots/canonical crawl gating, crawl
+snapshot diffing, and incremental re-extraction. The reference never
+needed these (its corpus is 5 office documents,
+``src/pipeline.py:207-215``); they are the web-text analog of its
+validation/normalization layer (``src/utils/validators.py``,
 ``src/parsers/*`` cleanup passes). Same contract as plans/queries.py:
 every Spark query paired with DuckDB oracle SQL, column names and the
 ``rnd()`` rounding contract aligned on both sides.

@@ -88,8 +88,16 @@ class Warehouse:
 
     @staticmethod
     def _data_run_ids(commits: list[dict]) -> list[str]:
-        # seal markers carry no data dir — readers must skip them
-        return [c["run_id"] for c in commits if c.get("kind") != "seal"]
+        # seal markers carry no data dir; runs replaced by a later
+        # compaction commit are superseded — readers must skip both
+        replaced: set[str] = set()
+        for c in commits:
+            replaced.update(c.get("replaces", []))
+        return [
+            c["run_id"]
+            for c in commits
+            if c.get("kind") != "seal" and c["run_id"] not in replaced
+        ]
 
     def committed_run_ids(self) -> list[str]:
         return self._data_run_ids(self.commits())
@@ -228,6 +236,102 @@ class Warehouse:
         }
         marker = os.path.join(
             self.commits_dir, f"{record['seq']:06d}-{record['run_id']}.json"
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, marker)
+        return record
+
+    # -- compaction ----------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        run_id: str | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict | None:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` in
+        miniature): rewrite every visible data run into ONE compacted run —
+        repartitioned on (day, format) so each output partition collapses
+        to a file-per-partition layout — and commit a ``kind='compact'``
+        snapshot whose ``replaces`` list supersedes the rewritten runs.
+        Readers resolve visibility from the commit log alone, so the swap
+        is atomic at the marker rename, exactly like an append; a crash
+        before the marker leaves the compacted files as invisible orphans
+        and every old run still visible (no data-loss window).
+
+        Operationally necessary at 10¹² docs: every restart/micro-batch
+        adds a run directory, and the resume union's file listing (plus
+        downstream scan planning) degrades linearly with run count;
+        compaction restores O(days×formats) files. Content-preserving by
+        construction — the rewrite is a pure re-layout, and the lineage
+        read-back re-derives per-(day, format) doc/byte/checksum rows that
+        must EQUAL the pre-compaction aggregates (Σ crc32 mod 2³² is
+        order-insensitive and duplicate-sensitive — the test invariant).
+        Sealed-day state carries through untouched. Returns the commit
+        record, or None when ≤1 data run is visible (nothing to compact).
+        Single writer assumed, like ``run``."""
+        commits = self.commits()
+        ids = self._data_run_ids(commits)
+        if len(ids) <= 1:
+            return None
+        run_id = run_id or f"compact_{uuid.uuid4().hex[:12]}"
+        df = self.read_extracted(spark, _commits=commits).drop("run_id")
+        data_path = os.path.join(self.runs_dir, f"run_id={run_id}")
+        (
+            df.repartition("day", "format")
+            .write.partitionBy("day", "format")
+            .mode("errorifexists")
+            .parquet(data_path)
+        )
+        written = (
+            spark.read.option("basePath", data_path)
+            .schema(RESULT_DDL)
+            .parquet(data_path)
+        )
+        lineage = (
+            written.withColumn("day", F.col("day").cast("string"))
+            .withColumn("format", F.col("format").cast("string"))
+            .groupBy("day", "format")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("in_bytes").alias("byte_count"),
+                F.pmod(
+                    F.sum(F.col("checksum").cast("decimal(28,0)")),
+                    F.lit(4294967296),
+                )
+                .cast("long")
+                .alias("checksum"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "day",
+                "format",
+                "doc_count",
+                "byte_count",
+                "checksum",
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        lineage_path = os.path.join(self.lineage_dir, f"run_id={run_id}")
+        lineage.write.mode("errorifexists").parquet(lineage_path)
+        lrows = spark.read.schema(LINEAGE_DDL).parquet(lineage_path).collect()
+        record = {
+            "run_id": run_id,
+            "kind": "compact",
+            "replaces": ids,
+            "seq": len(commits),
+            "n_docs": int(sum(r["doc_count"] for r in lrows)),
+            "n_bytes": int(sum(r["byte_count"] for r in lrows)),
+            # re-layout only: sealed days carry through unchanged
+            "complete_days": sorted(self._complete_days(commits)),
+            "committed_at": time.time(),
+        }
+        if fail_before_commit:
+            return record
+        marker = os.path.join(
+            self.commits_dir, f"{record['seq']:06d}-{run_id}.json"
         )
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

@@ -177,3 +177,80 @@ def test_salt_bounds_partition_bytes(spark, pages):
         f"max partition holds {max_part/total:.1%} "
         f"({adj:.1%} beyond one atomic doc)"
     )
+
+
+def test_compaction_preserves_content_and_lineage(spark, pages, tmp_path):
+    """T3 extension: compaction rewrites N runs into one, byte-identically,
+    with per-(day, format) lineage checksums EQUAL pre/post, run count and
+    file count reduced, sealed days carried through, and resume still a
+    no-op afterwards."""
+    import os
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    first_day = pages.select(
+        F.min(F.date_format("warc_ts", "yyyy-MM-dd")).alias("d")
+    ).collect()[0]["d"]
+    part = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == first_day)
+    wh.run(spark, part, run_id="run1")
+    wh.run(spark, pages, run_id="run2")
+    before_texts = _collect_texts(wh.read_extracted(spark))
+    before_lineage = {
+        (r["day"], r["format"]): (r["doc_count"], r["byte_count"],
+                                  r["checksum"])
+        for r in wh.read_lineage(spark).collect()
+    }
+    sealed_before = wh.complete_days()
+
+    def n_files(run_ids):
+        total = 0
+        for rid in run_ids:
+            for root, _dirs, files in os.walk(
+                os.path.join(wh.runs_dir, f"run_id={rid}")
+            ):
+                total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    files_before = n_files(["run1", "run2"])
+    rec = wh.compact(spark, run_id="c1")
+    assert rec is not None and rec["replaces"] == ["run1", "run2"]
+
+    # visibility: only the compacted run remains a data run
+    assert wh.committed_run_ids() == ["c1"]
+    after_texts = _collect_texts(wh.read_extracted(spark))
+    assert after_texts == before_texts  # byte-identical content
+    # lineage re-derived from the rewritten files must aggregate equal:
+    # run1/run2 may split a (day, format) cell, so compare cell sums
+    after_lineage = {
+        (r["day"], r["format"]): (r["doc_count"], r["byte_count"],
+                                  r["checksum"])
+        for r in wh.read_lineage(spark).collect()
+    }
+    agg = {}
+    for (d, f), (n, b, c) in before_lineage.items():
+        n0, b0, c0 = agg.get((d, f), (0, 0, 0))
+        agg[(d, f)] = (n0 + n, b0 + b, (c0 + c) % 4294967296)
+    assert after_lineage == agg
+    # layout actually compacted: one file per (day, format)
+    assert n_files(["c1"]) == len(after_lineage) <= files_before
+    # sealing and resume survive the rewrite
+    assert wh.complete_days() == sealed_before
+    assert wh.pending(pages).count() == 0
+    # idempotent: nothing left to compact
+    assert wh.compact(spark) is None
+
+
+def test_compaction_crash_leaves_old_runs_visible(spark, pages, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    half = pages.where(F.crc32(F.col("url")) % 2 == 0)
+    wh.run(spark, half, run_id="run1", seal_days=False)
+    wh.run(spark, pages, run_id="run2", seal_days=False)
+    before = _collect_texts(wh.read_extracted(spark))
+    rec = wh.compact(spark, run_id="c1", fail_before_commit=True)
+    assert rec is not None  # data written…
+    # …but no marker: both original runs stay visible, content unchanged
+    assert wh.committed_run_ids() == ["run1", "run2"]
+    assert _collect_texts(wh.read_extracted(spark)) == before
+    # a retried compaction under a fresh id commits cleanly
+    rec2 = wh.compact(spark, run_id="c2")
+    assert rec2 is not None and wh.committed_run_ids() == ["c2"]
+    assert _collect_texts(wh.read_extracted(spark)) == before
