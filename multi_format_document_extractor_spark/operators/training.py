@@ -149,7 +149,11 @@ def stratified_sample(
     every run, no sampling state, engine-portable) and keep the first
     ``n_per_group``. The balanced-corpus primitive (e.g. equal documents
     per language); one shuffle on the group key, with the rank evaluated
-    map-side."""
+    map-side. When a single group dominates the corpus (web-scale
+    language mix), apply ``token_budget_sample``'s two-level bucket
+    treatment: per-(group, md5-bucket) ranks plus broadcast bucket
+    offsets reproduce the same global order without putting the whole
+    group on one task."""
     w = Window.partitionBy(group_col).orderBy(
         F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
     )
@@ -166,32 +170,64 @@ def token_budget_sample(
     id_col: str,
     token_col: str,
     budget: int,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Per-group TOKEN-budget quota (the corpus-mixing primitive: hit a
     target token mixture across sources/languages, DoReMi/Pile-style
-    static weights). Rows are laid out in each group in the md5-of-id
-    order (a fixed pseudo-random order — same sample every run, no
-    sampling state) and kept while their FIRST token lands inside the
-    budget (the boundary document is included, mirroring
-    ``pack_sequences``' convention), so every group contributes ≈
-    ``budget`` tokens regardless of its document count or size mix —
-    the token-weighted generalization of ``stratified_sample``'s count
-    quota.
+    static weights). Rows are laid out in each group in a fixed
+    pseudo-random order — (md5 bucket, md5 of id, id) — and kept while
+    their FIRST token lands inside the budget (boundary document
+    included, mirroring ``pack_sequences``' convention), so every group
+    contributes ≈ ``budget`` tokens regardless of its document count or
+    size mix — the token-weighted generalization of
+    ``stratified_sample``'s count quota.
 
-    Adds ``cum_before`` (tokens laid out ahead of this doc) and ``kept``.
-    ONE window Exchange on the group key; the running sum is evaluated
-    inside each partition, integer-exact on both engines."""
-    w = (
-        Window.partitionBy(group_col)
+    Adds ``cum_before`` (tokens laid out ahead of this doc in the group
+    order) and ``kept``. Integer-exact on both engines.
+
+    Skew-proof by the ``pack_sequences`` treatment: a single window
+    partitioned by the group alone would run each group's cumsum on ONE
+    task — a skew bomb when one language owns half the corpus. Instead
+    the cumsum is two-level: (1) a window per (group, md5-bucket) —
+    n_buckets-way parallel within every group; (2) per-bucket token
+    totals (a map-side-combined agg, ≤ |groups|·n_buckets rows) turned
+    into exclusive bucket offsets by a trivially small window and
+    broadcast-joined back. ``cum_before = bucket_offset + within-bucket
+    cumsum − own tokens`` reproduces the exact global (bucket, md5, id)
+    order — any fixed deterministic order is an equally valid sample, so
+    bucket-major order costs nothing. Scale n_buckets to the cluster
+    (cores per group's data share)."""
+    df2 = df.withColumn("_b", hash_bucket(F.col(id_col), n_buckets))
+    w_in = (
+        Window.partitionBy(group_col, "_b")
         .orderBy(
             F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn(
-        "cum_before", (cum - F.col(token_col)).cast("bigint")
-    ).withColumn("kept", F.col("cum_before") < budget)
+    tot = df2.groupBy(group_col, "_b").agg(
+        F.sum(F.col(token_col)).alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = tot.withColumn("_c", F.sum("_bt").over(w_off)).select(
+        group_col, "_b", (F.col("_c") - F.col("_bt")).alias("_off")
+    )
+    return (
+        df2.withColumn("_within", F.sum(F.col(token_col)).over(w_in))
+        .join(F.broadcast(off), [group_col, "_b"])
+        .withColumn(
+            "cum_before",
+            (F.col("_off") + F.col("_within") - F.col(token_col)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("kept", F.col("cum_before") < budget)
+        .drop("_b", "_within", "_off")
+    )
 
 
 def unigram_model(

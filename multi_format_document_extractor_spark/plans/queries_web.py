@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import webtext as W
 from ..functions.rounding import rnd
-from .queries import QUERIES, _t, q
+from .queries import _HASH_BUCKET, QUERIES, _t, q
 
 # =========================================================================
 # PII scrubbing (redaction-as-columns)
@@ -1330,11 +1330,19 @@ _ANCHOR_HREF_SQL = W.canonical_url_sql(
                '^([^/?#]+)', 1) AS dst_host,
              regexp_extract(a, '>([^<]*)<', 1) AS anchor
       FROM m
+    ), occ AS (
+      SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY dst_host, anchor
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY dst_host ORDER BY md5(anchor), anchor) AS rk
+      FROM occ
     )
     SELECT dst_host,
-           CAST(count(*) AS BIGINT) AS n_anchors,
-           string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchors
-    FROM e GROUP BY dst_host
+           CAST(sum(n) AS BIGINT) AS n_anchors,
+           string_agg(CASE WHEN rk <= 64 THEN anchor END,
+                      ' | ' ORDER BY anchor) AS anchors
+    FROM r GROUP BY dst_host
     """,
 )
 def anchor_texts(spark, sf_dir):
@@ -1344,10 +1352,20 @@ def anchor_texts(spark, sf_dir):
     (regexp_extract_all yields only one group, so pairing href with its
     text REQUIRES the match-then-project shape — a single two-group
     extraction would mis-pair them), the href canonicalizes to the target
-    host, and anchors aggregate per host as (count, sorted distinct
-    texts). ONE aggregation Exchange on dst_host, map-side combined; at
-    crawl scale this is the retrieval-index side table built in the same
-    pass as ``outlink_graph``."""
+    host, and anchors aggregate per host as (total occurrence count, the
+    md5-first ≤64 distinct texts, sorted).
+
+    Bounded by construction: a naive ``collect_set(anchor)`` per host is
+    an unbounded agg buffer — a popular host accumulates millions of
+    distinct anchors on one key. Instead: (1) two-phase count per
+    (host, anchor) — map-side combined, occurrences collapse before any
+    shuffle; (2) a deterministic md5-rank cap keeps ≤64 distinct anchors
+    per host (same sampling primitive as stratified_sample), so the final
+    per-host buffer is ≤64 strings while ``n_anchors`` still counts every
+    occurrence. Two aggregation Exchanges (raw→distinct is corpus-scale,
+    distinct→host moves only distinct pairs); the rank window sees only
+    the pre-aggregated distinct pairs — at extreme distinct-anchor fan-in
+    bucket it like token_budget_sample."""
     t = _t(spark, sf_dir, "documents").select(
         "doc_id", *_link_page_cols()
     )
@@ -1364,10 +1382,24 @@ def anchor_texts(spark, sf_dir):
         ).alias("dst_host"),
         F.regexp_extract(F.col("a"), r">([^<]*)<", 1).alias("anchor"),
     )
-    return e.groupBy("dst_host").agg(
-        F.count("*").cast("bigint").alias("n_anchors"),
+    occ = e.groupBy("dst_host", "anchor").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("dst_host").orderBy(
+        F.md5(F.col("anchor")).asc(), F.col("anchor").asc()
+    )
+    ranked = occ.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy("dst_host").agg(
+        F.sum("_n").cast("bigint").alias("n_anchors"),
         F.array_join(
-            F.sort_array(F.collect_set("anchor")), " | "
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rk") <= 64, F.col("anchor"))
+                )
+            ),
+            " | ",
         ).alias("anchors"),
     )
 
@@ -1463,29 +1495,44 @@ def host_pagerank(spark, sf_dir):
 
 @q(
     "token_budget_mix",
-    """
-    WITH r AS (
-      SELECT doc_id, lang, n_chars,
-             sum(n_chars) OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, {_HASH_BUCKET} % 16 AS b
       FROM documents WHERE n_chars > 0
+    ), w AS (
+      SELECT doc_id, lang, n_chars, b,
+             sum(n_chars) OVER (
+               PARTITION BY lang, b
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS within
+      FROM d
+    ), t AS (
+      SELECT lang, b, sum(n_chars) AS bt FROM d GROUP BY lang, b
+    ), o AS (
+      SELECT lang, b,
+             sum(bt) OVER (PARTITION BY lang ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) - bt AS off
+      FROM t
     )
-    SELECT doc_id, lang, CAST(n_chars AS INT) AS n_chars,
-           CAST(cum - n_chars AS BIGINT) AS cum_before,
-           cum - n_chars < 6000 AS kept
-    FROM r
+    SELECT w.doc_id, w.lang, CAST(w.n_chars AS INT) AS n_chars,
+           CAST(o.off + w.within - w.n_chars AS BIGINT) AS cum_before,
+           o.off + w.within - w.n_chars < 6000 AS kept
+    FROM w JOIN o ON w.lang = o.lang AND w.b = o.b
     """,
 )
 def token_budget_mix(spark, sf_dir):
     """Corpus mixing by token budget
     (operators/training.token_budget_sample): every language contributes
     ≈6000 chars (the token proxy) to the mix — documents are laid out per
-    group in fixed md5 order and kept while their first token lands inside
-    the budget. The token-weighted generalization of stratified_sample's
-    count quota (static mixing weights, DoReMi/Pile lineage). ONE window
-    Exchange on the group key; integer-exact running sum."""
+    group in a fixed pseudo-random (md5-bucket, md5, id) order and kept
+    while their first token lands inside the budget. The token-weighted
+    generalization of stratified_sample's count quota (static mixing
+    weights, DoReMi/Pile lineage). Skew-proof: the cumsum is two-level
+    (16-way bucket-parallel windows + broadcast bucket offsets), so no
+    single task ever scans a whole language — one language owning half
+    the corpus is the NORMAL case for web text (see
+    operators/training.token_budget_sample for the shape argument);
+    integer-exact running sums."""
     from ..operators.training import token_budget_sample
 
     d = (

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="input is a partial slice of some day; disable day sealing",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run commits, rewrite all visible runs into one "
+        "compacted snapshot (small-file maintenance; crash-safe)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -90,6 +96,10 @@ def main(argv: list[str] | None = None) -> None:
         seal_days=not args.no_seal_days,
     )
     print(json.dumps(record))
+    if args.compact:
+        crec = wh.compact(spark)
+        if crec is not None:
+            print(json.dumps(crec))
     spark.stop()
 
 

@@ -413,8 +413,104 @@ def test_token_budget_mix_group_budgets(spark):
         total = sum(r["n_chars"] for r in kept)
         if len(kept) < len(rs):
             assert total >= 6000, (lang, total)
+    # bucket-parallel shape: the ONLY corpus-scale exchanges are the
+    # (group, bucket) window and the per-bucket totals agg; offsets join
+    # back via broadcast (never a sort-merge of the corpus)
     p = plan(df).split("== Initial Plan ==")[0]
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_token_budget_sample_matches_serial_order(spark):
+    """The two-level (bucket-parallel) cumsum must reproduce the exact
+    serial scan in global (bucket, md5, id) order — including on a
+    single-group corpus (the skew case the bucketing exists for)."""
+    import hashlib
+
+    from multi_format_document_extractor_spark.operators.training import (
+        token_budget_sample,
+    )
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]  # one group
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in rows], "doc_id long, lang string, n int"
+    )
+    out = {
+        r["doc_id"]: (r["cum_before"], r["kept"])
+        for r in token_budget_sample(df, "lang", "doc_id", "n", 500).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    def bucket(i):
+        return int(md5(i)[:8], 16) % 16
+
+    order = sorted(rows, key=lambda it: (bucket(it[0]), md5(it[0]), it[0]))
+    cum = 0
+    for i, t in order:
+        assert out[i] == (cum, cum < 500), (i, out[i], cum)
+        cum += t
+
+
+def test_anchor_texts_cap_binds(spark):
+    """At >64 distinct anchors for one host, the index keeps exactly the
+    64 md5-first anchors while n_anchors still counts every occurrence."""
+    import hashlib
+
+    from multi_format_document_extractor_spark.plans.queries_web import (
+        anchor_texts,
+    )
+
+    anchors = [f"anchor{i:03d}" for i in range(100)]
+    html = "".join(
+        f'<a href="https://big.example.com/p/1">{a}</a>' for a in anchors
+    ) * 2  # every anchor occurs twice
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    # reuse the operator body on crafted rows via the same expressions
+    m = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit(r'<a href="[^"]+">[^<]*</a>'), 0
+            )
+        ).alias("a")
+    )
+    e = m.select(
+        W.host_of(
+            W.canonical_url(F.regexp_extract(F.col("a"), W.HREF_RE, 1))
+        ).alias("dst_host"),
+        F.regexp_extract(F.col("a"), r">([^<]*)<", 1).alias("anchor"),
+    )
+    occ = e.groupBy("dst_host", "anchor").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("dst_host").orderBy(
+        F.md5(F.col("anchor")).asc(), F.col("anchor").asc()
+    )
+    row = (
+        occ.withColumn("_rk", F.row_number().over(w))
+        .groupBy("dst_host")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_anchors"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rk") <= 64, F.col("anchor"))
+                    )
+                ),
+                " | ",
+            ).alias("anchors"),
+        )
+        .collect()[0]
+    )
+    assert row["n_anchors"] == 200
+    kept = row["anchors"].split(" | ")
+    want = sorted(
+        sorted(anchors, key=lambda a: hashlib.md5(a.encode()).hexdigest())[:64]
+    )
+    assert kept == want
 
 
 def test_classify_block_col_lockstep_with_oracle(spark):
