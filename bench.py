@@ -47,10 +47,12 @@ BENCH_QUERIES = [
     "repetition_filter",   # Gopher repetition gate (HOF codegen)
     "url_dedup",           # canonical-URL dedup (explode + hash agg)
     "paragraph_dedup",     # corpus-level span dedup (2-phase min-agg)
+    "substring_dedup",     # ExactSubstr stride-1 span dedup (hashed wins)
     "template_lines",      # site-template strip (cross-doc boilerplate)
     "lm_doc_score",        # CCNet-style LM quality buckets (bcast model)
     "outlink_graph",       # href extract → host link graph
     "token_counts",        # tokenization stats
+    "bpe_pair_counts",     # BPE merge-step pair table (vocab-phase agg)
     "window_agg",          # tumbling window (batch)
     "training_corpus",     # quality gate → dedup keepers → split
     "pack_sequences",      # fixed-token sequence packing

@@ -519,6 +519,96 @@ def paragraph_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate-SPAN removal (the ExactSubstr step of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any ``width``-token run that occurs verbatim anywhere else in
+    the corpus is removed from every occurrence except the first (first =
+    lowest (doc, position)). Unlike ``paragraph_dedup``'s fixed chunks,
+    windows slide at stride 1, so a duplicated passage is caught at ANY
+    token offset; a token survives iff no non-first duplicate window
+    covers it.
+
+    Returns one row per input doc: (id, n_tokens, n_dup_tokens,
+    text_dedup) with surviving tokens rejoined in order.
+
+    Scale shape (the MapReduce approximation of the paper's suffix array —
+    a suffix array is a single-machine structure; the distributed form is
+    hashed stride-1 windows): the explode emits one row per token, but
+    each row carries only (id, pos, 32-char md5) — the window TEXT is
+    hashed away before any Exchange, so shuffle bytes are ~40/row, not
+    width× the corpus. Then the same three uniform-key Exchanges as
+    ``paragraph_dedup``: two-phase min-agg on the window md5 (map-side
+    combine eats corpus-wide repeats before the shuffle), equi-join back
+    on the md5 (AQE skew-split), and a groupBy(id) of the DUPLICATE
+    subset only. Coverage itself is pure codegen: the kept-token filter
+    folds each doc's duplicate-position array with nested higher-order
+    functions — no second explode of the corpus. The reference is
+    per-document and has no corpus-level dedup at all
+    (``src/pipeline.py:195-237``)."""
+    from ..functions import webtext as _W
+
+    toks = df.select(
+        F.col(id_col), _W.words_of(F.col(text_col)).alias("_w")
+    )
+    n = F.size(F.col("_w"))
+    win_pos = F.when(
+        n >= width, F.sequence(F.lit(1), n - width + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pos_key = (
+        F.col(id_col).cast("long") * F.lit(1_000_000_000) + F.col("pos")
+    ).alias("_key")
+    wins = (
+        toks.select(F.col(id_col), "_w", F.explode(win_pos).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(
+                F.array_join(F.slice(F.col("_w"), F.col("pos"), width), " ")
+            ).alias("_fp"),
+        )
+        .select(F.col(id_col), "pos", "_fp", pos_key)
+    )
+    keepers = wins.groupBy("_fp").agg(F.min("_key").alias("_min_key"))
+    dup_pos = (
+        wins.join(keepers, "_fp")
+        .where(F.col("_key") != F.col("_min_key"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dup"))
+    )
+    j = toks.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        "_w",
+        F.coalesce(F.col("_dup"), F.array().cast("array<int>")).alias("_dup"),
+    )
+    idx = F.transform(
+        F.col("_w"),
+        lambda w, i: F.struct((i + 1).alias("t"), w.alias("w")),
+    )
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.col("_dup"),
+            lambda p: (s["t"] >= p) & (s["t"] < p + width),
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.size(F.col("_w")).cast("bigint").alias("n_tokens"),
+        (F.size(F.col("_w")) - F.size(kept)).cast("bigint").alias(
+            "n_dup_tokens"
+        ),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "text_dedup"
+        ),
+    )
+
+
 def strip_template_lines(
     df: DataFrame,
     text_col: str,

@@ -1720,3 +1720,471 @@ def web_clean_pipeline(spark, sf_dir):
         .otherwise(F.lit("kept"))
         .alias("stage"),
     )
+
+
+# =========================================================================
+# Exact-substring duplicate-span removal (Lee et al. 2022 ExactSubstr)
+# =========================================================================
+
+
+@q(
+    "substring_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), e AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos
+      FROM d
+    ), wins AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(w[pos:pos+7], ' ')) AS fp,
+             doc_id * 1000000000 + pos AS key
+      FROM e
+    ), k AS (
+      SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY fp) AS min_key, key
+      FROM wins
+    ), dup AS (
+      SELECT doc_id, pos FROM k WHERE key != min_key
+    ), t AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(w))) AS tpos,
+             unnest(w) AS word
+      FROM d
+    ), c AS (
+      SELECT t.doc_id, t.tpos, min(t.word) AS word,
+             count(dup.pos) > 0 AS is_dup
+      FROM t LEFT JOIN dup
+        ON dup.doc_id = t.doc_id
+       AND t.tpos BETWEEN dup.pos AND dup.pos + 7
+      GROUP BY t.doc_id, t.tpos
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_tokens,
+           coalesce(string_agg(CASE WHEN NOT is_dup THEN word END,
+                               ' ' ORDER BY tpos), '') AS text_dedup
+    FROM c GROUP BY doc_id
+    """,
+)
+def substring_dedup(spark, sf_dir):
+    """Exact-substring duplicate-span removal (ExactSubstr, Lee et al.
+    2022) at 8-token granularity with stride-1 windows: a verbatim 8-token
+    run seen anywhere else in the corpus survives only at its first
+    (doc, pos) occurrence; covered tokens are cut from all later
+    occurrences and each doc's survivors are rejoined in order
+    (operators/dedup.exact_substring_dedup). Catches duplicated passages
+    at ANY offset — the span-level hole fixed-chunk paragraph_dedup leaves
+    open. Scale shape: window text is md5-hashed BEFORE any Exchange
+    (~40 bytes/row, not width× the corpus), then two-phase min-agg on the
+    hash + equi-join back + one groupBy(doc) of the duplicate subset; the
+    token-coverage filter is a nested higher-order fold, zero extra
+    explode. The distributed approximation of the paper's suffix array."""
+    from ..operators.dedup import exact_substring_dedup as _es
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return _es(d, "text", "doc_id", width=8)
+
+
+# =========================================================================
+# Deterministic training-shard shuffle (data-ordering primitive)
+# =========================================================================
+
+
+@q(
+    "shard_shuffle",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS shard,
+             md5('r3|' || CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS shard_rank
+    FROM b
+    """,
+)
+def shard_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle into training shards (the data-order
+    primitive every LM run needs: a reproducible global permutation,
+    materialized as shard files the data loader streams). Shard =
+    md5-bucket of doc_id (operators/training.hash_bucket, 16 shards);
+    within-shard order = md5 of a salted key ('r3|' run seed) — changing
+    the seed literal reshuffles, same seed replays byte-identically, no
+    RNG state anywhere. Scale shape: ONE hash Exchange on shard + a
+    per-shard sort — deliberately NOT a global orderBy (whose range
+    exchange + total sort is the naive way to shuffle a corpus and
+    serializes at the sampler); shards are independent, so 10^12 docs
+    sort as 16 (or 16k) parallel runs and the writer emits one file per
+    shard. Rank is evaluated inside the shard partition."""
+    from ..operators.training import hash_bucket
+    from pyspark.sql import Window as _Win
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    b = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 16).cast("int").alias("shard"),
+        F.md5(
+            F.concat(F.lit("r3|"), F.col("doc_id").cast("string"))
+        ).alias("ord"),
+    )
+    w = _Win.partitionBy("shard").orderBy(
+        F.col("ord").asc(), F.col("doc_id").asc()
+    )
+    return (
+        b.withColumn("shard_rank", F.row_number().over(w).cast("int"))
+        .select("shard", "doc_id", "shard_rank")
+    )
+
+
+# =========================================================================
+# Tokenizer-training + indexing primitives (BPE pair counts, TF-IDF)
+# =========================================================================
+
+
+@q(
+    "bpe_pair_counts",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), t AS (
+      SELECT unnest(w) AS word FROM d
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM t GROUP BY word
+    ), p AS (
+      SELECT word, freq,
+             unnest(generate_series(1, len(word) - 1)) AS i
+      FROM wf WHERE len(word) >= 2
+    ), pairs AS (
+      SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair,
+             freq
+      FROM p
+    ), agg AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+    FROM agg QUALIFY rank <= 50
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The BPE tokenizer-training merge step at corpus scale: count every
+    adjacent character pair, weighted by word frequency, and rank the
+    merge candidates (top pair = the next BPE merge). Scale shape is the
+    point: the corpus is aggregated ONCE into the word-frequency table
+    (one partial-agg Exchange on the word — map-side combine eats the Zipf
+    head), and the character-pair explode runs over the VOCABULARY, which
+    is sublinear in corpus size — exactly how production BPE trainers
+    scale (work on (word, freq), never re-scan the corpus per merge). The
+    final rank is a window over the aggregated pair table, which is
+    alphabet²-bounded (thousands of rows) — a single-partition sort of a
+    provably tiny set, not a global corpus sort."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = d.select(
+        F.explode(W.words_of(F.col("text"))).alias("word")
+    )
+    wf = t.groupBy("word").agg(F.count("*").alias("freq"))
+    p = wf.where(F.length("word") >= 2).select(
+        "word",
+        "freq",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+    )
+    pairs = p.select(
+        F.concat(
+            F.col("word").substr(F.col("i"), F.lit(1)),
+            F.lit(" "),
+            F.col("word").substr(F.col("i") + 1, F.lit(1)),
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 50)
+    )
+
+
+@q(
+    "tfidf_terms",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), t AS (
+      SELECT doc_id, unnest(w) AS token FROM d
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n FROM d
+    ), s AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * n.n * 1.0 / df.df, 4) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, token) AS INT)
+             AS rank
+    FROM s QUALIFY rank <= 5
+    """,
+)
+def tfidf_terms(spark, sf_dir):
+    """Top-5 salient terms per document by tf·(N/df) — the keyword /
+    relevance primitive behind search indexing and topic labeling over
+    web text. The idf factor is the RATIONAL form N/df (not log) so the
+    score is a single IEEE division on integer inputs — bit-identical
+    across engines, no transcendental-function drift (the lesson from
+    entropy_scores' ln). Scale shape: term counts and document
+    frequencies are both two-phase partial aggs on uniform (doc, token) /
+    token keys; the corpus-count scalar broadcasts into the join; top-5
+    is a per-doc window on the doc key. No corpus-wide sort, no
+    vocab-keyed shuffle of raw text — tokens are aggregated before every
+    Exchange."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(W.words_of(F.col("text"))).alias("token"),
+    )
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nrow = d.agg(F.count("*").alias("n"))
+    s = tf.join(dfq, "token").crossJoin(F.broadcast(nrow))
+    scored = s.select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        rnd(
+            (F.col("tf") * F.col("n")).cast("double") / F.col("df"), 4
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# =========================================================================
+# Portable deterministic sketches (HyperLogLog, count-min)
+# =========================================================================
+
+
+@q(
+    "hll_vocab",
+    """
+    WITH d AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), t AS (
+      SELECT lang, unnest(w) AS token FROM d
+    ), h AS (
+      SELECT lang, token, md5(token) AS hx FROM t
+    ), r AS (
+      SELECT lang,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substr(hx, 3, 8)) AS BIGINT) AS v
+      FROM h
+    ), reg AS (
+      SELECT lang, bucket,
+             max(CASE WHEN v = 0 THEN 33
+                      ELSE 33 - length(bin(v)) END) AS m_j
+      FROM r GROUP BY lang, bucket
+    ), est AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+             sum(1.0 / CAST(1::BIGINT << m_j AS DOUBLE)) AS s_present
+      FROM reg GROUP BY lang
+    ), ex AS (
+      SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+      FROM h GROUP BY lang
+    )
+    SELECT ex.lang, ex.n_exact, est.n_registers,
+           round((0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+                 / (est.s_present + (256 - est.n_registers)), 4) AS hll_est
+    FROM ex JOIN est USING (lang)
+    """,
+)
+def hll_vocab(spark, sf_dir):
+    """Per-language vocabulary cardinality via a PORTABLE, DETERMINISTIC
+    HyperLogLog (m=256 registers): bucket = first md5 byte, rho = leading
+    zeros of the next 32 md5 bits + 1 (via length(bin(v)) — identical
+    string semantics in both engines), register = max(rho). The estimate
+    is engine-exact — not just close — because every 2^-M_j term is a
+    binary fraction on a 2^-33 grid, so the register sum is EXACT in any
+    summation order (the quantize_vec argument), and the remaining ops
+    are single IEEE divisions/multiplies on identical inputs. The
+    standard bias corrections need ln(), so they are deliberately
+    omitted (the entropy_scores lesson); raw-estimate error at m=256 is
+    ~6.5%, quantified against the exact count the query also outputs.
+    Scale shape: ONE (lang, bucket) partial agg — ≤256 rows per language
+    survive the map side — then a per-lang fold; the exact-count leg
+    exists only to grade the sketch and would be dropped at 10^12 docs,
+    leaving a sketch whose shuffle is 256 rows per group, the whole
+    point of HLL."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = d.select(
+        "lang", F.explode(W.words_of(F.col("text"))).alias("token")
+    )
+    h = t.select("lang", "token", F.md5("token").alias("hx"))
+    r = h.select(
+        "lang",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring("hx", 3, 8), 16, 10).cast("long").alias("v"),
+    )
+    reg = r.groupBy("lang", "bucket").agg(
+        F.max(
+            F.when(F.col("v") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin(F.col("v")))
+            )
+        ).alias("m_j")
+    )
+    est = reg.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_registers"),
+        F.sum(
+            F.expr("1.0 / double(shiftleft(1L, cast(m_j as int)))")
+        ).alias("s_present"),
+    )
+    ex = h.groupBy("lang").agg(
+        F.countDistinct("token").cast("bigint").alias("n_exact")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    return ex.join(est, "lang").select(
+        "lang",
+        "n_exact",
+        "n_registers",
+        rnd(
+            alpha
+            * F.lit(65536.0)
+            / (F.col("s_present") + (F.lit(256) - F.col("n_registers"))),
+            4,
+        ).alias("hll_est"),
+    )
+
+
+@q(
+    "cms_heavy_hitters",
+    """
+    WITH d AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), t AS (
+      SELECT unnest(w) AS token FROM d
+    ), exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM t GROUP BY token
+    ), sk AS (
+      SELECT salt,
+             CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || '|' || token),
+                                  1, 8)) AS BIGINT) % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t, unnest([0, 1, 2, 3]) AS s(salt)
+      GROUP BY salt, bucket
+    ), top AS (
+      SELECT token, n_exact,
+             CAST(row_number() OVER (ORDER BY n_exact DESC, token) AS INT)
+               AS rank
+      FROM exact QUALIFY rank <= 20
+    ), probes AS (
+      SELECT top.token, top.n_exact, top.rank, s.salt,
+             CAST(('0x' || substr(md5(CAST(s.salt AS VARCHAR) || '|'
+                                      || top.token), 1, 8)) AS BIGINT)
+               % 1024 AS bucket
+      FROM top, unnest([0, 1, 2, 3]) AS s(salt)
+    )
+    SELECT p.token, p.n_exact, p.rank,
+           CAST(min(sk.n) AS BIGINT) AS cms_est,
+           CAST(min(sk.n) - p.n_exact AS BIGINT) AS overcount
+    FROM probes p JOIN sk USING (salt, bucket)
+    GROUP BY p.token, p.n_exact, p.rank
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter frequency estimation via a portable COUNT-MIN sketch
+    (4 md5-salted hash rows × 1024 buckets) graded against exact counts
+    for the top-20 tokens. All-integer arithmetic ⇒ the oracle is exact,
+    and the one-sided CMS guarantee (cms_est ≥ n_exact, overcount ≥ 0)
+    is visible in the output. Scale shape: the sketch build is ONE
+    partial agg on (salt, bucket) — the sketch is 4096 rows TOTAL
+    regardless of corpus size, the entire point of CMS (frequency
+    queries over 10^12 tokens from a table that fits in a broadcast);
+    the exact leg exists only to grade it and is the thing the sketch
+    replaces at scale. The top-20 rank runs over the aggregated vocab
+    table, not the corpus."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = d.select(F.explode(W.words_of(F.col("text"))).alias("token"))
+    exact = t.groupBy("token").agg(F.count("*").cast("bigint").alias("n_exact"))
+
+    salts = F.array(*[F.lit(i) for i in range(4)])
+    salted = t.select("token", F.explode(salts).alias("salt"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("salt").cast("string"),
+                        F.lit("|"),
+                        F.col("token"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024
+    )
+    sk = (
+        salted.select("salt", bucket.alias("bucket"))
+        .groupBy("salt", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+    from pyspark.sql import Window as _Win
+
+    w = _Win.orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    top = (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+    probes = top.select(
+        "token", "n_exact", "rank", F.explode(salts).alias("salt")
+    ).select("token", "n_exact", "rank", "salt", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(sk), ["salt", "bucket"])
+        .groupBy("token", "n_exact", "rank")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .select(
+            "token",
+            "n_exact",
+            "rank",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )

@@ -189,3 +189,57 @@ def test_simhash64_segments_independent(spark):
         r2[c] for c in ("seg0", "seg1", "seg2", "seg3")
     ]
     assert len({r1["seg0"], r1["seg1"], r1["seg2"], r1["seg3"]}) > 1
+
+
+def test_exact_substring_dedup_span_coverage(spark):
+    """ExactSubstr semantics: a duplicated 8+-token passage embedded at an
+    arbitrary offset is cut from the LATER doc only; tokens outside the
+    covered spans survive; short docs (<8 tokens) are untouched."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    unique2 = "one two three four five six seven eight nine ten"
+    df = _docs(
+        spark,
+        [
+            (1, passage),
+            # passage at offset 3 inside otherwise-unique text
+            (2, "x1 x2 x3 " + passage + " " + unique2),
+            (3, "tiny doc"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(df, "text", "doc_id").collect()
+    }
+    # first occurrence keeps everything
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[1]["text_dedup"] == passage
+    # later occurrence loses exactly the 8 covered tokens
+    assert out[2]["n_dup_tokens"] == 8
+    assert passage not in out[2]["text_dedup"]
+    assert out[2]["text_dedup"] == "x1 x2 x3 " + unique2
+    # sub-width doc: no windows, no removal
+    assert out[3]["n_dup_tokens"] == 0
+    assert out[3]["text_dedup"] == "tiny doc"
+
+
+def test_exact_substring_dedup_catches_any_offset(spark):
+    """Stride-1 windows catch a shared passage even when both docs embed
+    it at different offsets (the case fixed-chunk paragraph_dedup can
+    miss when the chunk boundary splits the passage)."""
+    shared = "november oscar papa quebec romeo sierra tango uniform victor"
+    df = _docs(
+        spark,
+        [
+            (1, "pre " + shared + " tail1"),
+            (2, "a b c d e " + shared + " tail2 tail3"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(df, "text", "doc_id").collect()
+    }
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[2]["n_dup_tokens"] == 9
+    assert shared not in out[2]["text_dedup"]
+    assert out[2]["text_dedup"].startswith("a b c d e")
+    assert out[2]["text_dedup"].endswith("tail2 tail3")
