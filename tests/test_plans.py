@@ -223,3 +223,41 @@ def test_enrichment_adds_no_udf_or_shuffle(spark, pages):
         df.columns
     )
     assert len(out) > 0
+
+
+def test_substring_dedup_two_phase_min_no_window(spark):
+    """ExactSubstr keeps the paragraph_dedup discipline: corpus-wide window
+    repeats collapse via partial_min BEFORE the shuffle, and no per-key
+    Window (whose sort has no partial agg) appears anywhere."""
+    df = entry_mod.queries()["substring_dedup"](spark, SF_DIR)
+    p = plan(df)
+    assert "partial_min" in p
+    assert "Window" not in p
+
+
+def test_shard_shuffle_no_global_sort(spark):
+    """The corpus permutation must be shard-parallel: one hash Exchange on
+    the shard key, never a rangepartitioning (global orderBy) exchange."""
+    df = entry_mod.queries()["shard_shuffle"](spark, SF_DIR)
+    p = plan(df)
+    assert "rangepartitioning" not in p.lower()
+    assert "hashpartitioning(shard" in p
+
+
+def test_hll_sketch_aggregates_map_side(spark):
+    """HLL registers must form with map-side combine (partial_max) so only
+    ≤256 rows per (lang) group cross the wire, and no Window appears."""
+    df = entry_mod.queries()["hll_vocab"](spark, SF_DIR)
+    p = plan(df)
+    assert "partial_max" in p
+    assert "Window" not in p
+
+
+def test_cms_sketch_join_stays_broadcast(spark):
+    """The 4096-cell sketch must broadcast into the probe join — a
+    SortMergeJoin would shuffle the probes by (salt, bucket) for no
+    reason."""
+    df = entry_mod.queries()["cms_heavy_hitters"](spark, SF_DIR)
+    p = plan(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
