@@ -188,6 +188,11 @@ def process_incremental(
     are single-digit percent per snapshot, so the expensive stage touches
     ~1% of the corpus instead of 100%. Returns the extraction schema
     (EXTRACT_DDL); feed through ``score_extracted`` as usual.
+
+    ``prev_extracted`` is referenced TWICE below (anti-join key + reuse
+    leg) and Spark SQL does not share subplans: pass a materialized
+    source (warehouse read, parquet, cache/localCheckpoint), never a
+    lazy plan containing the extraction UDF, or that UDF executes twice.
     """
     prev_key = prev_extracted.select(
         "url", F.col("warc_ts").alias("_prev_ts")

@@ -37,15 +37,6 @@ _PII = (
 )
 
 
-def pii_counts(col: Column) -> list[Column]:
-    """One count column per PII class (n_email, n_ip, n_phone), counted on
-    the raw text (before any scrub)."""
-    return [
-        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _ in _PII
-    ]
-
-
 def scrub_pii(col: Column) -> Column:
     """Redact emails → IPv4s → phones with typed tokens, in that order."""
     out = col
@@ -324,7 +315,6 @@ __all__ = [
     "EMAIL_RE",
     "IPV4_RE",
     "PHONE_RE",
-    "pii_counts",
     "scrub_pii",
     "words_of",
     "chunk_lines",

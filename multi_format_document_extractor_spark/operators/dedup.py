@@ -389,10 +389,13 @@ def simhash_hamming_pairs(
     65k values per segment, so boilerplate-heavy corpora concentrate
     mass into cells whose self-join is quadratic — one cell of m docs
     emits O(m²) candidates. Cells above the cap are dropped, trading
-    bounded recall loss (their members must then agree on one of the
-    OTHER three segments to pair, which Hamming≤3 pairs usually do —
-    with ≤3 differing bits at least 3 of 4 cells fire per pair) for a
-    hard candidate-count bound of max_bucket × n_cells kept. The bound
+    recall loss for a hard candidate-count bound of max_bucket × n_cells
+    kept. The pigeonhole guarantee is ≥1 shared segment per Hamming≤3
+    pair — NOT 3 of 4: a pair whose 3 differing bits land in 3 distinct
+    segments agrees on exactly one, and if that one cell is hot and
+    dropped the pair is lost entirely. Pairs at distance ≤2 (≥2 shared
+    segments) and ≤1 (≥3) degrade gracefully; size max_bucket with the
+    worst case in mind, not the average. The bound
     is exercised adversarially in tests/test_dedup.py. The alternative
     at extreme scale is Manku-style block combinations (6 blocks,
     match on 3 ⇒ ~32 matched bits), which multiplies table copies ×20;
@@ -482,8 +485,13 @@ def paragraph_dedup(
     ``src/pipeline.py:195-237``)."""
     from ..functions import webtext as _W
 
-    pos_key = (F.col(id_col).cast("long") * F.lit(1_000_000_000)
-               + F.col("pos")).alias("_key")
+    # first-occurrence key as a STRUCT (lexicographic min), never
+    # id*1e9+pos arithmetic: the packed form silently wraps for full-range
+    # 64-bit ids (the repo's xxhash64 surrogate convention) and nulls out
+    # for non-numeric ids, corrupting keeper selection either way
+    pos_key = F.struct(
+        F.col(id_col).alias("i"), F.col("pos").alias("p")
+    ).alias("_key")
     ex = (
         df.select(F.col(id_col), _W.words_of(F.col(text_col)).alias("_w"))
         .select(F.col(id_col), _W.chunk_lines(F.col("_w"), width).alias("_p"))
@@ -560,8 +568,9 @@ def exact_substring_dedup(
     win_pos = F.when(
         n >= width, F.sequence(F.lit(1), n - width + 1)
     ).otherwise(F.array().cast("array<int>"))
-    pos_key = (
-        F.col(id_col).cast("long") * F.lit(1_000_000_000) + F.col("pos")
+    # struct key, not id*1e9+pos — see paragraph_dedup's keeper-key note
+    pos_key = F.struct(
+        F.col(id_col).alias("i"), F.col("pos").alias("p")
     ).alias("_key")
     wins = (
         toks.select(F.col(id_col), "_w", F.explode(win_pos).alias("pos"))
@@ -586,6 +595,35 @@ def exact_substring_dedup(
         "_w",
         F.coalesce(F.col("_dup"), F.array().cast("array<int>")).alias("_dup"),
     )
+
+    # Coverage check cost: a naive per-token exists over the raw duplicate
+    # POSITIONS is O(n_tokens × n_dup_windows) per row — for a heavily
+    # duplicated long doc (the very case this operator targets) that is
+    # the quadratic-HOF hang class top_gram_run documents. Merge the
+    # sorted positions into disjoint covered INTERVALS first: a duplicated
+    # passage of L tokens yields L-w+1 consecutive windows but exactly ONE
+    # interval, so the per-token exists runs over #distinct-passages, not
+    # #windows (adversarial alternating patterns remain the worst case).
+    def _merge(acc, p):
+        last = F.element_at(acc, -1)
+        new_iv = F.struct(p.alias("s"), (p + width - 1).alias("e"))
+        ext_iv = F.struct(
+            last["s"].alias("s"), (p + width - 1).alias("e")
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"] + 1),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ext_iv)),
+        ).otherwise(F.concat(acc, F.array(new_iv)))
+
+    j = j.select(
+        F.col(id_col),
+        "_w",
+        F.aggregate(
+            F.array_sort(F.col("_dup")),
+            F.array().cast("array<struct<s:int,e:int>>"),
+            _merge,
+        ).alias("_iv"),
+    )
     idx = F.transform(
         F.col("_w"),
         lambda w, i: F.struct((i + 1).alias("t"), w.alias("w")),
@@ -593,8 +631,8 @@ def exact_substring_dedup(
     kept = F.filter(
         idx,
         lambda s: ~F.exists(
-            F.col("_dup"),
-            lambda p: (s["t"] >= p) & (s["t"] < p + width),
+            F.col("_iv"),
+            lambda v: (s["t"] >= v["s"]) & (s["t"] <= v["e"]),
         ),
     )
     return j.select(
@@ -662,8 +700,12 @@ def strip_template_lines(
     host_docs = base.groupBy(host_col).agg(
         F.countDistinct(id_col).alias("_n_host_docs")
     )
+    # no broadcast hint: host_docs is one row per distinct host, which on a
+    # web corpus is itself huge (~10^8 hosts on Common Crawl) — the same
+    # forced-broadcast OOM class removed from drop_near_dups (round-2
+    # VERDICT #2). AQE broadcasts it only when genuinely small.
     templates = (
-        line_docs.join(F.broadcast(host_docs), host_col)
+        line_docs.join(host_docs, host_col)
         .where(
             (F.col("_n_host_docs") >= min_docs)
             & (

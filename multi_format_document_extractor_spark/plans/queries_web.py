@@ -655,7 +655,12 @@ def incremental_extract(spark, sf_dir):
     from .queries import _corpus_dir
 
     pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
-    prev = extract_pages(pages)
+    # materialize snapshot A ONCE (lazy checkpoint — no job at build
+    # time): process_incremental references prev twice (anti-join key +
+    # reuse leg), and SQL subplans are not shared, so an unmaterialized
+    # extract_pages plan would run the full-corpus UDF twice. In
+    # production prev is a warehouse table, materialized by definition.
+    prev = extract_pages(pages).localCheckpoint(eager=False)
     bump = F.col("url").rlike("[05]$")  # deterministic ~20% re-crawl set
     drop = F.col("url").rlike("7$")
     pages_b = pages.where(~drop).select(

@@ -234,6 +234,62 @@ class Warehouse:
             "complete_days": sorted(new | self._marker_days(commits)),
             "committed_at": time.time(),
         }
+        return self._commit_marker(record)
+
+    # -- commit protocol (shared by run / compact / seal) --------------------
+
+    def _write_lineage(self, spark: SparkSession, run_id: str) -> list:
+        """Read BACK the durably written run files and derive + persist the
+        per-(day, format) lineage rows — counts and checksums describe what
+        is actually on disk, not what the job intended to write. ONE
+        derivation shared by ``run`` and ``compact``: the compaction
+        invariant (compacted lineage checksums EQUAL summed pre-compaction
+        checksums) holds only while both paths use identical arithmetic.
+        Explicit schema: a zero-pending run writes no files and inference
+        would fail on the empty directory."""
+        data_path = os.path.join(self.runs_dir, f"run_id={run_id}")
+        written = (
+            spark.read.option("basePath", data_path)
+            .schema(RESULT_DDL)
+            .parquet(data_path)
+        )
+        lineage = (
+            written.withColumn("day", F.col("day").cast("string"))
+            .withColumn("format", F.col("format").cast("string"))
+            .groupBy("day", "format")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("in_bytes").alias("byte_count"),
+                # Σ crc32 mod 2^32: per-row values are ≤ 2^32, so a plain
+                # BIGINT sum wraps silently near ~2^31 rows per group (real
+                # at 10^12-doc scale). Decimal accumulation is exact to
+                # 10^38, then reduced mod 2^32 — order-insensitive,
+                # duplicate-sensitive, bounded.
+                F.pmod(
+                    F.sum(F.col("checksum").cast("decimal(28,0)")),
+                    F.lit(4294967296),
+                )
+                .cast("long")
+                .alias("checksum"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "day",
+                "format",
+                "doc_count",
+                "byte_count",
+                "checksum",
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        lineage_path = os.path.join(self.lineage_dir, f"run_id={run_id}")
+        lineage.write.mode("errorifexists").parquet(lineage_path)
+        return spark.read.schema(LINEAGE_DDL).parquet(lineage_path).collect()
+
+    def _commit_marker(self, record: dict) -> dict:
+        """Write the snapshot marker LAST via atomic rename — the run
+        becomes visible exactly here (a crash before this leaves invisible
+        orphan files, never a partial snapshot)."""
         marker = os.path.join(
             self.commits_dir, f"{record['seq']:06d}-{record['run_id']}.json"
         )
@@ -285,38 +341,7 @@ class Warehouse:
             .mode("errorifexists")
             .parquet(data_path)
         )
-        written = (
-            spark.read.option("basePath", data_path)
-            .schema(RESULT_DDL)
-            .parquet(data_path)
-        )
-        lineage = (
-            written.withColumn("day", F.col("day").cast("string"))
-            .withColumn("format", F.col("format").cast("string"))
-            .groupBy("day", "format")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("in_bytes").alias("byte_count"),
-                F.pmod(
-                    F.sum(F.col("checksum").cast("decimal(28,0)")),
-                    F.lit(4294967296),
-                )
-                .cast("long")
-                .alias("checksum"),
-            )
-            .select(
-                F.lit(run_id).alias("run_id"),
-                "day",
-                "format",
-                "doc_count",
-                "byte_count",
-                "checksum",
-                F.lit(time.time()).alias("committed_at"),
-            )
-        )
-        lineage_path = os.path.join(self.lineage_dir, f"run_id={run_id}")
-        lineage.write.mode("errorifexists").parquet(lineage_path)
-        lrows = spark.read.schema(LINEAGE_DDL).parquet(lineage_path).collect()
+        lrows = self._write_lineage(spark, run_id)
         record = {
             "run_id": run_id,
             "kind": "compact",
@@ -330,14 +355,7 @@ class Warehouse:
         }
         if fail_before_commit:
             return record
-        marker = os.path.join(
-            self.commits_dir, f"{record['seq']:06d}-{run_id}.json"
-        )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.rename(tmp, marker)
-        return record
+        return self._commit_marker(record)
 
     # -- the job -----------------------------------------------------------
 
@@ -389,47 +407,7 @@ class Warehouse:
             .parquet(data_path)
         )
 
-        # Lineage from the durably written files (read-back, not intent).
-        # Explicit schema: a zero-pending run writes no files and inference
-        # would fail on the empty directory.
-        written = (
-            spark.read.option("basePath", data_path)
-            .schema(RESULT_DDL)
-            .parquet(data_path)
-        )
-        lineage = (
-            written.withColumn("day", F.col("day").cast("string"))
-            .withColumn("format", F.col("format").cast("string"))
-            .groupBy("day", "format")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("in_bytes").alias("byte_count"),
-                # Σ crc32 mod 2^32: per-row values are ≤ 2^32, so a plain
-                # BIGINT sum wraps silently near ~2^31 rows per group (real
-                # at 10^12-doc scale). Decimal accumulation is exact to
-                # 10^38, then reduced mod 2^32 — order-insensitive,
-                # duplicate-sensitive, bounded.
-                F.pmod(
-                    F.sum(F.col("checksum").cast("decimal(28,0)")),
-                    F.lit(4294967296),
-                )
-                .cast("long")
-                .alias("checksum"),
-            )
-            .select(
-                F.lit(run_id).alias("run_id"),
-                "day",
-                "format",
-                "doc_count",
-                "byte_count",
-                "checksum",
-                F.lit(time.time()).alias("committed_at"),
-            )
-        )
-        lineage_path = os.path.join(self.lineage_dir, f"run_id={run_id}")
-        lineage.write.mode("errorifexists").parquet(lineage_path)
-
-        lrows = spark.read.schema(LINEAGE_DDL).parquet(lineage_path).collect()
+        lrows = self._write_lineage(spark, run_id)
         # Every day this run touched was fully drained (run processes ALL
         # pending rows), so all of them seal — plus days sealed previously.
         record = {
@@ -449,11 +427,4 @@ class Warehouse:
         }
         if fail_before_commit:
             return record
-        marker = os.path.join(
-            self.commits_dir, f"{record['seq']:06d}-{run_id}.json"
-        )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.rename(tmp, marker)  # atomic: the run becomes visible here
-        return record
+        return self._commit_marker(record)

@@ -243,3 +243,25 @@ def test_exact_substring_dedup_catches_any_offset(spark):
     assert shared not in out[2]["text_dedup"]
     assert out[2]["text_dedup"].startswith("a b c d e")
     assert out[2]["text_dedup"].endswith("tail2 tail3")
+
+
+def test_exact_substring_dedup_long_duplicated_passage(spark):
+    """A long fully-duplicated passage collapses to ONE covered interval
+    (stride-1 windows merge), and the later doc loses every token of it
+    while its frame survives — the case where a per-window coverage scan
+    would go quadratic."""
+    passage = " ".join(f"tok{i}" for i in range(400))  # 400 tokens
+    df = _docs(
+        spark,
+        [
+            (1, passage),
+            (2, "head " + passage + " tail"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(df, "text", "doc_id").collect()
+    }
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[2]["n_dup_tokens"] == 400
+    assert out[2]["text_dedup"] == "head tail"
