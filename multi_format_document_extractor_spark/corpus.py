@@ -657,3 +657,79 @@ def write_corpus(out_dir: str, n: int, seed: int = 42) -> list[PageRow]:
     )
     pq.write_table(expected, os.path.join(out_dir, "expected.parquet"))
     return rows
+
+
+# -- WARC container serialization (Common-Crawl ingestion format) ----------
+
+_WARC_SOFTWARE = "mfde-corpus/1.0"
+
+
+def _warc_record(row: PageRow) -> bytes:
+    """One WARC/1.0 response record for a crawled page. Deterministic:
+    the record id derives from the url (no uuid4), the date from warc_ts.
+    The page language rides in an ``X-Crawl-Lang`` HTTP header purely so
+    the reader can reconstruct the full pages schema in tests — real
+    Common Crawl carries no such header, and ``read_warc`` defaults it
+    to 'und' when absent."""
+    import hashlib
+
+    payload = row.html or b""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: application/octet-stream\r\n"
+        + f"X-Crawl-Lang: {row.lang}\r\n".encode("ascii")
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode("ascii")
+        + payload
+    )
+    rid = hashlib.md5(row.url.encode("utf-8")).hexdigest()
+    date = row.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:md5:{rid}>\r\n".encode("ascii")
+        + f"WARC-Target-URI: {row.url}\r\n".encode("ascii")
+        + f"WARC-Date: {date}\r\n".encode("ascii")
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode("ascii")
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(
+    out_dir: str,
+    n: int,
+    seed: int = 42,
+    shard_docs: int = 100,
+    gzip_records: bool = False,
+) -> list[PageRow]:
+    """Serialize the deterministic corpus as WARC shards — the actual
+    Common-Crawl container — so ingestion can be tested end-to-end from
+    the crawl format, not just from parquet. One file per ``shard_docs``
+    rows (files are the parallelism unit, as with CC's ~1 GB shards);
+    ``gzip_records=True`` writes ``.warc.gz`` with each record its own
+    gzip member (the real CC layout — per-record members are what make a
+    shard splittable by record without decompressing the whole file).
+    Null-payload rows (the no-response error path) are NOT written: a
+    crawler that got no response writes no response record. Returns the
+    full row list (including the skipped ones) for callers to join
+    against."""
+    import gzip as _gzip
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = gen_rows(n, seed)
+    written = [r for r in rows if r.html is not None]
+    ext = "warc.gz" if gzip_records else "warc"
+    for s in range(0, len(written), shard_docs):
+        shard = written[s : s + shard_docs]
+        blob = b""
+        for r in shard:
+            rec = _warc_record(r)
+            if gzip_records:
+                # mtime=0: deterministic bytes run-over-run
+                rec = _gzip.compress(rec, mtime=0)
+            blob += rec
+        path = os.path.join(out_dir, f"crawl-{s // shard_docs:05d}.{ext}")
+        with open(path, "wb") as f:
+            f.write(blob)
+    return rows

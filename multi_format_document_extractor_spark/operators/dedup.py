@@ -246,6 +246,9 @@ def _simhash64_sign(w_hash: Column, j: int) -> Column:
     return F.when(digit.isin(*_NIBBLE_BIT_DIGITS[j % 4]), 1).otherwise(-1)
 
 
+_SIMHASH_PACK_BITS = 21  # counter width; supports docs up to 2^21 tokens
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as four 16-bit segments from ONE md5 per token.
 
@@ -254,20 +257,56 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Returns (doc, seg0..seg3 INT). The segmented form (rather than one
     packed BIGINT) is what the banded Hamming join needs anyway, and 2¹⁶
     buckets *per segment* with 2⁶⁴ joint space fixes the round-1
-    collision-at-10⁶-docs limitation of the single 16-bit hash."""
+    collision-at-10⁶-docs limitation of the single 16-bit hash.
+
+    Hot-path shape: each token converts its 16 md5 hex digits to nibble
+    values ONCE (integer shifts thereafter — not 64 string-set probes),
+    and the 64 bit-counters are packed 3-per-long into 22 aggregation
+    buffers (21 bits each, no carry interference while docs stay under
+    2^21 tokens — extraction's max_bytes cap keeps them far below).
+    Sign test after the agg: bit j set iff 2·count_j ≥ n_tokens, which
+    equals the Σ±1 ≥ 0 rule bit-for-bit, so the DuckDB oracle (which
+    keeps the legible per-bit CASE form) stays hash-exact. ~3× fewer
+    shuffle columns and ~10× less per-token expression work than the
+    64-sum CASE formulation this replaces."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
     )
     h = F.md5(F.col("w"))
-    sums = [
-        F.sum(_simhash64_sign(h, j)).alias(f"s{j}") for j in range(64)
+    # nibble value of 1-indexed hex digit d
+    nib = [
+        F.conv(F.substring(h, d, 1), 16, 10).cast("long")
+        for d in range(1, 17)
     ]
-    agg = toks.groupBy("doc").agg(*sums)
+
+    def bit(j: int):
+        # global bit j = bit (3 - j%4) of nibble j//4 — the same plane
+        # order as _NIBBLE_BIT_DIGITS (high bit first)
+        return F.shiftright(nib[j // 4], 3 - (j % 4)).bitwiseAND(F.lit(1))
+
+    packed = []
+    for g in range((64 + 2) // 3):
+        expr = None
+        for slot in range(3):
+            j = 3 * g + slot
+            if j >= 64:
+                break
+            term = bit(j) * F.lit(1 << (_SIMHASH_PACK_BITS * slot))
+            expr = term if expr is None else expr + term
+        packed.append(F.sum(expr).alias(f"p{g}"))
+    agg = toks.groupBy("doc").agg(F.count("*").alias("_n"), *packed)
+
+    def cnt(j: int):
+        g, slot = divmod(j, 3)
+        return F.shiftright(
+            F.col(f"p{g}"), _SIMHASH_PACK_BITS * slot
+        ).bitwiseAND(F.lit((1 << _SIMHASH_PACK_BITS) - 1))
+
     segs = [
         sum(
             (
                 F.when(
-                    F.col(f"s{16 * k + i}") >= 0, F.lit(1 << (15 - i))
+                    cnt(16 * k + i) * 2 >= F.col("_n"), F.lit(1 << (15 - i))
                 ).otherwise(0)
                 for i in range(16)
             ),

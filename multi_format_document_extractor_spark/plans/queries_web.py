@@ -2193,3 +2193,48 @@ def cms_heavy_hitters(spark, sf_dir):
             .alias("overcount"),
         )
     )
+
+
+# =========================================================================
+# WARC container ingestion (Common Crawl's on-disk format)
+# =========================================================================
+
+_WARC_CACHE: dict = {}
+
+
+def _warc_dir(n: int = 500, seed: int = 42) -> str:
+    import os
+    import tempfile
+
+    from ..corpus import CORPUS_VERSION, write_warc
+
+    key = (n, seed)
+    if key not in _WARC_CACHE:
+        d = os.path.join(
+            tempfile.gettempdir(), f"mfde_warc_v{CORPUS_VERSION}_{n}_{seed}"
+        )
+        if not (os.path.isdir(d) and os.listdir(d)):
+            write_warc(d, n, seed, shard_docs=100, gzip_records=True)
+        _WARC_CACHE[key] = d
+    return _WARC_CACHE[key]
+
+
+@q("warc_extract")  # rows-only: container decode + UDF extraction are not
+# SQL-expressible (same reason as extract_pages); roundtrip fidelity,
+# per-record-gzip members, truncation robustness, and end-to-end byte
+# identity vs the golden expectations are pinned in tests/test_warc.py
+def warc_extract(spark, sf_dir):
+    """The full crawl-container path: per-record-gzip WARC shards (the
+    actual Common-Crawl layout, written by corpus.write_warc) →
+    sources/warc.read_warc → the one extraction UDF. Returns per-url
+    (url, format, ok, checksum) — identical bytes to the parquet-sourced
+    extract_pages for the same corpus, so ingestion format provably does
+    not perturb extraction. Scale shape: shards are the parallelism unit
+    (binaryFile scan, one flat-map, zero shuffle); at 10^12 docs this job
+    runs once per crawl to land the columnar pages table that every other
+    query scans."""
+    from ..operators.extract import extract_pages
+    from ..sources.warc import read_warc
+
+    pages = read_warc(spark, _warc_dir())
+    return extract_pages(pages).select("url", "format", "ok", "checksum")

@@ -1,0 +1,142 @@
+"""WARC container source: Common Crawl's on-disk format → the pages table.
+
+The engine's batch contract is an Iceberg/parquet table of pages
+(BASELINE.json input_hint), but the upstream artifact a crawl actually
+produces is WARC — concatenated ``WARC/1.0`` records, usually with each
+record its own gzip member (``.warc.gz``). ``read_warc`` turns a directory
+of WARC shards into the exact ``(url, warc_ts, html, text, lang)`` schema
+``read_pages`` yields, so everything downstream (sniff → extract → score →
+warehouse) runs unchanged from the raw crawl container.
+
+Scale shape: the FILE is the parallelism unit — Spark's ``binaryFile``
+source gives one row per shard, and record splitting is sequential within
+a shard by necessity (gzip members must be walked in order; this is how
+every WARC toolchain parallelizes, including Common Crawl's own). No
+shuffle anywhere: shard → records is a ``mapInPandas`` flat-map, and the
+output flows straight into the extraction UDF's scan. The one-mapInPandas
+invariant of PLANS.md §1 applies to the EXTRACTION path — a container
+source necessarily adds its own decode stage upstream, exactly as a
+parquet scan adds its (JVM-side) decode; at 100 TB you run read_warc →
+warehouse append ONCE per crawl and all downstream jobs read the columnar
+table.
+
+Record-level semantics: only ``WARC-Type: response`` records yield rows
+(request/metadata/warcinfo records are skipped, like every CC consumer);
+the HTTP envelope is stripped to the raw payload bytes; a malformed or
+truncated tail ends the shard's parse — valid prefix records are kept,
+errors-as-data never exceptions. Reference analog: the reference walks a
+directory of loose files (src/pipeline.py:207-215); WARC is what that
+directory becomes at crawl scale.
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import PAGES_SCHEMA  # arrow schema, reused for the DDL below
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
+    """Parse one WARC shard (plain or per-record-gzip) into
+    ``(url, warc_ts, payload, lang)`` tuples. Pure function — the same
+    code runs inside the Spark UDF and in single-process tests, the
+    repo's oracle/operator lockstep pattern."""
+    if blob[:2] == _GZ_MAGIC:
+        # gzip.decompress walks ALL concatenated members
+        blob = gzip.decompress(blob)
+    out: list[tuple[str, datetime, bytes, str]] = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        start = blob.find(b"WARC/1.0\r\n", i)
+        if start < 0:
+            break
+        head_end = blob.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[start + 10 : head_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break  # malformed record: stop at the valid prefix
+        body_start = head_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            break  # truncated tail
+        i = body_end  # next scan resumes after this record's block
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date", "")
+        try:
+            ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            continue
+        if not url:
+            continue
+        body = blob[body_start:body_end]
+        # strip the HTTP envelope: payload begins after its header block
+        lang = "und"
+        payload = body
+        http_end = body.find(b"\r\n\r\n")
+        if body[:5] == b"HTTP/" and http_end >= 0:
+            for line in body[:http_end].split(b"\r\n"):
+                k, _, v = line.partition(b":")
+                if _ and k.strip().lower() == b"x-crawl-lang":
+                    lang = v.strip().decode("ascii", "replace")
+            payload = body[http_end + 4 :]
+        out.append((url, ts, payload, lang))
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory (or glob) of ``.warc`` / ``.warc.gz`` shards into
+    the pages schema. One ``binaryFile`` row per shard → one flat-map —
+    shards process in parallel, records within a shard sequentially (the
+    gzip-member constraint every WARC consumer shares)."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("content")
+    )
+
+    def _expand(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for url, ts, payload, lang in parse_warc(bytes(blob)):
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": ts,
+                            "html": payload,
+                            "text": "",
+                            "lang": lang,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(_expand, PAGES_DDL)
