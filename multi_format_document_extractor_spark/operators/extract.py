@@ -152,6 +152,67 @@ def extract_pages(
     )
 
 
+SPANS_DDL = (
+    "url string, block_idx int, src_start int, src_end int, "
+    "kept boolean, n_chars int, encoding string"
+)
+
+
+def extract_spans(pages: DataFrame, profile: str = "default") -> DataFrame:
+    """Per-block PROVENANCE spans for html pages: one row per scanner
+    block with its [src_start, src_end) extent in the decoded document
+    and the ``kept`` verdict of the same ``classify_block`` rule
+    extraction applies — the span side of the north rule's text/spans
+    contract (where in the page each extracted block came from; feeds
+    audits, highlighting, and raw-page diffing). Html only by
+    definition: span coordinates are DOM extents of the decoded page;
+    other formats have no such geometry. Separate opt-in stage so the
+    byte-identity extraction path stays untouched; same pool/batch
+    shape, zero shuffle, and the native html pre-filter pushes into the
+    scan exactly like ``only_formats``. Kept-span counts are pinned
+    equal to ``extract_pages``'s ``n_blocks`` per url in
+    tests/test_spans.py."""
+    from ..oracle import html_block_spans
+
+    df = pages.select("url", "html").where(
+        format_col(F.col("html")) == "html"
+    )
+
+    def _batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [
+            "url",
+            "block_idx",
+            "src_start",
+            "src_end",
+            "kept",
+            "n_chars",
+            "encoding",
+        ]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                spans, enc = html_block_spans(bytes(payload), profile)
+                for i, s, e, kept, n in spans:
+                    rows.append(
+                        {
+                            "url": url,
+                            "block_idx": i,
+                            "src_start": s,
+                            "src_end": e,
+                            "kept": kept,
+                            "n_chars": n,
+                            "encoding": enc,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_batches, SPANS_DDL)
+
+
 def enrich_extracted(extracted: DataFrame) -> DataFrame:
     """Training-pipeline enrichment over ``text_out`` — language guess,
     quality score, token counts, content fingerprint — as PURE NATIVE

@@ -132,6 +132,12 @@ class _Block:
     text_parts: list[str] = field(default_factory=list)
     link_chars: int = 0
     n_tags: int = 0
+    # provenance span [src_start, src_end) in DECODED-string coordinates:
+    # extent from the block's first contributing source segment to its
+    # last. Filled only by _scan_blocks (the html.parser twin leaves the
+    # defaults; the differential test compares content stats, not spans).
+    src_start: int = -1
+    src_end: int = -1
 
     def text(self) -> str:
         # " ".join(split()) ≡ _WS_RE.sub(" ", s).strip() — Python's str
@@ -320,6 +326,9 @@ def _scan_blocks(data: str) -> list[_Block]:
             if "&" in chunk:
                 chunk = _unescape(chunk)
             cur.text_parts.append(chunk)
+            if cur.src_start < 0:
+                cur.src_start = pos
+            cur.src_end = start
         pos = m.end()
         sname = m.group(2)
         if sname is not None:  # start tag
@@ -352,8 +361,14 @@ def _scan_blocks(data: str) -> list[_Block]:
             elif tag == "a":
                 link_depth += 1
                 cur.n_tags += 1
+                if cur.src_start < 0:
+                    cur.src_start = start
+                cur.src_end = pos
             elif tag not in _VOID_TAGS:
                 cur.n_tags += 1
+                if cur.src_start < 0:
+                    cur.src_start = start
+                cur.src_end = pos
             continue
         ename = m.group(1)
         if ename is not None:  # end tag
@@ -375,6 +390,9 @@ def _scan_blocks(data: str) -> list[_Block]:
         if "&" in chunk:
             chunk = _unescape(chunk)
         cur.text_parts.append(chunk)
+        if cur.src_start < 0:
+            cur.src_start = pos
+        cur.src_end = n
     if cur.text_parts or cur.n_tags:
         blocks.append(cur)
     return blocks
@@ -456,6 +474,33 @@ def extract_html(
         if classify_block(len(t), b.link_chars, b.n_tags, ld_max, min_chars, td_min):
             kept.append(t)
     return "\n\n".join(kept).encode("utf-8"), len(kept), enc
+
+
+def html_block_spans(
+    payload: bytes, profile: str = "default"
+) -> tuple[list[tuple[int, int, int, bool, int]], str]:
+    """Per-block PROVENANCE spans for an HTML page: for every block the
+    scanner segments, its (idx, src_start, src_end, kept, n_chars) where
+    [src_start, src_end) is the block's extent in the DECODED document
+    (first contributing source segment to last) and ``kept`` applies the
+    same ``classify_block`` rule as extraction. This is the answer to
+    "where in the page did this extracted text come from" — the span
+    side of the north rule's text/spans contract, and what makes audits,
+    highlighting, and diffing against the raw page possible downstream.
+    Separate opt-in path: ``extract_html`` itself is untouched (its
+    byte-identity contract does not admit extra per-block work like
+    computing text for blocks the short-skip elides)."""
+    ld_max, min_chars, td_min = PROFILES[profile]
+    data, enc = decode_chain(payload)
+    blocks = _scan_blocks(data)
+    out = []
+    for i, b in enumerate(blocks):
+        t = b.text()
+        kept = classify_block(
+            len(t), b.link_chars, b.n_tags, ld_max, min_chars, td_min
+        )
+        out.append((i, b.src_start, b.src_end, kept, len(t)))
+    return out, enc
 
 
 # ---------------------------------------------------------------------------

@@ -2238,3 +2238,165 @@ def warc_extract(spark, sf_dir):
 
     pages = read_warc(spark, _warc_dir())
     return extract_pages(pages).select("url", "format", "ok", "checksum")
+
+
+# =========================================================================
+# robots.txt rule evaluation (longest-match crawl-policy gate)
+# =========================================================================
+
+
+@q(
+    "robots_rules",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+             CAST(doc_id % 37 AS VARCHAR) AS k,
+             '/p/' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ), hosts AS (
+      SELECT DISTINCT host, k,
+             'User-agent: *' || chr(10)
+               || 'Disallow: /p/' || k || chr(10)
+               || 'Allow: /p/' || k || '1' || chr(10)
+               || CASE WHEN CAST(k AS INT) % 5 = 0
+                       THEN 'Disallow: /' || chr(10) ELSE '' END
+               || CASE WHEN CAST(k AS INT) % 10 = 0
+                       THEN 'Allow: /' || chr(10) ELSE '' END AS robots
+      FROM u
+    ), lines AS (
+      SELECT host, unnest(string_split(robots, chr(10))) AS line FROM hosts
+    ), rules AS (
+      SELECT host,
+             lower(regexp_extract(line, '^(Disallow|Allow): (/.*)$', 1))
+               AS directive,
+             regexp_extract(line, '^(Disallow|Allow): (/.*)$', 2) AS rpath
+      FROM lines
+      WHERE regexp_matches(line, '^(Disallow|Allow): /')
+    ), m AS (
+      SELECT u.doc_id, u.host, u.path, r.directive, r.rpath,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.rpath) DESC,
+                        CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END
+                          DESC,
+                        r.rpath
+             ) AS rn
+      FROM u JOIN rules r ON r.host = u.host
+       AND substr(u.path, 1, length(r.rpath)) = r.rpath
+    )
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.host, u.path,
+           coalesce(m.rpath, '') AS matched_rule,
+           coalesce(m.directive, 'allow') = 'allow' AS allowed
+    FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+    """,
+)
+def robots_rules(spark, sf_dir):
+    """robots.txt Disallow/Allow evaluation with the REP longest-match
+    rule (Google semantics: the most specific matching path wins; on a
+    length tie Allow wins; no match ⇒ allowed) — the crawl-frontier gate
+    that decides which urls may be fetched at all, complementing
+    robots_gate's META-tag (post-fetch) policy. The per-host robots.txt
+    TEXT is synthesized deterministically and then PARSED for real
+    (line split → directive regex → rule explode), so the query
+    exercises the actual parse→match→rank pipeline. Scale shape: the
+    rules table is hosts×rules-sized (tiny vs the frontier) and joins
+    host-equi with a prefix predicate; the longest-match pick is one
+    per-url window on the matched subset — at crawl scale the rules
+    side broadcasts and the frontier is never shuffled except by url
+    for the rank."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    k = (F.col("doc_id") % 37).cast("string")
+    u = d.select(
+        "doc_id",
+        F.concat(F.lit("host"), k, F.lit(".example.com")).alias("host"),
+        k.alias("k"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = u.select("host", "k").distinct().select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p/"), F.col("k"), F.lit("\n"),
+            F.lit("Allow: /p/"), F.col("k"), F.lit("1"), F.lit("\n"),
+            F.when(
+                F.col("k").cast("int") % 5 == 0, F.lit("Disallow: /\n")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("k").cast("int") % 10 == 0, F.lit("Allow: /\n")
+            ).otherwise(F.lit("")),
+        ).alias("robots"),
+    )
+    lines = hosts.select(
+        "host", F.explode(F.split(F.col("robots"), "\n")).alias("line")
+    )
+    rules = lines.where(
+        F.col("line").rlike("^(Disallow|Allow): /")
+    ).select(
+        "host",
+        F.lower(
+            F.regexp_extract(F.col("line"), r"^(Disallow|Allow): (/.*)$", 1)
+        ).alias("directive"),
+        F.regexp_extract(
+            F.col("line"), r"^(Disallow|Allow): (/.*)$", 2
+        ).alias("rpath"),
+    )
+    from pyspark.sql import Window as _Win
+
+    m = (
+        u.join(rules, "host")
+        .where(
+            F.col("path").substr(F.lit(1), F.length("rpath"))
+            == F.col("rpath")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _Win.partitionBy("doc_id").orderBy(
+                    F.length("rpath").desc(),
+                    F.when(F.col("directive") == "allow", 1)
+                    .otherwise(0)
+                    .desc(),
+                    F.col("rpath").asc(),
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "directive", "rpath")
+    )
+    return u.join(m, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(F.col("rpath"), F.lit("")).alias("matched_rule"),
+        (F.coalesce(F.col("directive"), F.lit("allow")) == "allow").alias(
+            "allowed"
+        ),
+    )
+
+
+# =========================================================================
+# Block provenance spans (the span side of the text/spans contract)
+# =========================================================================
+
+
+@q("extract_spans")  # rows-only: span extents come from the scanner over
+# binary payloads, not SQL-reproducible (same reason as extract_pages);
+# exactness on a crafted page, ordering/non-overlap/bounds corpus-wide,
+# and kept-span-count == n_blocks per url are pinned in tests/test_spans.py
+def extract_spans_q(spark, sf_dir):
+    """Per-block provenance spans over the corpus's html pages: one row
+    per scanner block with [src_start, src_end) in the decoded document
+    plus the kept verdict — "where in the page did each extracted block
+    come from". Composes with extract_pages downstream (audits,
+    highlighting, extraction diffing); kept-span counts provably equal
+    extraction's n_blocks per url. Zero shuffle; html pre-filter is
+    native and pushes below the UDF."""
+    from ..operators.extract import extract_spans
+    from ..sources.pages import read_pages
+    from .queries import _corpus_dir
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    return extract_spans(pages)

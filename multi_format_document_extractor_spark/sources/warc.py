@@ -31,7 +31,7 @@ directory becomes at crawl scale.
 
 from __future__ import annotations
 
-import gzip
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
 
@@ -52,8 +52,22 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
     code runs inside the Spark UDF and in single-process tests, the
     repo's oracle/operator lockstep pattern."""
     if blob[:2] == _GZ_MAGIC:
-        # gzip.decompress walks ALL concatenated members
-        blob = gzip.decompress(blob)
+        # Walk gzip members one by one, keeping the valid PREFIX: a
+        # corrupt/truncated member ends the shard's parse instead of
+        # throwing away its good records (or crashing the UDF — found by
+        # the fuzz test: gzip.decompress raises on bad members).
+        parts = []
+        data = blob
+        while data[:2] == _GZ_MAGIC:
+            d = zlib.decompressobj(31)  # 31 = gzip wrapper
+            try:
+                parts.append(d.decompress(data))
+            except zlib.error:
+                break
+            if not d.eof:
+                break  # truncated member
+            data = d.unused_data
+        blob = b"".join(parts)
     out: list[tuple[str, datetime, bytes, str]] = []
     i = 0
     n = len(blob)
@@ -107,36 +121,65 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
     return out
 
 
+def _expand_shards(
+    batches: Iterable["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Flat-map: WARC shard blobs → pages rows (shared by the batch and
+    streaming readers)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for url, ts, payload, lang in parse_warc(bytes(blob)):
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "html": payload,
+                        "text": "",
+                        "lang": lang,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Scan a directory (or glob) of ``.warc`` / ``.warc.gz`` shards into
     the pages schema. One ``binaryFile`` row per shard → one flat-map —
     shards process in parallel, records within a shard sequentially (the
     gzip-member constraint every WARC consumer shares)."""
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("content")
     )
+    return files.mapInPandas(_expand_shards, PAGES_DDL)
 
-    def _expand(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                for url, ts, payload, lang in parse_warc(bytes(blob)):
-                    rows.append(
-                        {
-                            "url": url,
-                            "warc_ts": ts,
-                            "html": payload,
-                            "text": "",
-                            "lang": lang,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
 
-    return files.mapInPandas(_expand, PAGES_DDL)
+_BINARYFILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-Streaming variant: a LANDING-ZONE tail — each new WARC
+    shard dropped into the directory becomes one micro-batch unit, parsed
+    by the same flat-map as the batch reader. The file source tracks seen
+    files in the checkpoint, so with a checkpointed sink each shard is
+    ingested exactly once across restarts — this is how a crawler's
+    rolling output feeds the warehouse continuously instead of by nightly
+    batch. The binaryFile stream needs its schema pinned explicitly
+    (streaming sources cannot infer); shards remain the parallelism unit
+    and record-splitting stays sequential per shard, identical to batch."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_DDL)
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(_expand_shards, PAGES_DDL)

@@ -136,3 +136,93 @@ def test_parse_warc_payload_embedding_fake_header():
         ("https://x.example/a", evil),
         ("https://x.example/b", b"second"),
     ]
+
+
+def test_parse_warc_never_raises_on_fuzz():
+    """parse_warc is total: arbitrary bytes (including gzip-magic
+    prefixes, partial headers, binary noise) parse to a list, never an
+    exception — errors-as-data at the container layer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=4096))
+    def _run(blob):
+        out = parse_warc(blob)
+        assert isinstance(out, list)
+
+    _run()
+    # targeted nasties beyond random noise
+    for blob in [
+        b"\x1f\x8b" + b"\x00" * 50,                      # bad gzip
+        b"WARC/1.0\r\n" * 200,                            # headers only
+        b"WARC/1.0\r\nContent-Length: 999999999\r\n\r\n",  # huge clen
+        b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxxxx",     # negative clen
+        b"WARC/1.0\r\nContent-Length: foo\r\n\r\nxxxx",    # non-numeric
+    ]:
+        assert isinstance(parse_warc(blob), list)
+
+
+def test_parse_warc_gzip_valid_prefix_kept(tmp_path):
+    """A corrupt gzip member mid-shard keeps the records of the valid
+    members before it (per-member resync, not all-or-nothing)."""
+    import gzip as _gzip
+
+    d = str(tmp_path / "g")
+    rows = write_warc(d, 60, seed=16, shard_docs=60, gzip_records=True)
+    import os
+
+    path = os.path.join(d, sorted(os.listdir(d))[0])
+    with open(path, "rb") as f:
+        blob = f.read()
+    n_full = len(parse_warc(blob))
+    assert n_full == len([r for r in rows if r.html is not None])
+    # append a corrupt member then a valid one: parse stops at corruption
+    good_tail = _gzip.compress(b"WARC/1.0\r\n", mtime=0)
+    broken = blob + b"\x1f\x8b" + b"\x00" * 30 + good_tail
+    assert len(parse_warc(broken)) == n_full
+
+
+def test_warc_stream_exactly_once_across_triggers(spark, tmp_path):
+    """Landing-zone tail: trigger 1 ingests the initial shards; dropping
+    a NEW shard and re-triggering with the same checkpoint ingests only
+    the new file's records — file-source exactly-once per shard."""
+    import os
+
+    d = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    rows1 = write_warc(d, 40, seed=17, shard_docs=40, gzip_records=True)
+    from multi_format_document_extractor_spark.sources.warc import (
+        read_warc_stream,
+    )
+
+    def drain():
+        q = (
+            read_warc_stream(spark, d)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == len([r for r in rows1 if r.html is not None])
+
+    # second crawl batch lands as a new shard file (different seed → new
+    # urls; filename offset avoids collision with batch 1's shards)
+    rows2 = write_warc(str(tmp_path / "stage"), 25, seed=18, shard_docs=25,
+                       gzip_records=True)
+    os.rename(
+        os.path.join(str(tmp_path / "stage"), "crawl-00000.warc.gz"),
+        os.path.join(d, "crawl-99999.warc.gz"),
+    )
+    drain()
+    out = spark.read.parquet(sink)
+    n2 = out.count()
+    assert n2 == n1 + len([r for r in rows2 if r.html is not None])
+    # no url ingested twice more than it appears across the two batches
+    assert out.select("url").distinct().count() >= n2 - len(rows1)
