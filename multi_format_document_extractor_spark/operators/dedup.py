@@ -246,7 +246,14 @@ def _simhash64_sign(w_hash: Column, j: int) -> Column:
     return F.when(digit.isin(*_NIBBLE_BIT_DIGITS[j % 4]), 1).otherwise(-1)
 
 
-_SIMHASH_PACK_BITS = 21  # counter width; supports docs up to 2^21 tokens
+# Counter width for the packed sign-accumulators: 31 bits × 2 per long.
+# A counter overflows only for docs with ≥2^31 single-char tokens, i.e.
+# ≥4 GiB of text in ONE row — beyond Spark's 2 GiB binary/row limit, so
+# the bound is guaranteed by the platform, not by callers remembering a
+# cap (review: the previous 21-bit/3-per-long pack silently corrupted
+# fingerprints for ≥2^21-token docs, which DO exist at crawl scale).
+_SIMHASH_PACK_BITS = 31
+_SIMHASH_SLOTS = 2
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -261,14 +268,15 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Hot-path shape: each token converts its 16 md5 hex digits to nibble
     values ONCE (integer shifts thereafter — not 64 string-set probes),
-    and the 64 bit-counters are packed 3-per-long into 22 aggregation
-    buffers (21 bits each, no carry interference while docs stay under
-    2^21 tokens — extraction's max_bytes cap keeps them far below).
-    Sign test after the agg: bit j set iff 2·count_j ≥ n_tokens, which
-    equals the Σ±1 ≥ 0 rule bit-for-bit, so the DuckDB oracle (which
-    keeps the legible per-bit CASE form) stays hash-exact. ~3× fewer
-    shuffle columns and ~10× less per-token expression work than the
-    64-sum CASE formulation this replaces."""
+    and the 64 bit-counters are packed 2-per-long into 32 aggregation
+    buffers (31 bits each — no carry interference for ANY document Spark
+    can represent: overflow needs ≥2^31 tokens ≈ ≥4 GiB in one row,
+    past the platform's 2 GiB row limit). Sign test after the agg: bit
+    j set iff 2·count_j ≥ n_tokens, which equals the Σ±1 ≥ 0 rule
+    bit-for-bit, so the DuckDB oracle (which keeps the legible per-bit
+    CASE form) stays hash-exact. 2× fewer shuffle columns and ~10× less
+    per-token expression work than the 64-sum CASE formulation this
+    replaces."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
     )
@@ -285,19 +293,17 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return F.shiftright(nib[j // 4], 3 - (j % 4)).bitwiseAND(F.lit(1))
 
     packed = []
-    for g in range((64 + 2) // 3):
+    for g in range(64 // _SIMHASH_SLOTS):
         expr = None
-        for slot in range(3):
-            j = 3 * g + slot
-            if j >= 64:
-                break
+        for slot in range(_SIMHASH_SLOTS):
+            j = _SIMHASH_SLOTS * g + slot
             term = bit(j) * F.lit(1 << (_SIMHASH_PACK_BITS * slot))
             expr = term if expr is None else expr + term
         packed.append(F.sum(expr).alias(f"p{g}"))
     agg = toks.groupBy("doc").agg(F.count("*").alias("_n"), *packed)
 
     def cnt(j: int):
-        g, slot = divmod(j, 3)
+        g, slot = divmod(j, _SIMHASH_SLOTS)
         return F.shiftright(
             F.col(f"p{g}"), _SIMHASH_PACK_BITS * slot
         ).bitwiseAND(F.lit((1 << _SIMHASH_PACK_BITS) - 1))

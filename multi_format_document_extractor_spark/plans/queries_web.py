@@ -2213,8 +2213,16 @@ def _warc_dir(n: int = 500, seed: int = 42) -> str:
         d = os.path.join(
             tempfile.gettempdir(), f"mfde_warc_v{CORPUS_VERSION}_{n}_{seed}"
         )
-        if not (os.path.isdir(d) and os.listdir(d)):
-            write_warc(d, n, seed, shard_docs=100, gzip_records=True)
+        if not os.path.isdir(d):
+            # stage + rename so a crash mid-write can never leave a
+            # half-written shard set that later runs mistake for the
+            # full corpus (the final dir exists only once complete)
+            import shutil
+
+            tmp = d + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            write_warc(tmp, n, seed, shard_docs=100, gzip_records=True)
+            os.rename(tmp, d)
         _WARC_CACHE[key] = d
     return _WARC_CACHE[key]
 

@@ -37,11 +37,7 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..corpus import PAGES_SCHEMA  # arrow schema, reused for the DDL below
-
-PAGES_DDL = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
-)
+from .pages import PAGES_DDL  # one schema contract shared with read_pages
 
 _GZ_MAGIC = b"\x1f\x8b"
 
@@ -55,18 +51,31 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
         # Walk gzip members one by one, keeping the valid PREFIX: a
         # corrupt/truncated member ends the shard's parse instead of
         # throwing away its good records (or crashing the UDF — found by
-        # the fuzz test: gzip.decompress raises on bad members).
-        parts = []
-        data = blob
-        while data[:2] == _GZ_MAGIC:
+        # the fuzz test: gzip.decompress raises on bad members). Members
+        # are fed in bounded chunks from a memoryview so the walk is
+        # O(shard_bytes) total — handing each decompressobj the whole
+        # remaining tail would copy it into unused_data per member,
+        # O(members × shard_bytes) on a 1 GB/50k-record CC shard.
+        parts: list[bytes] = []
+        mv = memoryview(blob)
+        off, n_blob = 0, len(blob)
+        chunk_sz = 1 << 16
+        while off < n_blob and blob[off : off + 2] == _GZ_MAGIC:
             d = zlib.decompressobj(31)  # 31 = gzip wrapper
+            mark = len(parts)
+            fed = 0
+            ok = True
             try:
-                parts.append(d.decompress(data))
+                while not d.eof and off + fed < n_blob:
+                    piece = mv[off + fed : off + fed + chunk_sz]
+                    parts.append(d.decompress(piece))
+                    fed += len(piece)
             except zlib.error:
+                ok = False
+            if not ok or not d.eof:
+                del parts[mark:]  # drop the broken member's partial output
                 break
-            if not d.eof:
-                break  # truncated member
-            data = d.unused_data
+            off += fed - len(d.unused_data)
         blob = b"".join(parts)
     out: list[tuple[str, datetime, bytes, str]] = []
     i = 0
@@ -89,6 +98,11 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break  # malformed record: stop at the valid prefix
+        if clen < 0:
+            # negative length would send the scan cursor BACKWARDS
+            # (bytes.find clamps negative starts to 0 → infinite loop on
+            # one malicious record — found by review); malformed: stop
+            break
         body_start = head_end + 4
         body_end = body_start + clen
         if body_end > n:

@@ -226,3 +226,36 @@ def test_warc_stream_exactly_once_across_triggers(spark, tmp_path):
     assert n2 == n1 + len([r for r in rows2 if r.html is not None])
     # no url ingested twice more than it appears across the two batches
     assert out.select("url").distinct().count() >= n2 - len(rows1)
+
+
+def test_parse_warc_negative_content_length_terminates():
+    """A large negative Content-Length must not send the scan cursor
+    backwards (bytes.find clamps negative starts to 0 → infinite loop);
+    the record is malformed and parsing stops at the valid prefix."""
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: -1000\r\n\r\n" + b"x" * 50
+    )
+    assert parse_warc(evil) == []
+    # valid record before it still parses
+    from datetime import datetime, timezone
+
+    from multi_format_document_extractor_spark.corpus import (
+        PageRow,
+        _warc_record,
+    )
+
+    good = _warc_record(
+        PageRow(
+            url="https://x.example/ok",
+            warc_ts=datetime(2024, 1, 2, tzinfo=timezone.utc),
+            html=b"payload",
+            text="",
+            lang="en",
+            format="text",
+            text_expected=b"",
+            n_blocks=0,
+        )
+    )
+    out = parse_warc(good + evil)
+    assert [o[0] for o in out] == ["https://x.example/ok"]
