@@ -33,7 +33,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages table path (parquet)")
+    ap.add_argument(
+        "--input", required=True,
+        help="pages table path (parquet) or WARC shard dir (--input-format warc)",
+    )
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="parquet = columnar pages table (default); warc = a directory "
+        "of .warc/.warc.gz shards (Common Crawl's container) ingested via "
+        "sources/warc.read_warc — the once-per-crawl landing job",
+    )
     ap.add_argument("--warehouse", required=True, help="warehouse root dir")
     ap.add_argument("--run-id", default=None)
     ap.add_argument(
@@ -65,6 +76,9 @@ def main(argv: list[str] | None = None) -> None:
     from multi_format_document_extractor_spark.sinks import Warehouse
     from multi_format_document_extractor_spark.sources.pages import read_pages
 
+    # getOrCreate may return a session someone else owns (a test harness,
+    # a notebook embedding this entry): only stop what this job created
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.appName("mfde-extract")
         .config("spark.sql.session.timeZone", "UTC")
@@ -86,7 +100,14 @@ def main(argv: list[str] | None = None) -> None:
     except Exception:
         pass
 
-    pages = read_pages(spark, args.input)
+    if args.input_format == "warc":
+        from multi_format_document_extractor_spark.sources.warc import (
+            read_warc,
+        )
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = read_pages(spark, args.input)
     wh = Warehouse(args.warehouse)
     record = wh.run(
         spark,
@@ -100,7 +121,8 @@ def main(argv: list[str] | None = None) -> None:
         crec = wh.compact(spark)
         if crec is not None:
             print(json.dumps(crec))
-    spark.stop()
+    if not pre_existing:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -259,3 +259,31 @@ def test_parse_warc_negative_content_length_terminates():
     )
     out = parse_warc(good + evil)
     assert [o[0] for o in out] == ["https://x.example/ok"]
+
+
+def test_run_job_ingests_warc_landing_zone(spark, tmp_path):
+    """The spark-submit entry runs end-to-end from a WARC landing zone:
+    ingest → extract → warehouse append with snapshot commit, and a
+    second invocation resumes to a no-op (idempotent restart from the
+    crawl container)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("/root/repo/scripts")))
+    import run_job
+
+    zone = str(tmp_path / "zone")
+    wh = str(tmp_path / "wh")
+    rows = write_warc(zone, 60, seed=19, shard_docs=30, gzip_records=True)
+    n_expected = len([r for r in rows if r.html is not None])
+
+    run_job.main(["--input", zone, "--input-format", "warc",
+                  "--warehouse", wh, "--run-id", "r1"])
+    from multi_format_document_extractor_spark.sinks import Warehouse
+
+    w = Warehouse(wh)
+    assert w.read_extracted(spark).count() == n_expected
+    # resume: nothing pending, second run appends zero rows
+    run_job.main(["--input", zone, "--input-format", "warc",
+                  "--warehouse", wh, "--run-id", "r2"])
+    assert w.read_extracted(spark).count() == n_expected
