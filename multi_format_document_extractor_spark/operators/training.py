@@ -352,3 +352,102 @@ def assemble_training_corpus(
     if pack_budget is not None:
         out = pack_sequences(out, id_col, "n_tokens", pack_budget)
     return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 3,
+) -> list[tuple[int, str, int]]:
+    """Iterative BPE tokenizer TRAINING (the full merge loop, not just one
+    pair table): learn ``n_merges`` ordered merges from the corpus.
+    Returns [(merge_rank, "a b", count), ...] — the merge list a BPE
+    tokenizer persists.
+
+    Spark shape — the production-BPE scaling argument executed literally:
+    the corpus is aggregated ONCE into the (word, freq) vocabulary (one
+    partial-agg Exchange; the Zipf head collapses map-side), and every
+    merge iteration runs over the VOCAB table only, which is sublinear in
+    corpus size — pair counting is a narrow explode of adjacent symbol
+    pairs weighted by freq, and the argmax merge is a driver scalar (the
+    same per-iteration scalar action as kmeans' centroid collect and
+    connected_components' convergence check).
+
+    The merge step itself is a single engine-portable string op: symbols
+    live DOUBLE-SPACE-joined with single-space padding
+    (`` a  b  c ``), and merging pair (a, b) is
+    ``replace(s, ' a  b ', ' ab ')`` — the left-to-right non-overlapping
+    replace every engine implements identically (verified Python =
+    Spark = DuckDB, including the shared-boundary ``a b a b`` and
+    overlapping ``a a a`` cases: each consumed boundary space is
+    re-emitted, so consecutive occurrences both merge, exactly the
+    canonical greedy BPE scan). This is what makes the whole loop
+    DuckDB-oracle-checkable with an unrolled CTE.
+
+    Ties break deterministically on (count desc, pair asc). Vocab is
+    localCheckpointed per iteration — bounded lineage, same treatment as
+    the other iterative operators."""
+    w = docs.select(
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("word")
+    ).where(F.col("word") != "")
+    # ' c1  c2  ...  ck ' — chars double-space-joined, single-space padded
+    sym_str = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(sym_str.alias("s"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size(syms) >= 2,
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.concat(a, F.lit(" "), b),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        merges.append((r, pair, n))
+        a, b = pair.split(" ")
+        # F.replace with Column literals, never F.expr interpolation: a
+        # symbol containing a quote or backslash would otherwise hit
+        # Spark's SQL-literal escape rules (where '\' escapes) and
+        # diverge from DuckDB's standard-SQL literals
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+    return merges

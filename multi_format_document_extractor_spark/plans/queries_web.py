@@ -2408,3 +2408,78 @@ def extract_spans_q(spark, sf_dir):
 
     pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
     return extract_spans(pages)
+
+
+# =========================================================================
+# Iterative BPE tokenizer training (full merge loop)
+# =========================================================================
+
+_BPE_PAIRS_TMPL = """
+  SELECT a || ' ' || b AS pair, sum(freq) AS n FROM (
+    SELECT unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b, freq
+    FROM (SELECT string_split(trim(s), '  ') AS l, freq FROM {src})
+    WHERE len(l) >= 2
+  ) GROUP BY 1
+"""
+
+_BPE_MERGE_TMPL = """
+  SELECT replace(s,
+                 ' ' || string_split(pair, ' ')[1] || '  '
+                     || string_split(pair, ' ')[2] || ' ',
+                 ' ' || replace(pair, ' ', '') || ' ') AS s, freq
+  FROM {src}, {best}
+"""
+
+
+@q(
+    "bpe_train",
+    f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE n_chars > 0
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM w WHERE word != '' GROUP BY word
+    ), v0 AS (
+      SELECT ' ' || array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), '  ') || ' ' AS s,
+             freq
+      FROM wf
+    ), p1 AS ({_BPE_PAIRS_TMPL.format(src='v0')}
+    ), b1 AS (
+      SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1
+    ), v1 AS ({_BPE_MERGE_TMPL.format(src='v0', best='b1')}
+    ), p2 AS ({_BPE_PAIRS_TMPL.format(src='v1')}
+    ), b2 AS (
+      SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1
+    ), v2 AS ({_BPE_MERGE_TMPL.format(src='v1', best='b2')}
+    ), p3 AS ({_BPE_PAIRS_TMPL.format(src='v2')}
+    ), b3 AS (
+      SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS merge_rank, pair, CAST(n AS BIGINT) AS n FROM b1
+    UNION ALL
+    SELECT CAST(2 AS INT), pair, CAST(n AS BIGINT) FROM b2
+    UNION ALL
+    SELECT CAST(3 AS INT), pair, CAST(n AS BIGINT) FROM b3
+    """,
+)
+def bpe_train_q(spark, sf_dir):
+    """Full iterative BPE tokenizer training, 3 merges: the corpus is
+    aggregated ONCE into the (word, freq) vocab, then every merge
+    iteration runs over the vocab only (pair count → deterministic
+    argmax → one engine-portable string replace — see
+    operators/training.bpe_train for why the double-space representation
+    makes the greedy merge exactly replace()). The DuckDB oracle unrolls
+    the same three iterations as CTEs, so the learned merge LIST —
+    ranks, pairs, and counts — is hash-checked across engines, not just
+    one pair table. Per-iteration driver work is a 1-row argmax collect,
+    the same scalar-action class as kmeans' centroids and
+    connected_components' convergence check."""
+    from ..operators.training import bpe_train
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    merges = bpe_train(d, "text", n_merges=3)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, n bigint"
+    )

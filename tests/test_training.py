@@ -125,3 +125,20 @@ def test_assemble_training_corpus_chain(spark):
     assert {"quality", "n_tokens", "split", "seq_id", "seq_offset"} <= set(
         out.columns
     )
+
+
+def test_bpe_train_learns_hand_computable_merges(spark):
+    """On a corpus where pair frequencies are hand-countable, the learned
+    merge list is exactly the canonical greedy sequence, including the
+    merged symbol participating in later merges."""
+    from multi_format_document_extractor_spark.operators.training import (
+        bpe_train,
+    )
+
+    # 'aab' x3, 'ab' x2  →  pairs: (a,b)=5, (a,a)=3  → merge1 = 'a b'
+    # after merge1: 'a ab' x3, 'ab' x2 → pairs: (a,ab)=3 → merge2 = 'a ab'
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab ab ab")], "doc_id int, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    assert merges == [(1, "a b", 5), (2, "a ab", 3)]
