@@ -213,6 +213,52 @@ def extract_spans(pages: DataFrame, profile: str = "default") -> DataFrame:
     return df.mapInPandas(_batches, SPANS_DDL)
 
 
+BOXES_DDL = (
+    "url string, page_idx int, x double, y double, col int, "
+    "box_order int, text string"
+)
+
+
+def extract_pdf_boxes(pages: DataFrame) -> DataFrame:
+    """Layout-box provenance for pdf pages: one row per text op with its
+    (page, x, y) geometry, layout column, and reading-order index — the
+    pdf counterpart of ``extract_spans`` (extract_pdf is DEFINED as the
+    reading-order join of these boxes, oracle.pdf_layout_boxes, so the
+    geometry can never drift from the extracted text; the join identity
+    is pinned per url in tests/test_spans.py). Native pdf pre-filter
+    pushes below the UDF; zero shuffle."""
+    from ..oracle import pdf_layout_boxes
+
+    df = pages.select("url", "html").where(
+        format_col(F.col("html")) == "pdf"
+    )
+
+    def _batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["url", "page_idx", "x", "y", "col", "box_order", "text"]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                for pg, x, y, c, o, t in pdf_layout_boxes(bytes(payload)):
+                    rows.append(
+                        {
+                            "url": url,
+                            "page_idx": pg,
+                            "x": x,
+                            "y": y,
+                            "col": c,
+                            "box_order": o,
+                            "text": t,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_batches, BOXES_DDL)
+
+
 def enrich_extracted(extracted: DataFrame) -> DataFrame:
     """Training-pipeline enrichment over ``text_out`` — language guess,
     quality score, token counts, content fingerprint — as PURE NATIVE

@@ -525,10 +525,19 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
-def extract_pdf(payload: bytes) -> tuple[bytes, int]:
-    """Tokenize page content streams, detect columns by x-gap clustering,
-    rebuild reading order (columns left→right, lines top→bottom)."""
-    pages: list[str] = []
+def pdf_layout_boxes(
+    payload: bytes,
+) -> list[tuple[int, float, float, int, int, str]]:
+    """Layout geometry of a PDF as rows: one (page_idx, x, y, col,
+    box_order, text) per text op, where ``col`` is the x-gap-clustered
+    layout column and ``box_order`` is the reading-order index within
+    the page (columns left→right, lines top→bottom, stable x tiebreak).
+    This is the box-level provenance the reference's layout stage
+    produces (``Sorted boxes``, SURVEY §2.6 O4) — ``extract_pdf`` below
+    is DEFINED as the order-preserving join of these boxes, so text and
+    geometry can never disagree."""
+    out: list[tuple[int, float, float, int, int, str]] = []
+    page_idx = 0
     for stream in _STREAM_RE.findall(payload):
         spans: list[tuple[float, float, str]] = []
         # Td operands in our subset are absolute per-BT positions.
@@ -553,14 +562,34 @@ def extract_pdf(payload: bytes) -> tuple[bytes, int]:
         cols: dict[int, list[tuple[float, float, str]]] = {}
         for x, y, t in spans:
             cols.setdefault(col_of(x), []).append((x, y, t))
-        col_texts = []
+        order = 0
         for c in sorted(cols):
             # reading order: top (large y) to bottom; stable tiebreak on x
-            lines = sorted(cols[c], key=lambda s: (-s[1], s[0]))
-            col_texts.append("\n".join(t for _, _, t in lines))
-        pages.append("\n".join(col_texts))
+            for x, y, t in sorted(cols[c], key=lambda s: (-s[1], s[0])):
+                out.append((page_idx, x, y, c, order, t))
+                order += 1
+        page_idx += 1
+    return out
+
+
+def extract_pdf(payload: bytes) -> tuple[bytes, int]:
+    """Tokenize page content streams, detect columns by x-gap clustering,
+    rebuild reading order (columns left→right, lines top→bottom). The
+    text is the reading-order join of ``pdf_layout_boxes`` — within a
+    page every box joins with newlines (column texts were themselves
+    newline-joined, so the flat per-page join is identical), pages join
+    with blank lines."""
+    boxes = pdf_layout_boxes(payload)
+    pages: dict[int, list[str]] = {}
+    for pg, _x, _y, _c, _o, t in boxes:  # boxes arrive in reading order
+        pages.setdefault(pg, []).append(t)
     n_pages = len(pages)
-    return "\n\n".join(pages).encode("utf-8"), n_pages
+    return (
+        "\n\n".join("\n".join(pages[p]) for p in sorted(pages)).encode(
+            "utf-8"
+        ),
+        n_pages,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2483,3 +2483,22 @@ def bpe_train_q(spark, sf_dir):
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, n bigint"
     )
+
+
+@q("pdf_boxes")  # rows-only: box geometry comes from the PDF tokenizer
+# over binary payloads, not SQL-reproducible (same reason as
+# extract_pages); the reading-order-join identity (rebuilding text from
+# boxes == extract_pdf bytes, per url) is pinned in tests/test_spans.py
+def pdf_boxes(spark, sf_dir):
+    """Layout-box provenance for the corpus's pdf pages: (page, x, y,
+    column, reading-order index, text) per text op — extract_pdf is
+    DEFINED as the reading-order join of these rows, so geometry and
+    extracted text cannot disagree. The pdf counterpart of
+    extract_spans; together they cover the text/spans contract for both
+    geometric formats."""
+    from ..operators.extract import extract_pdf_boxes
+    from ..sources.pages import read_pages
+    from .queries import _corpus_dir
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    return extract_pdf_boxes(pages)

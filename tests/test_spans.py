@@ -70,3 +70,32 @@ def test_spans_agree_with_extraction_corpus_wide(spark, corpus_dir):
         exts = [(r["src_start"], r["src_end"]) for r in rs]
         assert all(s <= e for s, e in exts), url
         assert all(a[1] <= b[0] for a, b in zip(exts, exts[1:])), url
+
+
+def test_pdf_boxes_rebuild_extraction_bytes(spark, corpus_dir):
+    """The reading-order join of pdf layout boxes must reproduce
+    extract_pdf's output BYTES for every corpus pdf — geometry and text
+    are one artifact."""
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pdf_boxes,
+    )
+
+    pages = read_pages(spark, corpus_dir + "/pages.parquet")
+    boxes = extract_pdf_boxes(pages).collect()
+    exp = {
+        r["url"]: bytes(r["text_out"])
+        for r in extract_pages(pages, only_formats=["pdf"]).collect()
+        if r["ok"]
+    }
+    by_url: dict = {}
+    for r in boxes:
+        by_url.setdefault(r["url"], []).append(r)
+    assert set(by_url) == set(exp)
+    for url, rs in by_url.items():
+        pages_d: dict = {}
+        for r in sorted(rs, key=lambda r: (r["page_idx"], r["box_order"])):
+            pages_d.setdefault(r["page_idx"], []).append(r["text"])
+        rebuilt = "\n\n".join(
+            "\n".join(pages_d[p]) for p in sorted(pages_d)
+        ).encode("utf-8")
+        assert rebuilt == exp[url], url
