@@ -2213,16 +2213,22 @@ def _warc_dir(n: int = 500, seed: int = 42) -> str:
         d = os.path.join(
             tempfile.gettempdir(), f"mfde_warc_v{CORPUS_VERSION}_{n}_{seed}"
         )
-        if not os.path.isdir(d):
+        if not (os.path.isdir(d) and os.listdir(d)):
             # stage + rename so a crash mid-write can never leave a
             # half-written shard set that later runs mistake for the
-            # full corpus (the final dir exists only once complete)
+            # full corpus (the final dir exists non-empty only once
+            # complete). Per-pid staging dir: two processes building
+            # concurrently must not delete each other's shards; the
+            # rename loser tolerates the winner's dir and cleans up.
             import shutil
 
-            tmp = d + ".tmp"
+            tmp = f"{d}.tmp.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             write_warc(tmp, n, seed, shard_docs=100, gzip_records=True)
-            os.rename(tmp, d)
+            try:
+                os.rename(tmp, d)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
         _WARC_CACHE[key] = d
     return _WARC_CACHE[key]
 

@@ -62,7 +62,6 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
         chunk_sz = 1 << 16
         while off < n_blob and blob[off : off + 2] == _GZ_MAGIC:
             d = zlib.decompressobj(31)  # 31 = gzip wrapper
-            mark = len(parts)
             fed = 0
             ok = True
             try:
@@ -73,7 +72,11 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes, str]]:
             except zlib.error:
                 ok = False
             if not ok or not d.eof:
-                del parts[mark:]  # drop the broken member's partial output
+                # KEEP the partial output: a truncated single-member
+                # shard (partial download of a whole-file-gzip WARC)
+                # still holds its complete records — the record-level
+                # scan below drops only the torn tail. Discarding it
+                # would zero out a 99%-intact shard.
                 break
             off += fed - len(d.unused_data)
         blob = b"".join(parts)

@@ -77,8 +77,15 @@ def main(argv: list[str] | None = None) -> None:
     from multi_format_document_extractor_spark.sources.pages import read_pages
 
     # getOrCreate may return a session someone else owns (a test harness,
-    # a notebook embedding this entry): only stop what this job created
-    pre_existing = SparkSession.getActiveSession() is not None
+    # a notebook embedding this entry): only stop what this job created.
+    # getActiveSession is thread-local, so ALSO probe the process-global
+    # context — getOrCreate falls back to it from any thread.
+    from pyspark import SparkContext
+
+    pre_existing = (
+        SparkSession.getActiveSession() is not None
+        or SparkContext._active_spark_context is not None
+    )
     spark = (
         SparkSession.builder.appName("mfde-extract")
         .config("spark.sql.session.timeZone", "UTC")

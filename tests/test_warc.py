@@ -267,9 +267,10 @@ def test_run_job_ingests_warc_landing_zone(spark, tmp_path):
     second invocation resumes to a no-op (idempotent restart from the
     crawl container)."""
     import sys
-    from pathlib import Path
 
-    sys.path.insert(0, str(Path("/root/repo/scripts")))
+    from conftest import REPO
+
+    sys.path.insert(0, str(REPO / "scripts"))
     import run_job
 
     zone = str(tmp_path / "zone")
@@ -287,3 +288,23 @@ def test_run_job_ingests_warc_landing_zone(spark, tmp_path):
     run_job.main(["--input", zone, "--input-format", "warc",
                   "--warehouse", wh, "--run-id", "r2"])
     assert w.read_extracted(spark).count() == n_expected
+
+
+def test_parse_warc_truncated_single_member_keeps_prefix(tmp_path):
+    """A shard gzipped as ONE member (valid WARC layout) that was cut off
+    mid-download must still yield its complete records — the partial
+    decompressed prefix is kept and only the torn tail record drops."""
+    import gzip as _gzip
+    import os
+
+    d = str(tmp_path / "m")
+    rows = write_warc(d, 30, seed=20, shard_docs=30)  # plain shard
+    path = os.path.join(d, sorted(os.listdir(d))[0])
+    with open(path, "rb") as f:
+        plain = f.read()
+    n_full = len(_expected_map(rows))
+    whole = _gzip.compress(plain, mtime=0)
+    assert len(parse_warc(whole)) == n_full
+    # cut the gzip stream: most of the records must survive
+    cut = parse_warc(whole[: int(len(whole) * 0.9)])
+    assert 0 < n_full - len(cut) <= max(3, n_full // 4)
