@@ -2508,3 +2508,92 @@ def pdf_boxes(spark, sf_dir):
 
     pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
     return extract_pdf_boxes(pages)
+
+
+# =========================================================================
+# Recrawl scheduling (PageRank × staleness, per-host fetch budget)
+# =========================================================================
+
+
+@q(
+    "crawl_schedule",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    hosts AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM e
+        UNION ALL SELECT dst_host FROM e)
+    ),
+    nn AS (SELECT count(*) AS c FROM hosts),
+    ow AS (
+      SELECT src_host, CAST(sum(n_links) AS BIGINT) AS ow
+      FROM e GROUP BY src_host
+    ),
+    r0 AS (SELECT host, 1.0 / c AS rank FROM hosts, nn),
+    {_pagerank_iter_sql(1)},
+    {_pagerank_iter_sql(2)},
+    {_pagerank_iter_sql(3)},
+    pr AS (SELECT host, round(rank, 6) AS rank FROM r3),
+    u AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             CAST(doc_id % 30 AS INT) AS age_days
+      FROM documents
+    ), s AS (
+      SELECT u.doc_id, u.host, u.age_days,
+             round(coalesce(pr.rank, 0.0) * (u.age_days + 1), 6)
+               AS priority
+      FROM u LEFT JOIN pr ON pr.host = u.host
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, host, age_days, priority,
+           CAST(row_number() OVER (
+             PARTITION BY host ORDER BY priority DESC, doc_id) AS INT)
+             AS fetch_rank
+    FROM s QUALIFY fetch_rank <= 2
+    """,
+)
+def crawl_schedule(spark, sf_dir):
+    """Recrawl scheduling — the query that closes the crawl loop
+    (discover → robots gate → SCHEDULE → fetch → extract): per-url
+    priority = host PageRank × staleness (age since last fetch + 1),
+    then a per-host fetch budget of 2 (crawl politeness) picked by
+    priority rank. Composes the REGISTERED host_pagerank query (the
+    oracle inlines the identical unrolled-CTE iterations, so scheduler
+    and authority signal can never drift), joins its ~|hosts|-sized
+    rank table to the frontier (broadcasts at scale), and runs ONE
+    per-host window — same shape as host_quota. Hosts absent from the
+    link graph schedule at rank 0 (left join, crawl-seed semantics)."""
+    pr = QUERIES["host_pagerank"](spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        (F.col("doc_id") % 30).cast("int").alias("age_days"),
+    )
+    s = u.join(pr, "host", "left").select(
+        "doc_id",
+        "host",
+        "age_days",
+        rnd(
+            F.coalesce(F.col("rank"), F.lit(0.0))
+            * (F.col("age_days") + 1),
+            6,
+        ).alias("priority"),
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("fetch_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fetch_rank") <= 2)
+        .select("doc_id", "host", "age_days", "priority", "fetch_rank")
+    )
