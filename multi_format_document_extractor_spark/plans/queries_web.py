@@ -2597,3 +2597,118 @@ def crawl_schedule(spark, sf_dir):
         .where(F.col("fetch_rank") <= 2)
         .select("doc_id", "host", "age_days", "priority", "fetch_rank")
     )
+
+
+# =========================================================================
+# Sitemap parsing (frontier discovery)
+# =========================================================================
+
+
+@q(
+    "sitemap_parse",
+    f"""
+    WITH s AS (
+      SELECT 'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             '<?xml version="1.0"?><urlset>'
+               || '<url><loc>https://www.host'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2024-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-01</lastmod></url>'
+               || CASE WHEN doc_id % 4 = 0 THEN
+                    '<url><loc>https://www.host'
+                    || CAST(doc_id % 37 AS VARCHAR) || '.example.com/extra/'
+                    || CAST(doc_id AS VARCHAR) || '</loc></url>'
+                  ELSE '' END
+               || '</urlset>' AS xml
+      FROM documents
+    ), entries AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml,
+               '<url>(.*?)</url>', 1)) AS entry
+      FROM s
+    ), parsed AS (
+      SELECT host,
+             {W.canonical_url_sql(
+                 "regexp_extract(entry, '<loc>([^<]+)</loc>', 1)")} AS loc,
+             regexp_extract(entry, '<lastmod>([^<]+)</lastmod>', 1)
+               AS lastmod
+      FROM entries
+    )
+    SELECT host, loc,
+           CASE WHEN lastmod = '' THEN NULL
+                ELSE CAST(lastmod AS DATE) END AS lastmod,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM parsed GROUP BY host, loc, lastmod
+    """,
+)
+def sitemap_parse(spark, sf_dir):
+    """Sitemap.xml frontier discovery: parse per-host sitemap documents
+    into (host, canonical loc, lastmod) rows — the OTHER url-discovery
+    channel next to the outlink graph, and the lastmod signal
+    crawl_schedule's staleness term consumes in a real crawler. The
+    synthetic sitemap text is built deterministically and then PARSED
+    for real (entry split → loc/lastmod extraction → URL
+    canonicalization — tracking params and www are stripped exactly as
+    for crawled urls, so discovered and crawled frontiers join on one
+    key). Entries without <lastmod> surface as NULL (optional per the
+    protocol). Scale shape: pure regexp codegen per sitemap + ONE
+    aggregation on the (host, loc) key; sitemaps are host-count-sized,
+    tiny next to the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    k = (F.col("doc_id") % 37).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://www.host"),
+        k,
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod></url>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<url><loc>https://www.host"),
+                k,
+                F.lit(".example.com/extra/"),
+                F.col("doc_id").cast("string"),
+                F.lit("</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    s = d.select(
+        F.concat(F.lit("host"), k, F.lit(".example.com")).alias("host"),
+        xml.alias("xml"),
+    )
+    entries = s.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("xml"), F.lit("<url>(.*?)</url>"), 1)
+        ).alias("entry"),
+    )
+    parsed = entries.select(
+        "host",
+        W.canonical_url(
+            F.regexp_extract(F.col("entry"), "<loc>([^<]+)</loc>", 1)
+        ).alias("loc"),
+        F.regexp_extract(
+            F.col("entry"), "<lastmod>([^<]+)</lastmod>", 1
+        ).alias("lastmod"),
+    )
+    return (
+        parsed.select(
+            "host",
+            "loc",
+            F.when(F.col("lastmod") == "", F.lit(None))
+            .otherwise(F.col("lastmod"))
+            .cast("date")
+            .alias("lastmod"),
+        )
+        .groupBy("host", "loc", "lastmod")
+        .agg(F.count("*").cast("bigint").alias("n_listed"))
+    )
