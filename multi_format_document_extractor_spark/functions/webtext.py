@@ -201,6 +201,20 @@ def c4_keep_line(line: Column) -> Column:
     )
 
 
+# --- C4 bad-words page gate -------------------------------------------------
+
+# C4 (Raffel et al. 2020 §2.2) drops any page containing a word from the
+# "bad words" blocklist (the published pipeline uses the LDNOOBW list; UT1
+# is the common alternative). The tiny list here is a deterministic
+# PLACEHOLDER — swapping in the real ~2k-entry list is a constant change;
+# the engineered part is the shape: ONE word-boundary alternation regex
+# compiled once (not |list| per-row passes), counted per page, page dropped
+# on any hit. \b is the ASCII word boundary in both Java regex (Spark) and
+# RE2 (DuckDB), so the two engines count identically.
+BADWORDS = ("nsfw", "obscene", "expletive", "slur", "smut")
+BADWORD_RE = r"\b(" + "|".join(BADWORDS) + r")\b"
+
+
 # --- URL canonicalization -------------------------------------------------
 
 _TRACKING_RE = r"(utm_[A-Za-z]+|gclid|fbclid)=[^&#]*&?"

@@ -2712,3 +2712,341 @@ def sitemap_parse(spark, sf_dir):
         .groupBy("host", "loc", "lastmod")
         .agg(F.count("*").cast("bigint").alias("n_listed"))
     )
+
+
+@q(
+    "frontier_gap",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    hosts AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM e
+        UNION ALL SELECT dst_host FROM e)
+    ),
+    nn AS (SELECT count(*) AS c FROM hosts),
+    ow AS (
+      SELECT src_host, CAST(sum(n_links) AS BIGINT) AS ow
+      FROM e GROUP BY src_host
+    ),
+    r0 AS (SELECT host, 1.0 / c AS rank FROM hosts, nn),
+    {_pagerank_iter_sql(1)},
+    {_pagerank_iter_sql(2)},
+    {_pagerank_iter_sql(3)},
+    pr AS (SELECT host, round(rank, 6) AS rank FROM r3),
+    s AS (
+      SELECT 'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             '<?xml version="1.0"?><urlset>'
+               || '<url><loc>https://www.host'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2024-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-01</lastmod></url>'
+               || CASE WHEN doc_id % 4 = 0 THEN
+                    '<url><loc>https://www.host'
+                    || CAST(doc_id % 37 AS VARCHAR) || '.example.com/extra/'
+                    || CAST(doc_id AS VARCHAR) || '</loc></url>'
+                  ELSE '' END
+               || '</urlset>' AS xml
+      FROM documents
+    ), entries AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml,
+               '<url>(.*?)</url>', 1)) AS entry
+      FROM s
+    ), disc AS (
+      SELECT host,
+             {W.canonical_url_sql(
+                 "regexp_extract(entry, '<loc>([^<]+)</loc>', 1)")} AS loc,
+             CASE WHEN regexp_extract(entry,
+                    '<lastmod>([^<]+)</lastmod>', 1) = '' THEN NULL
+                  ELSE CAST(regexp_extract(entry,
+                    '<lastmod>([^<]+)</lastmod>', 1) AS DATE) END AS lastmod
+      FROM entries
+      GROUP BY 1, 2, 3
+    ), crawled AS (
+      SELECT DISTINCT {W.canonical_url_sql(
+          "'https://www.host' || CAST(doc_id % 37 AS VARCHAR)"
+          " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+          " || '?utm_source=x'")} AS canon
+      FROM documents WHERE doc_id % 3 <> 0
+    ), gap AS (
+      SELECT d.host, d.loc, d.lastmod
+      FROM disc d ANTI JOIN crawled c ON d.loc = c.canon
+    ), jj AS (
+      SELECT g.host, g.loc, g.lastmod,
+             round(coalesce(pr.rank, 0.0), 6) AS rank
+      FROM gap g LEFT JOIN pr ON pr.host = g.host
+    )
+    SELECT host, loc, lastmod, rank,
+           CAST(row_number() OVER (
+             PARTITION BY host
+             ORDER BY coalesce(lastmod, DATE '1970-01-01'), loc) AS INT)
+             AS fetch_rank
+    FROM jj QUALIFY fetch_rank <= 3
+    """,
+)
+def frontier_gap(spark, sf_dir):
+    """Frontier gap discovery — the NEW-url half of the crawl loop
+    (``crawl_schedule`` covers recrawl of already-known urls): sitemap-
+    discovered urls that are NOT in the crawled set, anti-joined on the
+    canonical url key, prioritized by host PageRank, with a per-host
+    discovery budget of 3 picked oldest-lastmod-first (entries without
+    <lastmod> sort first — never-fetched-by-us AND never-dated means
+    maximum staleness uncertainty). Composes three REGISTERED pieces —
+    ``sitemap_parse`` (discovered side), the ``url_dedup``
+    canonicalization (crawled side: raw https+www+utm variants collapse
+    to the same key the sitemap locs canonicalize to, so the two
+    frontiers join on ONE key space), and ``host_pagerank`` — so the gap
+    list can never drift from the signals it claims to compose. Scale
+    shape: the discovered side is sitemap-sized (~|hosts|×entries, tiny
+    next to the corpus) but the crawled side is corpus-scale, so the
+    anti-join is ONE Exchange of the crawled keys on the canonical url
+    — the same shuffle ``url_dedup`` already pays; a production run
+    anti-joins against url_dedup's already-keyed OUTPUT and the rank
+    join broadcasts (~|hosts| rows). Per-host budget = one window over
+    the gap set (anti-join output, frontier-sized)."""
+    disc = QUERIES["sitemap_parse"](spark, sf_dir).select(
+        "host", "loc", "lastmod"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    raw = d.where(F.col("doc_id") % 3 != 0).select(
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url")
+    )
+    crawled = raw.select(
+        W.canonical_url(F.col("url")).alias("canon")
+    ).distinct()
+    gap = disc.join(
+        crawled, disc["loc"] == crawled["canon"], "left_anti"
+    )
+    pr = QUERIES["host_pagerank"](spark, sf_dir)
+    jj = gap.join(pr, "host", "left").select(
+        "host",
+        "loc",
+        "lastmod",
+        rnd(F.coalesce(F.col("rank"), F.lit(0.0)), 6).alias("rank"),
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("host").orderBy(
+        F.coalesce(
+            F.col("lastmod"), F.lit("1970-01-01").cast("date")
+        ).asc(),
+        F.col("loc").asc(),
+    )
+    return (
+        jj.withColumn("fetch_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fetch_rank") <= 3)
+        .select("host", "loc", "lastmod", "rank", "fetch_rank")
+    )
+
+
+# =========================================================================
+# C4 bad-words page gate
+# =========================================================================
+
+
+@q(
+    "badwords_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 11 = 0 THEN ' nsfw' ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                          THEN ' obscene obscene' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{W.BADWORD_RE}'))
+             AS INT) AS n_bad,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
+           round(len(regexp_extract_all(lower(text), '{W.BADWORD_RE}'))
+                 * 1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1),
+                 6) AS bad_frac,
+           len(regexp_extract_all(lower(text), '{W.BADWORD_RE}')) = 0
+             AS kept
+    FROM t
+    """,
+)
+def badwords_gate(spark, sf_dir):
+    """C4-style bad-words page gate (Raffel et al. 2020 §2.2: any
+    blocklist hit drops the whole page). ONE alternation regex with \\b
+    word boundaries over the lowercased page (functions/webtext.BADWORDS
+    — a placeholder list; the real LDNOOBW/UT1 list drops in as a
+    constant), counted with regexp_count so the gate also reports hit
+    density (n_bad / n_words) for threshold-based variants (RefinedWeb
+    gates on density rather than any-hit). Markers are appended
+    deterministically to ~1/11 and ~1/13 of docs so both the drop and
+    multi-hit paths are exercised at every SF, and word-boundary
+    correctness is hash-checked (substring hits must NOT count). Scale
+    shape: zero Exchange — scan → project; the regex compiles once per
+    task, |blocklist| affects automaton size only, not per-row passes."""
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" nsfw")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" obscene obscene")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_bad = F.regexp_count(F.lower(F.col("text")), F.lit(W.BADWORD_RE))
+    n_words = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    return t.select(
+        "doc_id",
+        n_bad.cast("int").alias("n_bad"),
+        n_words.cast("int").alias("n_words"),
+        rnd(n_bad * F.lit(1.0) / F.greatest(n_words, F.lit(1)), 6).alias(
+            "bad_frac"
+        ),
+        (n_bad == 0).alias("kept"),
+    )
+
+
+# =========================================================================
+# Crawl-trap detection (URL-space explosion vs content diversity)
+# =========================================================================
+
+
+@q(
+    "crawl_trap",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             CASE WHEN doc_id % 37 % 5 = 0 THEN
+               'https://host' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.example.com/cal/2024/01/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(doc_id AS VARCHAR)
+                 || '?sid=' || CAST(doc_id AS VARCHAR)
+             ELSE
+               'https://host' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             END AS url,
+             CASE WHEN doc_id % 37 % 5 = 0
+                  THEN CAST(doc_id % 7 AS VARCHAR)
+                  ELSE CAST(doc_id AS VARCHAR) END AS ck
+      FROM documents
+    ), c AS (
+      SELECT host, ck,
+             {W.canonical_url_sql("url")} AS canon
+      FROM u
+    ), p AS (
+      SELECT host, ck, canon,
+             list_filter(str_split(regexp_replace(
+               regexp_replace(canon, '^[^/?#]+', '', 'g'),
+               '[?#].*$', '', 'g'), '/'), x -> x <> '') AS segs
+      FROM c
+    ), f AS (
+      SELECT host, ck, canon,
+             len(segs) AS depth,
+             len(segs) <> len(list_distinct(segs)) AS dup_seg
+      FROM p
+    )
+    SELECT host,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_content,
+           round(count(DISTINCT canon) * 1.0 / count(DISTINCT ck), 4)
+             AS urls_per_content,
+           round(avg(depth * 1.0), 4) AS avg_depth,
+           round(avg(CASE WHEN dup_seg THEN 1.0 ELSE 0.0 END), 4)
+             AS dup_seg_frac,
+           (count(DISTINCT canon) * 1.0 / count(DISTINCT ck) > 3.0)
+             OR (avg(depth * 1.0) > 4.0
+                 AND avg(CASE WHEN dup_seg THEN 1.0 ELSE 0.0 END) > 0.5)
+             AS is_trap
+    FROM f GROUP BY host
+    """,
+)
+def crawl_trap(spark, sf_dir):
+    """Crawl-trap detection: per-host URL-space-explosion signals a
+    frontier scheduler uses to stop feeding a host that generates
+    unbounded URLs over near-constant content (calendar pages, session
+    ids, faceted-search loops). Three signals, all computed AFTER
+    canonicalization (a trap is precisely what canonicalization can't
+    collapse — session params like ``sid`` are not in the tracking-param
+    strip list): distinct-URL / distinct-content ratio (content key =
+    fingerprint; trap hosts serve the same few pages under many urls),
+    mean path depth, and the fraction of urls with a repeated path
+    segment (``/x/.../x/`` — the classic recursive-link loop, detected
+    set-wise via list_distinct because RE2/DuckDB has no backreferences).
+    Verdict rule: ratio > 3 OR (depth > 4 AND dup-segment > 0.5). The
+    synthetic URL space gives ~1 in 5 hosts trap shape (deep dup-segment
+    calendar paths + per-doc sid + content collapsing to 7 pages) so
+    both rule branches are exercised at every SF. Scale shape: pure
+    per-row array/regex codegen, then ONE aggregation on host; the two
+    exact count-distincts expand rows 3× into the partial agg (Spark
+    Expand) — at 10^12 docs swap them for the registered HLL sketch
+    (``hll_vocab``'s portable register fold keyed by host) and keep the
+    same verdict rule."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    k = (F.col("doc_id") % 37).cast("string")
+    trap = F.col("doc_id") % 37 % 5 == 0
+    url = F.when(
+        trap,
+        F.concat(
+            F.lit("https://host"),
+            k,
+            F.lit(".example.com/cal/2024/01/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?sid="),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://host"),
+            k,
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    ck = F.when(trap, (F.col("doc_id") % 7).cast("string")).otherwise(
+        F.col("doc_id").cast("string")
+    )
+    c = d.select(
+        F.concat(F.lit("host"), k, F.lit(".example.com")).alias("host"),
+        ck.alias("ck"),
+        W.canonical_url(url).alias("canon"),
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("canon"), r"^[^/?#]+", ""), r"[?#].*$", ""
+    )
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    f = c.select(
+        "host",
+        "ck",
+        "canon",
+        F.size(segs).alias("depth"),
+        (F.size(segs) != F.size(F.array_distinct(segs))).alias("dup_seg"),
+    )
+    ratio = F.countDistinct("canon") * F.lit(1.0) / F.countDistinct("ck")
+    depth_avg = F.avg(F.col("depth") * F.lit(1.0))
+    dup_frac = F.avg(
+        F.when(F.col("dup_seg"), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return f.groupBy("host").agg(
+        F.countDistinct("canon").cast("bigint").alias("n_urls"),
+        F.countDistinct("ck").cast("bigint").alias("n_content"),
+        rnd(ratio, 4).alias("urls_per_content"),
+        rnd(depth_avg, 4).alias("avg_depth"),
+        rnd(dup_frac, 4).alias("dup_seg_frac"),
+        (
+            (ratio > 3.0) | ((depth_avg > 4.0) & (dup_frac > 0.5))
+        ).alias("is_trap"),
+    )

@@ -261,3 +261,36 @@ def test_cms_sketch_join_stays_broadcast(spark):
     p = plan(df)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_badwords_gate_is_stageless(spark):
+    """The C4 bad-words gate is a pure codegen scan→project — any
+    Exchange or Python stage means someone broke the one-regex shape."""
+    df = entry_mod.queries()["badwords_gate"](spark, SF_DIR)
+    p = plan(df)
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_crawl_trap_single_host_aggregation(spark):
+    """Trap detection is ONE aggregation keyed by host (the Expand for
+    the two exact count-distincts is expected); no Python stage, and
+    every Exchange leads with the host key."""
+    import re
+
+    df = entry_mod.queries()["crawl_trap"](spark, SF_DIR)
+    p = plan(df)
+    assert "Python" not in p and "MapInPandas" not in p, p
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys == {"host"}, keys
+
+
+def test_frontier_gap_budget_pushes_group_limit(spark):
+    """The per-host discovery budget must plan as WindowGroupLimit (top-3
+    retained before the full sort), and the sitemap/crawled anti-join
+    must stay an equi-join — never a nested-loop fallback."""
+    df = entry_mod.queries()["frontier_gap"](spark, SF_DIR)
+    p = plan(df)
+    assert "WindowGroupLimit" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
