@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",       # capped candidate join + Jaccard verify
     "simhash_neardup",     # 64-bit simhash + banded Hamming join
     "ann_topk",            # brute-force cosine top-k
+    "pq_adc_topk",         # product-quantized ADC top-k (compressed path)
     "embed_neardup",       # sign-LSH bucketed cosine pairs
     "quality_score",       # text quality
     "repetition_filter",   # Gopher repetition gate (HOF codegen)

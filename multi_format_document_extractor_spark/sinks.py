@@ -153,6 +153,23 @@ class Warehouse:
             .parquet(*paths)
         )
 
+    def read_at(self, spark: SparkSession, seq: int) -> DataFrame:
+        """Snapshot time travel (Iceberg ``VERSION AS OF`` in miniature):
+        the table exactly as a reader saw it right after commit ``seq``.
+        Visibility resolves from the commit-log PREFIX alone — a later
+        compaction's ``replaces`` list cannot retroactively rewrite
+        history, and replaced run files stay on disk (nothing in this
+        warehouse deletes data; retention/GC would be a separate explicit
+        pass) — so audits, reproductions, and incremental consumers
+        re-read any historical snapshot deterministically. Raises on an
+        unknown ``seq``: silently reading the nearest prefix would mask a
+        caller bug."""
+        commits = [c for c in self.commits() if c["seq"] <= seq]
+        if not commits or commits[-1]["seq"] != seq:
+            known = [c["seq"] for c in self.commits()]
+            raise ValueError(f"unknown snapshot seq {seq}; have {known}")
+        return self.read_extracted(spark, _commits=commits)
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         ids = self.committed_run_ids()
         if not ids:

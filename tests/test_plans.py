@@ -294,3 +294,26 @@ def test_frontier_gap_budget_pushes_group_limit(spark):
     assert "WindowGroupLimit" in p, p
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_pq_encode_is_map_side(spark):
+    """PQ encode must stay a literal-codebook fold over one scan — any
+    Exchange means the ivf_assign-style map-side contract broke (the
+    codebook collect is a K-row driver action, not a plan stage)."""
+    df = entry_mod.queries()["pq_encode"](spark, SF_DIR)
+    p = plan(df)
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_pq_adc_topk_shuffles_only_slim_scores(spark):
+    """ADC search must match brute_force_topk's shape: broadcast query
+    join, and the only hash exchange carries (query_id, vec_id, score)
+    into the per-query WindowGroupLimit — never the corpus vectors."""
+    import re
+
+    df = entry_mod.queries()["pq_adc_topk"](spark, SF_DIR)
+    p = plan(df)
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys == {"query_id"}, keys
+    assert "WindowGroupLimit" in p, p

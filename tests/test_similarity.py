@@ -150,3 +150,72 @@ def test_kmeans_deterministic_and_empty_cell_fallback(spark):
     # trained cells moved toward their members' means
     assert a[1][0] > 0.8 and a[2][1] > 0.8
     spark.catalog.clearCache()
+
+
+# --- Product quantization ---------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pq_parts(spark):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    return q["pq_encode"](spark, SF_DIR), q["pq_adc_topk"](spark, SF_DIR), q[
+        "ann_topk"
+    ](spark, SF_DIR)
+
+
+def test_pq_encode_codebook_vectors_reconstruct_exactly(spark):
+    """A vector that IS a codebook source must encode with zero
+    reconstruction error (its own subvectors win every subspace argmin)
+    — the self-consistency anchor of the encode fold; and codes must be
+    diverse (an encode that collapses to one key is a broken argmin)."""
+    enc, _, _ = _pq_parts(spark)
+    rows = {r["vec_id"]: r for r in enc.collect()}
+    assert rows[10]["recon_err"] == 0.0, rows[10]
+    keys = {r["code_key"] for r in rows.values()}
+    assert len(keys) > len(rows) // 2, f"code collapse: {len(keys)} keys"
+    # every code_key is M dash-separated sub-codes within [0, ksub)
+    for key in keys:
+        parts = key.split("-")
+        assert len(parts) == similarity.PQ_M
+        assert all(0 <= int(p) < similarity.PQ_KSUB for p in parts)
+
+
+def test_pq_adc_recall_floor_vs_exact(spark):
+    """ADC top-10 must overlap the exact brute-force top-10 well above
+    chance (10/n ≈ 2%): the sampled 16×32 codebook measures ~0.5 recall
+    on this corpus; pin a floor of 0.4 so codebook/argmin regressions
+    show up without flaking on rounding ties."""
+    _, adc_df, brute_df = _pq_parts(spark)
+    brute = {(r["query_id"], r["vec_id"]) for r in brute_df.collect()}
+    adc = {(r["query_id"], r["vec_id"]) for r in adc_df.collect()}
+    recall = len(brute & adc) / len(brute)
+    assert recall >= 0.4, recall
+
+
+def test_pq_rerank_beats_adc_and_clears_floor(spark):
+    """Exact re-ranking of the 50-candidate ADC shortlist must dominate
+    raw ADC recall and clear 0.8 (measured ~0.93): the two-stage
+    contract — stage 1 may be lossy, stage 2 must recover everything the
+    shortlist contains."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in q["ann_topk"](spark, SF_DIR).collect()
+    }
+    adc = {
+        (r["query_id"], r["vec_id"])
+        for r in q["pq_adc_topk"](spark, SF_DIR).collect()
+    }
+    rer = {
+        (r["query_id"], r["vec_id"])
+        for r in q["pq_rerank_topk"](spark, SF_DIR).collect()
+    }
+    r_adc = len(brute & adc) / len(brute)
+    r_rer = len(brute & rer) / len(brute)
+    assert r_rer >= r_adc, (r_rer, r_adc)
+    assert r_rer >= 0.8, r_rer

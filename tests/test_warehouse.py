@@ -254,3 +254,33 @@ def test_compaction_crash_leaves_old_runs_visible(spark, pages, tmp_path):
     rec2 = wh.compact(spark, run_id="c2")
     assert rec2 is not None and wh.committed_run_ids() == ["c2"]
     assert _collect_texts(wh.read_extracted(spark)) == before
+
+
+def test_time_travel_read_at_every_snapshot(spark, pages, tmp_path):
+    """T3 extension: read_at(seq) reproduces the table exactly as it stood
+    after each commit — including PRE-compaction snapshots, which a later
+    compaction's replaces list must not retroactively rewrite — and
+    rejects unknown seqs."""
+    import pytest as _pytest
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    first_day = pages.select(
+        F.min(F.date_format("warc_ts", "yyyy-MM-dd")).alias("d")
+    ).collect()[0]["d"]
+    part = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == first_day)
+    wh.run(spark, part, run_id="run1")
+    snap0 = _collect_texts(wh.read_extracted(spark))
+    wh.run(spark, pages, run_id="run2")
+    snap1 = _collect_texts(wh.read_extracted(spark))
+    wh.compact(spark, run_id="c1")
+
+    assert _collect_texts(wh.read_at(spark, 0)) == snap0
+    assert _collect_texts(wh.read_at(spark, 1)) == snap1
+    # the compaction snapshot equals the pre-compaction table AND the
+    # current head
+    assert _collect_texts(wh.read_at(spark, 2)) == snap1
+    assert _collect_texts(wh.read_extracted(spark)) == snap1
+    # history grows monotonically
+    assert len(snap0) < len(snap1)
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        wh.read_at(spark, 99)
