@@ -173,6 +173,38 @@ def candidate_pairs(bands: DataFrame, max_bucket: int | None = None) -> DataFram
     )
 
 
+def incremental_candidate_pairs(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (new, old) candidate pairs sharing any LSH bucket — the
+    INCREMENTAL dedup join: a fresh crawl batch probes the stored band
+    index of the existing corpus instead of re-clustering everything.
+    One equi-join on the bucket key with the batch side small (broadcasts
+    under AQE at real batch/corpus ratios); ``max_bucket`` caps hot cells
+    on the CORPUS side before the join (an old boilerplate mega-cell
+    would otherwise emit O(batch × m) rows). Unlike ``candidate_pairs``'
+    self-join, new×new and old×old pairs are never formed, and a
+    single-occupant corpus cell still matches (no ``count > 1`` floor —
+    the pair partner is the probe row itself). Returns (a=new, b=old)."""
+    if max_bucket is not None:
+        ok = (
+            old_bands.groupBy("band", "band_min")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("band", "band_min")
+        )
+        old_bands = old_bands.join(ok, ["band", "band_min"], "left_semi")
+    n = new_bands.alias("n")
+    o = old_bands.alias("o")
+    return (
+        n.join(o, ["band", "band_min"])
+        .select(F.col("n.doc").alias("a"), F.col("o.doc").alias("b"))
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
 ) -> DataFrame:

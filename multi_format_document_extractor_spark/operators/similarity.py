@@ -312,65 +312,96 @@ def pq_codebooks(
     ]
 
 
-def _pq_cb_lit(cb: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in sub])
-            for sub in cb
-        ]
-    )
-
-
-def _pq_subdist(
-    vec: Column, i: Column, j: Column, cb_lit: Column, dsub: int
-) -> Column:
-    """Σₚ (vecᵢₚ − cbᵢⱼₚ)² as the same left-associated term chain the
-    oracle SQL spells out — term ORDER is part of the cross-engine
-    contract (each term is single-op IEEE, the chain is the only
-    order-dependent step)."""
-    expr = None
-    for p in range(dsub):
-        x = F.element_at(
-            vec, (i * F.lit(dsub) + F.lit(p + 1)).cast("int")
-        ).cast("double")
-        c = F.element_at(
-            F.element_at(
-                F.element_at(cb_lit, (i + F.lit(1)).cast("int")),
-                (j + F.lit(1)).cast("int"),
-            ),
-            p + 1,
-        )
-        d = x - c
-        t = d * d
-        expr = t if expr is None else expr + t
-    return expr
-
-
-def pq_best_col(
-    vec: Column,
-    cb_lit: Column,
+def pq_code_table(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     dsub: int = PQ_DSUB,
-) -> Column:
-    """Per-subspace argmin centroid as ``array<struct<d,j>>`` (d = its
-    squared L2 distance, j = the code). Pure codegen fold over literal
-    codebooks — the ``ivf_assign`` pattern: zero row explosion, zero
-    Exchange; ``array_sort`` on the (d, j) struct mirrors the oracle's
-    ``row_number() ORDER BY dist, j`` tiebreak exactly."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(ksub - 1)),
-                    lambda j: F.struct(
-                        _pq_subdist(vec, i, j, cb_lit, dsub).alias("d"),
-                        j.cast("int").alias("j"),
-                    ),
+    codebooks: list[list[list[float]]] | None = None,
+    id_type: str = "bigint",
+) -> DataFrame:
+    """(id, code_key, recon, recon_err) via ONE Arrow-vectorized
+    ``mapInPandas`` stage — the PQ encode/decode kernel.
+
+    Why not native expressions: the M×ksub×dsub distance grid is ~10⁴
+    scalar ops per row. Spelled as higher-order-function folds it runs
+    interpreted (lambdas don't codegen) at ~ms/row; fully unrolled as
+    literal expression trees it blows janino's 64 KB method cap in the
+    fused whole-stage (Project feeds the downstream sort as locals, which
+    codegen cannot split into sub-methods), and Spark silently drops the
+    WHOLE stage to interpreted execution with an ERROR in every executor
+    log — measured, not theorized. A batch numpy kernel over Arrow is the
+    engine's prescribed shape for exactly this case (dense numeric math
+    the built-ins can't express efficiently): one scan, no Exchange, no
+    per-row Python dispatch.
+
+    Cross-engine exactness is preserved op-for-op: numpy float64 IS
+    IEEE-754 binary64, the squared-distance accumulation is an explicit
+    left-associated loop matching the oracle SQL's ``+`` chain, argmin
+    takes the FIRST minimum (== ``ORDER BY dist, j`` tiebreak), and
+    recon_err applies the repo rounding contract (floor(x·10⁴+0.5)/10⁴)
+    with the same single-op sequence. Hash-checked end-to-end by the
+    ``pq_encode``/``pq_adc_topk`` oracles."""
+    import numpy as np
+    import pandas as pd
+
+    cbn = np.asarray(
+        codebooks or pq_codebooks(m, ksub, dsub), dtype=np.float64
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "code_key": pd.Series([], dtype="object"),
+                        "recon": pd.Series([], dtype="object"),
+                        "recon_err": pd.Series([], dtype="float64"),
+                    }
                 )
-            ),
-            1,
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((n, m), dtype=np.int64)
+            recon = np.empty((n, m * dsub), dtype=np.float64)
+            err = None
+            rows = np.arange(n)
+            for i in range(m):
+                xs = x[:, i * dsub : (i + 1) * dsub]
+                diff = xs[:, None, :] - cbn[i][None, :, :]
+                sq = diff * diff
+                # explicit left-associated accumulation — the oracle's
+                # `(a1-b1)*(a1-b1) + (a2-b2)*(a2-b2) + ...` chain
+                d = sq[:, :, 0]
+                for p in range(1, dsub):
+                    d = d + sq[:, :, p]
+                j = d.argmin(axis=1)  # first min == (dist, j) tiebreak
+                codes[:, i] = j
+                recon[:, i * dsub : (i + 1) * dsub] = cbn[i][j]
+                best = d[rows, j]
+                err = best if err is None else err + best
+            rerr = np.floor(np.sqrt(err) * 10000.0 + 0.5) / 10000.0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "code_key": [
+                        "-".join(str(int(c)) for c in row) for row in codes
+                    ],
+                    "recon": list(recon),
+                    "recon_err": rerr,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, code_key string, "
+            "recon array<double>, recon_err double"
         ),
     )
 
@@ -390,27 +421,12 @@ def pq_encode(
     bytes/vector). Output:
     (id, code_key, recon_err) where recon_err = ‖vec − decode(codes)‖ —
     the quantization-quality column a corpus owner monitors. Map-side
-    only: one scan → one projection, no Exchange (plan-pinned).
-    ``codebooks`` (M × ksub × dsub) injects a data-derived or trained
-    codebook; default is the formula grid."""
-    cb = _pq_cb_lit(codebooks or pq_codebooks(m, ksub, dsub))
-    best = pq_best_col(F.col(vec_col), cb, m, ksub, dsub)
-    return vectors.select(
-        F.col(id_col),
-        F.concat_ws(
-            "-", F.transform(best, lambda s: s["j"].cast("string"))
-        ).alias("code_key"),
-        rnd(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(best, lambda s: s["d"]),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ),
-            4,
-        ).alias("recon_err"),
-    )
+    only: one scan → one Arrow-vectorized stage (``pq_code_table``), no
+    Exchange (plan-pinned). ``codebooks`` (M × ksub × dsub) injects a
+    data-derived or trained codebook; default is the formula grid."""
+    return pq_code_table(
+        vectors, id_col, vec_col, m, ksub, dsub, codebooks
+    ).select(id_col, "code_key", "recon_err")
 
 
 def pq_adc_topk(
@@ -431,28 +447,24 @@ def pq_adc_topk(
     the query side stays exact — the standard ADC trade (Jégou et al.,
     PAMI 2011). Composed here as encode→decode→cosine in one scan so
     the oracle can check it end-to-end; a production run stores the
-    codes table (pq_encode output) and scans 42× fewer bytes — the
-    decode fold and broadcast-query join are identical. Plan shape =
+    codes table (pq_encode output) and scans 25.6× fewer bytes — the
+    decode projection and broadcast-query join are identical. Plan shape =
     ``brute_force_topk``: no corpus shuffle, one slim
     (query_id, vec_id, score) exchange into the per-query
     WindowGroupLimit."""
-    cb = _pq_cb_lit(codebooks or pq_codebooks(m, ksub, dsub))
-    best = pq_best_col(F.col(vec_col), cb, m, ksub, dsub)
-    recon = F.flatten(
-        F.transform(
-            best,
-            lambda s, i: F.element_at(
-                F.element_at(cb, (i + F.lit(1)).cast("int")),
-                (s["j"] + F.lit(1)).cast("int"),
-            ),
-        )
-    )
-    coded = vectors.select(F.col(id_col), recon.alias("recon"))
+    coded = pq_code_table(
+        vectors, id_col, vec_col, m, ksub, dsub, codebooks
+    ).select(id_col, "recon")
     joined = coded.crossJoin(F.broadcast(queries))
+    qv = F.col(query_vec_col)
+    # the fold's left-associated g=1..dim chain matches the oracle SQL's
+    # spelled-out `recon[g]*qv[g] + ...` chains term for term (same
+    # contract as ann_topk's cosine)
+    score = cosine(F.col("recon"), qv)
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        rnd(cosine(F.col("recon"), F.col(query_vec_col)), 4).alias("score"),
+        rnd(score, 4).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()

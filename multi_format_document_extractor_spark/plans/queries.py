@@ -1102,6 +1102,168 @@ def neardup_components(spark, sf_dir):
 
 
 @q(
+    "canonical_pick",
+    "WITH comp AS ("
+    # the full clustering query as the base relation — composed at build
+    # time so picker and clusters can never drift
+    + ORACLES["neardup_components"]
+    + """),
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE mod(doc_id, 25) = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' trailing marker tokens appended here'
+      FROM documents WHERE mod(doc_id, 25) = 1
+    ), j AS (
+      SELECT c.component, c.doc_id,
+             CAST(strlen(a.text) AS INT) AS len
+      FROM comp c JOIN aug a ON a.doc_id = c.doc_id
+    ), k AS (
+      SELECT component, doc_id AS keeper, len AS kept_len,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY len DESC, doc_id) AS rk
+      FROM j
+    ), n AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members
+      FROM j GROUP BY component
+    )
+    SELECT CAST(k.component AS BIGINT) AS component,
+           CAST(k.keeper AS BIGINT) AS keeper,
+           k.kept_len, n.n_members
+    FROM k JOIN n USING (component) WHERE k.rk = 1
+    """,
+)
+def canonical_pick(spark, sf_dir):
+    """Quality-aware canonical selection per near-dup cluster: production
+    dedup keeps the BEST member of each cluster, not the min-id one — the
+    picker here is longest-content-wins (byte length: Spark octet_length
+    == DuckDB strlen, so multibyte text can't diverge the tiebreak the
+    way code-point-vs-UTF-16 length counts could), falling
+    back to min doc_id on exact ties. Composes the REGISTERED
+    neardup_components clustering, so on the synthetic corpus the
+    near-dup clones carrying appended marker tokens beat their shorter
+    originals — i.e. the keeper genuinely differs from min-label
+    canonical, which is what makes the argmax non-trivial and
+    hash-checked. Scale shape: clusters are pair-graph-sized (the
+    near-dup subset); ONE per-component window + ONE count aggregation on
+    top of the clustering's own cost; swap the length column for any
+    quality_score-style metric without changing the plan."""
+    aug = _docs_aug(spark, sf_dir)
+    comp = QUERIES["neardup_components"](spark, sf_dir)
+    j = comp.join(aug, "doc_id").select(
+        "component",
+        "doc_id",
+        F.octet_length("text").cast("int").alias("len"),
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("component").orderBy(
+        F.col("len").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    keepers = ranked.where(F.col("rk") == 1).select(
+        F.col("component").cast("bigint").alias("component"),
+        F.col("doc_id").cast("bigint").alias("keeper"),
+        F.col("len").alias("kept_len"),
+    )
+    counts = j.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return keepers.join(counts, "component").select(
+        "component", "keeper", "kept_len", "n_members"
+    )
+
+
+_INCR_AUG_SQL = """
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' v2 recrawl' FROM documents
+      WHERE mod(doc_id, 10) = 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+             'brand new page ' || md5(CAST(doc_id AS VARCHAR))
+      FROM documents WHERE mod(doc_id, 10) = 5
+    )
+"""
+
+
+@q(
+    "incremental_neardup",
+    _INCR_AUG_SQL
+    + _WORDS_SQL
+    + """
+    , ok_cells AS (
+      SELECT band, band_min FROM bands WHERE doc_id < 3000000
+      GROUP BY band, band_min HAVING count(*) <= """
+    + str(_LSH_MAX_BUCKET)
+    + """
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l
+      JOIN ok_cells o ON l.band = o.band AND l.band_min = o.band_min
+      JOIN bands r
+        ON l.band = r.band AND l.band_min = r.band_min
+       AND r.doc_id < 3000000
+      WHERE l.doc_id >= 3000000
+    ), toks AS (
+      SELECT DISTINCT doc_id AS doc, unnest(w) AS tok FROM norm
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN toks ta ON ta.doc = c.a
+      JOIN toks tb ON tb.doc = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT CAST(i.a AS BIGINT) AS new_id, CAST(i.b AS BIGINT) AS old_id,
+           round(i.inter / (1.0 * (sa.n + sb.n - i.inter)), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc = i.a JOIN sizes sb ON sb.doc = i.b
+    WHERE round(i.inter / (1.0 * (sa.n + sb.n - i.inter)), 4) >= 0.8
+    """,
+)
+def incremental_neardup(spark, sf_dir):
+    """Incremental near-dup detection — the production shape for a
+    CONTINUOUS crawl: each new batch probes the stored MinHash band
+    index of the existing corpus (dedup.incremental_candidate_pairs, one
+    equi-join, batch side broadcastable) and only new×old candidates are
+    Jaccard-verified; the corpus is never re-clustered and old×old pairs
+    are never re-formed. The synthetic batch re-crawls 1/10 of the
+    corpus with a ' v2 recrawl' suffix (must match their originals at
+    J = n/(n+2)) and adds 1/10 genuinely new pages (md5-unique text —
+    must match nothing). Scale: at 10^12 docs the band index is the
+    stored artifact (8 rows/doc); per-batch cost is |batch|-proportional
+    — probe join + verification over candidates only."""
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = old.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2 recrawl")).alias("text"),
+    )
+    fresh = old.where(F.pmod("doc_id", F.lit(10)) == 5).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("brand new page "),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    new = recrawl.unionByName(fresh)
+    bands_old = dedup.minhash_bands(old, "text", "doc_id")
+    bands_new = dedup.minhash_bands(new, "text", "doc_id")
+    pairs = dedup.incremental_candidate_pairs(
+        bands_new, bands_old, max_bucket=_LSH_MAX_BUCKET
+    )
+    union = old.unionByName(new)
+    ver = dedup.jaccard_verify(pairs, union, "text", "doc_id", 0.8)
+    return ver.select(
+        F.col("a").cast("bigint").alias("new_id"),
+        F.col("b").cast("bigint").alias("old_id"),
+        "jaccard",
+    )
+
+
+@q(
     "simhash",
     _AUG_SQL
     + """

@@ -1670,7 +1670,7 @@ def pq_adc_topk_query(spark, sf_dir):
     """PQ asymmetric-distance top-k (operators/similarity.pq_adc_topk):
     corpus scored through its code reconstruction, queries exact —
     recall bounded by quantization error (measured vs ann_topk in
-    tests/test_similarity.py), memory bounded by the 42×-smaller codes.
+    tests/test_similarity.py), memory bounded by the 25.6×-smaller codes.
     Plan = brute_force_topk's: no corpus shuffle, broadcast queries,
     WindowGroupLimit top-k."""
     from ..operators import similarity

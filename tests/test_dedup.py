@@ -265,3 +265,52 @@ def test_exact_substring_dedup_long_duplicated_passage(spark):
     assert out[1]["n_dup_tokens"] == 0
     assert out[2]["n_dup_tokens"] == 400
     assert out[2]["text_dedup"] == "head tail"
+
+
+def test_canonical_pick_keeps_longest_member(spark):
+    """The cluster keeper must be the byte-longest member (min doc_id on
+    ties), must belong to its own cluster, and must genuinely differ from
+    the min-label canonical on part of the corpus (the near-dup clones
+    carry appended marker tokens, so longest-wins is a real decision, not
+    min-id in disguise)."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+    comp = {
+        (r["doc_id"], r["component"])
+        for r in q["neardup_components"](spark, sf).collect()
+    }
+    members = {}
+    for doc, c in comp:
+        members.setdefault(c, set()).add(doc)
+    picks = q["canonical_pick"](spark, sf).collect()
+    assert {r["component"] for r in picks} == set(members)
+    assert all(r["keeper"] in members[r["component"]] for r in picks)
+    assert all(r["n_members"] == len(members[r["component"]]) for r in picks)
+    assert any(r["keeper"] != r["component"] for r in picks)
+
+
+def test_incremental_neardup_matches_recrawls_not_fresh(spark):
+    """The batch-vs-index join must (a) match EVERY re-crawled doc back to
+    its own original, (b) match the md5-unique fresh pages to nothing,
+    and (c) emit only new×old pairs — never old×old or new×new."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["incremental_neardup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["new_id"] >= 3000000 > r["old_id"] for r in rows)
+    matched_self = {
+        r["new_id"] - 3000000
+        for r in rows
+        if r["new_id"] - 3000000 == r["old_id"]
+    }
+    import duckdb
+
+    n_docs = duckdb.sql(
+        "select count(*) from '/root/testdata/sf0.001/documents.parquet'"
+        " where doc_id % 10 = 0"
+    ).fetchone()[0]
+    assert len(matched_self) == n_docs, (len(matched_self), n_docs)
+    assert not any((r["new_id"] - 3000000) % 10 == 5 for r in rows)
