@@ -285,6 +285,90 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication over embeddings (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    compare cosines only WITHIN each cluster, and among any pair above
+    ``threshold`` keep the member FARTHEST from its cluster centroid —
+    the paper's keep-the-atypical policy (near-dup groups collapse to
+    their least-redundant representative, which preserves diversity
+    better than keep-first).
+
+    Deterministic parallel reading of the paper's sequential scan: a row
+    x is dropped iff some same-cell partner y has rnd(cos(x,y),4) ≥
+    threshold and y is strictly farther from the centroid (rounded
+    centroid-sim, ties to the smaller id). Exactly one member of an
+    isolated dup pair survives; chains collapse toward the farthest
+    member. Every comparison happens on contract-rounded values, so the
+    DuckDB oracle agrees bit-for-bit.
+
+    Scale shape: assignment is the map-side literal-centroid fold
+    (``ivf_assign`` — zero Exchange), centroid-sim adds one broadcast
+    join against the K-row centroid set, and the only corpus Exchange is
+    the within-cell self-join on ``cell`` — O(n²/K) pairs, the paper's
+    own cost model (they size K ~ n/10⁴; ``max_cell`` caps pathological
+    cells exactly like ``lsh_ann_pairs``/``candidate_pairs``). Returns
+    (id, cell, c_sim, kept) for the full input — the kept flag is the
+    dedup verdict."""
+    a = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    withsim = a.join(
+        F.broadcast(centroids.select("cell", "cv")), "cell"
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        rnd(cosine(F.col(vec_col), F.col("cv")), 4).alias("c_sim"),
+    )
+    if max_cell is not None:
+        ok = (
+            withsim.groupBy("cell")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_cell)
+            .select("cell")
+        )
+        withsim = withsim.join(ok, "cell", "left_semi")
+    l = withsim.select(
+        F.col("cell"),
+        F.col(id_col).alias("_xa"),
+        F.col(vec_col).alias("_va"),
+        F.col("c_sim").alias("_ca"),
+    )
+    r = withsim.select(
+        F.col("cell"),
+        F.col(id_col).alias("_xb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("c_sim").alias("_cb"),
+    )
+    dropped = (
+        l.join(r, "cell")
+        .where(F.col("_xa") != F.col("_xb"))
+        .where(rnd(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .where(
+            (F.col("_cb") < F.col("_ca"))
+            | ((F.col("_cb") == F.col("_ca")) & (F.col("_xb") < F.col("_xa")))
+        )
+        .select(F.col("_xa").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        withsim.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("c_sim"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # --- Product quantization (compressed ANN) ---------------------------------
 
 PQ_M = 16  # subspaces

@@ -230,6 +230,114 @@ def token_budget_sample(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-n-gram importance weights for data selection (DSIR, Xie et
+    al. 2023, arXiv:2302.03169): estimate a target unigram+bigram bucket
+    distribution p_t from the rows where ``target`` holds and a raw
+    distribution p_r from the whole corpus, then weight every document by
+    its log likelihood ratio Σ_b c_b·(ln p_t(b) − ln p_r(b)) with add-one
+    smoothing. Documents that look more target-like than corpus-average
+    get positive weights; ``selected`` is the deterministic ratio>1
+    policy (the paper resamples with Gumbel noise — RNG, excluded by the
+    engine's determinism contract; thresholding the ratio is the
+    deterministic analog, and any stricter budget is a threshold on
+    ``weight_micro``, no global sort required).
+
+    Engine-exact by integer quantization: per-bucket scores are micro-nats
+    s_b = floor(1e6·ln((t_b+1)(R+B) / ((r_b+1)(T+B))) + 0.5) — ONE ln on a
+    bit-identical double (products/divides are single-op IEEE on exact
+    integer-valued doubles), floor-quantized under the repo rounding
+    contract, so per-document weights are exact BIGINT sums in any
+    aggregation order — the quantize_vec trick applied to log space.
+
+    Scale shape: explode → md5 bucket (map-side), ONE Exchange on
+    (id, bucket) for per-doc counts, bucket marginals reduce to B rows
+    (map-side combined), the B-row score table broadcasts back, and ONE
+    Exchange on id sums the weights. No global windows, no collects, no
+    skew (buckets are md5-uniform). Reference analog: the quality-vs-raw
+    routing split in the escalation ladder, lifted to distribution level.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), target.alias("_t"), toks.alias("_w")
+    )
+    uni = base.select(id_col, "_t", F.explode("_w").alias("feat"))
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("_w"),
+            F.slice(
+                F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))
+            ),
+            lambda a, b: F.when(
+                b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    big = base.where(F.size("_w") >= 2).select(
+        id_col, "_t", F.explode(bigrams).alias("feat")
+    )
+    feats = uni.unionByName(big).select(
+        id_col,
+        "_t",
+        hash_bucket(F.col("feat"), n_buckets).alias("b"),
+    )
+    # ONE pass for both bucket marginals (raw + target) — no doc grouping
+    # needed, so the marginal side map-side-combines to B rows per
+    # partition before a B-row Exchange; the per-doc count table is the
+    # only corpus-scale Exchange. (Two scans of the corpus total — the
+    # stats-then-score structure is inherent to DSIR; a production run
+    # materializes the B-row score table once and scores incrementally.)
+    marg = feats.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tt"),
+    )
+    tot = marg.agg(
+        F.sum("r").cast("bigint").alias("_rtot"),
+        F.sum("tt").cast("bigint").alias("_ttot"),
+    )
+    sb = marg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                (
+                    (F.col("tt") + 1).cast("double")
+                    * (F.col("_rtot") + n_buckets).cast("double")
+                )
+                / (
+                    (F.col("r") + 1).cast("double")
+                    * (F.col("_ttot") + n_buckets).cast("double")
+                )
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    cdb = feats.groupBy(id_col, "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        cdb.join(F.broadcast(sb), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("s")).cast("bigint").alias("weight_micro"))
+        .select(
+            id_col,
+            "weight_micro",
+            (F.col("weight_micro") > 0).alias("selected"),
+        )
+    )
+
+
 def unigram_model(
     ref: DataFrame, word_arr_col: str, min_count: int = 5
 ) -> DataFrame:

@@ -1519,6 +1519,123 @@ def ann_ivf_probe2(spark, sf_dir):
 
 
 # =========================================================================
+# Semantic deduplication (SemDeDup): cluster embeddings, drop within-cell
+# cosine near-dups keeping the member farthest from its centroid
+# =========================================================================
+
+# perturbation added to every 20th vector's clone: a fixed formula vector
+# scaled by 0.1, pre-multiplied in Python so BOTH engines parse the exact
+# same decimal literal (repr round-trips doubles)
+_SEMDD_W = [(((g * 7) % 13 - 6) / 16.0) * 0.1 for g in range(1, 65)]
+
+
+def _semdd_cast_sql(col: str = "embedding") -> str:
+    return (
+        "[" + ", ".join(f"CAST({col}[{g}] AS DOUBLE)" for g in range(1, 65)) + "]"
+    )
+
+
+def _semdd_pert_sql() -> str:
+    return (
+        "["
+        + ", ".join(
+            f"CAST(embedding[{g}] AS DOUBLE) * 0.9 + {w!r}"
+            for g, w in zip(range(1, 65), _SEMDD_W)
+        )
+        + "]"
+    )
+
+
+_SEMDEDUP_SQL = f"""
+    WITH aug AS (
+      SELECT vec_id, {_semdd_cast_sql()} AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, {_semdd_pert_sql()} AS embedding
+      FROM embeddings WHERE mod(vec_id, 20) = 3
+    ), c AS (
+      SELECT CAST(vec_id // 10 AS INT) AS cell,
+             {_semdd_cast_sql()} AS cv
+      FROM embeddings WHERE vec_id IN (10,20,30,40,50,60,70,80)
+    ), assigned AS (
+      SELECT a.vec_id, a.embedding, c.cell,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ({_dotq('a.embedding', 'c.cv')}) DESC, c.cell ASC
+             ) AS rn
+      FROM aug a CROSS JOIN c
+    ), cells AS (
+      SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1
+    ), sim AS (
+      SELECT s.vec_id, s.embedding, s.cell,
+             round(({_dotq('s.embedding', 'c.cv')})
+                   / (sqrt({_dotq('s.embedding', 's.embedding')})
+                      * sqrt({_dotq('c.cv', 'c.cv')})), 4) AS c_sim
+      FROM cells s JOIN c USING (cell)
+    ), okc AS (
+      SELECT cell FROM sim GROUP BY cell HAVING count(*) <= 4096
+    ), capped AS (
+      SELECT sim.* FROM sim JOIN okc USING (cell)
+    ), drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM capped x JOIN capped y
+        ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      WHERE round(({_dotq('x.embedding', 'y.embedding')})
+                  / (sqrt({_dotq('x.embedding', 'x.embedding')})
+                     * sqrt({_dotq('y.embedding', 'y.embedding')})), 4) >= 0.9
+        AND (y.c_sim < x.c_sim
+             OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id))
+    )
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id, s.cell, s.c_sim,
+           d.vec_id IS NULL AS kept
+    FROM capped s LEFT JOIN drops d ON d.vec_id = s.vec_id
+"""
+
+
+@q("semdedup", _SEMDEDUP_SQL)
+def semdedup_query(spark, sf_dir):
+    """Semantic dedup (operators/similarity.semdedup — SemDeDup, Abbas
+    et al. 2023): cluster embeddings into the 8 deterministic IVF cells,
+    compare cosines only within a cell, and among any pair ≥0.9 keep the
+    member FARTHEST from its centroid (rounded c_sim, id tiebreak) — the
+    paper's keep-the-atypical policy. The synthetic corpus injects a
+    perturbed clone of every 20th vector (0.9·v + 0.1·fixed formula
+    vector), so clones score ≥0.9 against their originals while their
+    centroid-sims genuinely differ — the keep decision exercises the
+    distance rule in both directions, not just the id tiebreak (pinned
+    in tests/test_similarity.py). Scale: assignment map-side, one
+    corpus Exchange on cell, O(n²/K) within-cell pairs with a 4096 hot-
+    cell cap."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double_vec(F.col("embedding")).alias("embedding")
+    )
+    pert = e.where(F.pmod("vec_id", F.lit(20)) == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.array(
+            *[
+                F.element_at(F.col("embedding"), g) * F.lit(0.9) + F.lit(w)
+                for g, w in zip(range(1, 65), _SEMDD_W)
+            ]
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(pert)
+    cents = e.where(
+        F.col("vec_id").isin(10, 20, 30, 40, 50, 60, 70, 80)
+    ).select(
+        F.floor(F.col("vec_id") / 10).cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    out = similarity.semdedup(aug, cents, threshold=0.9, max_cell=4096)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cell",
+        "c_sim",
+        "kept",
+    )
+
+
+# =========================================================================
 # Product quantization (compressed ANN): encode to M sub-codes, search via
 # asymmetric distance over the reconstruction — the memory-bound scale path
 # next to brute (exact) / IVF (cell-pruned)

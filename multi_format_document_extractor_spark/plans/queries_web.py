@@ -3050,3 +3050,88 @@ def crawl_trap(spark, sf_dir):
             (ratio > 3.0) | ((depth_avg > 4.0) & (dup_frac > 0.5))
         ).alias("is_trap"),
     )
+# =========================================================================
+# DSIR importance resampling (hashed n-gram target-vs-raw log-ratios)
+# =========================================================================
+
+_DSIR_SQL = """
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS lt,
+             len(regexp_extract_all(text,
+                 '(?i)\\b(the|a|and|of|to|in|is|it)\\b')) AS sh,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw
+      FROM documents
+    ), tg AS (
+      SELECT doc_id, string_split_regex(lt, '\\s+') AS w,
+             (CASE WHEN nw > 0
+                   THEN CAST(sh AS DOUBLE) / CAST(nw AS DOUBLE)
+                   ELSE 0.0 END) >= 0.1 AS t
+      FROM base
+    ), uni AS (
+      SELECT doc_id, t, unnest(w) AS feat FROM tg
+    ), big AS (
+      SELECT doc_id, t,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS feat
+      FROM tg WHERE len(w) >= 2
+    ), feats AS (
+      SELECT doc_id, t,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+    ), marg AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      FROM feats GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(r) AS BIGINT) AS rtot,
+             CAST(sum(tt) AS BIGINT) AS ttot
+      FROM marg
+    ), sb AS (
+      SELECT marg.b,
+             CAST(floor(ln((CAST(tt + 1 AS DOUBLE)
+                            * CAST(tot.rtot + 1024 AS DOUBLE))
+                           / (CAST(r + 1 AS DOUBLE)
+                              * CAST(tot.ttot + 1024 AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM marg CROSS JOIN tot
+    ), cdb AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM feats GROUP BY doc_id, b
+    )
+    SELECT CAST(cdb.doc_id AS BIGINT) AS doc_id,
+           CAST(sum(c * s) AS BIGINT) AS weight_micro,
+           CAST(sum(c * s) AS BIGINT) > 0 AS selected
+    FROM cdb JOIN sb USING (b) GROUP BY cdb.doc_id
+"""
+
+
+@q("dsir_select", _DSIR_SQL)
+def dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/training.dsir_weights — Xie et al.
+    2023): hashed unigram+bigram bucket distributions for a target slice
+    (stopword-dense English-like docs, the classic formal-text proxy) vs
+    the raw corpus; every document scored by its integer micro-nat log
+    likelihood ratio, ``selected`` = ratio > 1. Weights are exact BIGINT
+    sums of floor-quantized per-bucket ln scores, so the DuckDB oracle
+    hash-matches despite the transcendental — the one ln per bucket runs
+    on a bit-identical double, and 1e6-quantization puts the engines'
+    ≤1-ulp libm disagreement ~9 orders of magnitude below the floor
+    boundary. Scale: two corpus Exchanges ((doc,bucket) count + doc sum),
+    B-row marginals broadcast, no global sort."""
+    from ..functions import textstats as TS
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return training.dsir_weights(
+        d,
+        target=TS.stopword_ratio(F.col("text")) >= 0.1,
+        text_col="text",
+        id_col="doc_id",
+        n_buckets=1024,
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "weight_micro",
+        "selected",
+    )
+

@@ -219,3 +219,31 @@ def test_pq_rerank_beats_adc_and_clears_floor(spark):
     r_rer = len(brute & rer) / len(brute)
     assert r_rer >= r_adc, (r_rer, r_adc)
     assert r_rer >= 0.8, r_rer
+
+
+def test_semdedup_keeps_exactly_one_of_each_same_cell_pair(spark):
+    """SemDedup contract on the injected clone pairs: (a) the output
+    covers every input row, (b) every (original, perturbed-clone) pair
+    that lands in the SAME cell keeps exactly one member, and (c) the
+    farthest-from-centroid rule genuinely decides — some dropped rows
+    are originals AND some are clones, so the outcome is not the id
+    tiebreak in disguise. Cross-cell clone pairs are the documented
+    SemDedup recall limitation (assignment flips the argmax cell) and
+    are exempt from (b)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["semdedup"](spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    n_clones = len([v for v in by_id if v >= 1000000])
+    assert len(rows) == 500 + n_clones and n_clones == 25, len(rows)
+    same_cell_pairs = 0
+    for v, r in by_id.items():
+        if v >= 1000000 and (v - 1000000) in by_id:
+            o = by_id[v - 1000000]
+            if o["cell"] == r["cell"]:
+                same_cell_pairs += 1
+                assert o["kept"] != r["kept"], (v, o["kept"], r["kept"])
+    assert same_cell_pairs >= 20, same_cell_pairs
+    dropped = [v for v, r in by_id.items() if not r["kept"]]
+    assert any(v < 1000000 for v in dropped), dropped
+    assert any(v >= 1000000 for v in dropped), dropped
