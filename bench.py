@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "ann_topk",            # brute-force cosine top-k
     "pq_adc_topk",         # product-quantized ADC top-k (compressed path)
     "embed_neardup",       # sign-LSH bucketed cosine pairs
+    "semdedup",            # semantic dedup (IVF cells + within-cell cosine)
+    "dsir_select",         # DSIR importance weights (hashed n-gram LLR)
+    "bloom_seen",          # bloom seen-set probe (broadcast bit array)
     "quality_score",       # text quality
     "repetition_filter",   # Gopher repetition gate (HOF codegen)
     "url_dedup",           # canonical-URL dedup (explode + hash agg)

@@ -311,20 +311,34 @@ def semdedup(
 
     Scale shape: assignment is the map-side literal-centroid fold
     (``ivf_assign`` — zero Exchange), centroid-sim adds one broadcast
-    join against the K-row centroid set, and the only corpus Exchange is
-    the within-cell self-join on ``cell`` — O(n²/K) pairs, the paper's
-    own cost model (they size K ~ n/10⁴; ``max_cell`` caps pathological
-    cells exactly like ``lsh_ann_pairs``/``candidate_pairs``). Returns
-    (id, cell, c_sim, kept) for the full input — the kept flag is the
-    dedup verdict."""
+    join against the K-row centroid set, and the corpus is exchanged
+    EXACTLY ONCE — an explicit ``repartition(cell)`` whose shuffle
+    stage is shared by the hot-cell cap aggregation and both sides of
+    the within-cell self-join (AQE exchange reuse). The kept verdict is
+    folded INTO the pair aggregation instead of a join-back: the self-
+    join keeps self-pairs, so every surviving row appears in the pair
+    stream and ``kept = ¬ any(dropping partner)`` is one groupBy on
+    (cell, id) that the cell partitioning already satisfies — no
+    corpus-scale verdict Exchange at all (a join-back would re-shuffle
+    the corpus by id: requireAllClusterKeysForCoPartition defeats
+    subset co-partitioning for joins, but plain ClusteredDistribution
+    satisfaction still holds for aggregations). Pair count is O(n²/K),
+    the paper's own cost model (they size K ~ n/10⁴; ``max_cell`` caps
+    pathological cells exactly like ``lsh_ann_pairs``/
+    ``candidate_pairs``). Single-corpus-Exchange shape pinned in
+    tests/test_plans.py. Returns (id, cell, c_sim, kept) for the full
+    input — the kept flag is the dedup verdict."""
     a = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    withsim = a.join(
-        F.broadcast(centroids.select("cell", "cv")), "cell"
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell"),
-        rnd(cosine(F.col(vec_col), F.col("cv")), 4).alias("c_sim"),
+    withsim = (
+        a.join(F.broadcast(centroids.select("cell", "cv")), "cell")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            rnd(cosine(F.col(vec_col), F.col("cv")), 4).alias("c_sim"),
+        )
+        # the ONE corpus shuffle; every consumer below reuses it
+        .repartition(F.col("cell"))
     )
     if max_cell is not None:
         ok = (
@@ -346,26 +360,25 @@ def semdedup(
         F.col(vec_col).alias("_vb"),
         F.col("c_sim").alias("_cb"),
     )
-    dropped = (
-        l.join(r, "cell")
-        .where(F.col("_xa") != F.col("_xb"))
-        .where(rnd(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
-        .where(
+    dropping = (
+        (F.col("_xa") != F.col("_xb"))
+        & (rnd(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        & (
             (F.col("_cb") < F.col("_ca"))
             | ((F.col("_cb") == F.col("_ca")) & (F.col("_xb") < F.col("_xa")))
         )
-        .select(F.col("_xa").alias(id_col))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
     )
+    # self-pairs (xa == xb, dropping=false) guarantee every surviving row
+    # reaches the aggregation, so no join-back is needed for the verdict
     return (
-        withsim.join(dropped, id_col, "left")
-        .select(
-            F.col(id_col),
+        l.join(r, "cell")
+        .groupBy(
             F.col("cell"),
-            F.col("c_sim"),
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+            F.col("_xa").alias(id_col),
+            F.col("_ca").alias("c_sim"),
         )
+        .agg((~F.max(dropping)).alias("kept"))
+        .select(F.col(id_col), "cell", "c_sim", "kept")
     )
 
 

@@ -58,6 +58,47 @@ def hash_split(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_doc_col: str = "doc",
+    comp_col: str = "comp",
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: every member of a near-dup
+    component is assigned by the hash of its component REPRESENTATIVE
+    (the component label), so near-duplicate documents can never straddle
+    the train/eval boundary. Plain per-id ``hash_split`` scatters a
+    near-dup cluster uniformly across splits — a held-out document whose
+    near-twin sits in train is silent contamination that verbatim n-gram
+    decontamination (``decontaminate``) only catches for exact overlaps;
+    splitting by cluster closes the near-dup channel (the Lee et al. 2022
+    "Deduplicating Training Data" train/test-leakage argument applied to
+    the split step itself). Singleton docs have no component row and fall
+    back to their own id, so the assignment degrades exactly to
+    ``hash_split`` when the corpus is dup-free.
+
+    Scale shape: ONE left equi-join corpus × component table on the id
+    (bucket-co-located at scale; the component side is near-dup-subset-
+    sized, which on web corpora can be corpus-scale — never hint-
+    broadcast, the round-2 ``drop_near_dups`` lesson; AQE broadcasts it
+    only when genuinely small), then the split itself is a map-side md5
+    CASE. Adds ``rep`` (split key) and ``split`` columns."""
+    comp = components.select(
+        F.col(comp_doc_col).alias(id_col), F.col(comp_col).alias("_comp")
+    )
+    out = (
+        df.join(comp, id_col, "left")
+        .withColumn(
+            "rep", F.coalesce(F.col("_comp"), F.col(id_col)).cast("bigint")
+        )
+        .drop("_comp")
+    )
+    return hash_split(out, "rep", val_pct=val_pct, test_pct=test_pct)
+
+
 def quality_gate(
     df: DataFrame,
     text_col: str,

@@ -1175,6 +1175,62 @@ def canonical_pick(spark, sf_dir):
     )
 
 
+@q(
+    "cluster_split",
+    "WITH comp AS ("
+    # the full clustering query as the base relation — composed at build
+    # time so the split and the clusters can never drift
+    + ORACLES["neardup_components"]
+    + """),
+    aug AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 FROM documents WHERE mod(doc_id, 25) = 0
+      UNION ALL
+      SELECT doc_id + 2000000 FROM documents WHERE mod(doc_id, 25) = 1
+    ), j AS (
+      SELECT a.doc_id,
+             CAST(coalesce(c.component, a.doc_id) AS BIGINT) AS rep
+      FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id
+    ), b AS (
+      SELECT doc_id, rep,
+             CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bk
+      FROM j
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, rep,
+           CASE WHEN bk < 5 THEN 'test'
+                WHEN bk < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+)
+def cluster_split(spark, sf_dir):
+    """Leakage-free train/val/test split
+    (operators/training.leakage_free_split): assignment is hashed on the
+    near-dup COMPONENT representative, not the document id, so clusters
+    of near-duplicates land in one split and the eval set can never hold
+    a near-twin of a training document. Composes the REGISTERED
+    neardup_components clustering — on the synthetic corpus the injected
+    exact/near clones (doc_id+1M / +2M) share their original's split by
+    construction, pinned in tests/test_training.py. Singletons fall back
+    to their own id (degrades to hash_split on a dup-free corpus).
+    Scale: the clustering's own cost + ONE left equi-join on doc_id + a
+    map-side md5 CASE; no windows, no new shuffle key."""
+    from ..operators import training
+
+    aug = _docs_aug(spark, sf_dir).select("doc_id")
+    comp = QUERIES["neardup_components"](spark, sf_dir).select(
+        F.col("doc_id").alias("doc"), F.col("component").alias("comp")
+    )
+    out = training.leakage_free_split(
+        aug, comp, id_col="doc_id", val_pct=5, test_pct=5
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "rep", "split"
+    )
+
+
 _INCR_AUG_SQL = """
     WITH docs_aug AS (
       SELECT doc_id, text FROM documents

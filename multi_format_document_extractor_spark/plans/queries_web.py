@@ -2195,6 +2195,103 @@ def cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 4  # salted hash functions
+
+
+def _bloom_pos_sql(salt: str, url: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({salt} AS VARCHAR) || '|' || {url}),"
+        f" 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(salt, url):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(salt.cast("string"), F.lit("|"), url)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@q(
+    "bloom_seen",
+    f"""
+    WITH u AS (
+      SELECT doc_id, 'https://' || {_URL_BASE_SQL} AS url FROM documents
+    ), pos AS (
+      SELECT doc_id, s.salt, {_bloom_pos_sql("s.salt", "url")} AS p
+      FROM u, unnest([0, 1, 2, 3]) AS s(salt)
+    ), bloom AS (
+      SELECT list(DISTINCT p) AS bits FROM pos WHERE doc_id % 3 <> 0
+    ), probe AS (
+      SELECT doc_id, list(p ORDER BY salt) AS ppos
+      FROM pos GROUP BY doc_id
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           p.doc_id % 3 <> 0 AS truly_seen,
+           list_has_all(b.bits, p.ppos) AS maybe_seen,
+           (list_has_all(b.bits, p.ppos) AND p.doc_id % 3 = 0) AS false_pos
+    FROM probe p CROSS JOIN bloom b
+    """,
+)
+def bloom_seen(spark, sf_dir):
+    """URL seen-set membership via a portable deterministic BLOOM filter
+    (m=4096 bits, k=4 salted-md5 positions) — the third sketch next to
+    HLL (cardinality) and CMS (frequency): the incremental-crawl question
+    "have we fetched this url?" answered from a structure whose size is
+    FIXED regardless of corpus size. Crawled set = docs with id%3≠0;
+    every doc probes. The one-sided guarantee is visible in the output:
+    truly_seen ⇒ maybe_seen always (no false negatives — pinned in
+    tests/test_webtext.py), while maybe_seen on an uncrawled url is a
+    quantified false positive (false_pos column; ≈(1-e^(-kn/m))^k).
+
+    Scale shape: the build side partial-aggs to ≤m distinct positions
+    map-side, then collapses into ONE array row that broadcasts; the
+    probe side computes its k positions as a map-side literal array (no
+    explode, no groupBy — ZERO probe Exchange) and answers membership
+    with a codegen ``forall``/``array_contains`` over the broadcast —
+    exactly how a production seen-set probe runs, with m scaled to
+    ~10·n bits and the bitset sharded by url-hash range at 10^12 urls.
+    All-integer md5 arithmetic ⇒ the DuckDB oracle is hash-exact."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), _url_base_col()).alias("url"),
+    )
+    pos_arr = F.array(
+        *[
+            _bloom_pos_col(F.lit(s), F.col("url"))
+            for s in range(_BLOOM_K)
+        ]
+    )
+    crawled = u.where(F.pmod("doc_id", F.lit(3)) != 0).select(
+        F.explode(pos_arr).alias("p")
+    )
+    bloom = crawled.agg(F.collect_set("p").alias("bits"))
+    probe = u.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(3)).alias("_m3"),
+        pos_arr.alias("ppos"),
+    )
+    maybe = F.forall(
+        "ppos", lambda x: F.array_contains(F.col("bits"), x)
+    )
+    return (
+        probe.crossJoin(F.broadcast(bloom))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            (F.col("_m3") != 0).alias("truly_seen"),
+            maybe.alias("maybe_seen"),
+            (maybe & (F.col("_m3") == 0)).alias("false_pos"),
+        )
+    )
+
+
 # =========================================================================
 # WARC container ingestion (Common Crawl's on-disk format)
 # =========================================================================

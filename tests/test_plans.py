@@ -321,3 +321,18 @@ def test_pq_adc_topk_shuffles_only_slim_scores(spark):
     keys = set(re.findall(r"hashpartitioning\((\w+)", p))
     assert keys == {"query_id"}, keys
     assert "WindowGroupLimit" in p, p
+
+
+def test_semdedup_single_corpus_shuffle_no_id_exchange(spark):
+    """SemDeDup's corpus must be exchanged once — the explicit
+    repartition(cell) whose shuffle stage the self-join's two sides
+    share at runtime (ReusedExchange in the final adaptive plan) — and
+    the kept verdict must come from the in-partition pair aggregation,
+    never a corpus re-shuffle by vector id (the round-2 ivf_assign
+    lesson applied to the dedup verdict)."""
+    df = entry_mod.queries()["semdedup"](spark, SF_DIR)
+    df.collect()
+    p = plan(df)
+    assert "isFinalPlan=true" in p, p[:200]
+    assert "ReusedExchange" in p, p
+    assert "hashpartitioning(vec_id" not in p, p

@@ -142,3 +142,42 @@ def test_bpe_train_learns_hand_computable_merges(spark):
     )
     merges = bpe_train(docs, "text", n_merges=2)
     assert merges == [(1, "a b", 5), (2, "a ab", 3)]
+
+
+def test_cluster_split_closes_the_near_dup_leak(spark):
+    """Leakage-free split contract: every EXACT clone (+1M, Jaccard 1.0
+    ⇒ always a verified edge) shares its original's rep AND split; near
+    clones (+2M) share whenever clustering linked them (short docs can
+    legitimately fall under the 0.8 Jaccard bar — that's the verifier's
+    call, not the split's); the assignment is non-degenerate (all three
+    splits occur); and the channel it closes is real — at least one
+    linked clone pair would STRADDLE splits under plain per-id
+    hash_split but is held together here."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["cluster_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == 540  # 500 + 20 exact + 20 near clones
+
+    def plain_split(doc_id):
+        b = _bucket(doc_id, 100)
+        return "test" if b < 5 else ("val" if b < 10 else "train")
+
+    straddlers = 0
+    for v, r in by_id.items():
+        if v < 1000000:
+            continue
+        orig = by_id[v - (1000000 if v < 2000000 else 2000000)]
+        if v < 2000000:  # exact clone: must be linked
+            assert r["rep"] == orig["rep"], (v, r["rep"], orig["rep"])
+        if r["rep"] == orig["rep"]:
+            assert r["split"] == orig["split"], (v, r["split"])
+            if plain_split(v) != plain_split(orig["doc_id"]):
+                straddlers += 1
+    assert straddlers > 0  # hash_split WOULD have leaked these
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # singletons (no component) fall back to their own id
+    singles = [r for r in rows if r["rep"] == r["doc_id"]]
+    assert singles

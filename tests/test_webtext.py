@@ -573,3 +573,22 @@ def test_anchor_texts_pairing(spark):
         parts = r["anchors"].split(" | ")
         assert parts == sorted(set(parts))
         assert set(parts) <= {"a", "b", "c"}
+
+
+def test_bloom_seen_one_sided_guarantee_and_probe_plan(spark):
+    """Bloom contract: truly_seen ⇒ maybe_seen on EVERY row (a bloom
+    filter has no false negatives, whatever the corpus), and false_pos
+    is exactly maybe ∧ ¬truly. Plan: the one-row bit array broadcasts
+    (BroadcastNestedLoopJoin); the probe side is never hash-exchanged —
+    the only Exchanges belong to the ≤m-row build aggregation."""
+    df = entry_mod.queries()["bloom_seen"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["truly_seen"]:
+            assert r["maybe_seen"], r
+        assert r["false_pos"] == (r["maybe_seen"] and not r["truly_seen"])
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p, p
