@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "token_counts",        # tokenization stats
     "bpe_pair_counts",     # BPE merge-step pair table (vocab-phase agg)
     "window_agg",          # tumbling window (batch)
+    "doc_chunks",          # overlapping fixed-token chunking (stageless)
     "training_corpus",     # quality gate → dedup keepers → split
     "pack_sequences",      # fixed-token sequence packing
     "neardup_components",  # connected components (iterative)

@@ -310,6 +310,42 @@ def robots_directives(html: Column) -> Column:
     )
 
 
+TITLE_RE = r"(?i)<title>([^<]*)</title>"
+META_DESC_NAME_FIRST_RE = r'<meta name="description" content="([^"]*)"'
+META_DESC_CONTENT_FIRST_RE = r'<meta content="([^"]*)" name="description"'
+OG_TITLE_RE = r'<meta property="og:title" content="([^"]*)"'
+PUB_TIME_RE = (
+    r'<meta property="article:published_time" '
+    r'content="(\d\d\d\d-\d\d-\d\d)'
+)
+HTML_LANG_RE = r'<html lang="([A-Za-z-]*)"'
+
+
+def page_metadata(html: Column) -> Column:
+    """``struct(title, meta_desc, og_title, pub_date, lang_attr)`` from a
+    page head — the metadata side of extraction (search indexing,
+    dated-corpus assembly, og-card joins) next to the main-content side.
+    Case-insensitive title, BOTH meta-description attribute orders
+    (name-first and content-first — real pages emit either), OpenGraph
+    title, ISO date prefix of article:published_time, and the html lang
+    attribute. Absent fields extract as '' (regexp_extract's no-match
+    value on both engines — same contract as robots_directives). Pure
+    group-1 regex codegen: zero Exchange, Java-regex/RE2 common subset."""
+    desc = F.coalesce(
+        F.nullif(
+            F.regexp_extract(html, META_DESC_NAME_FIRST_RE, 1), F.lit("")
+        ),
+        F.regexp_extract(html, META_DESC_CONTENT_FIRST_RE, 1),
+    )
+    return F.struct(
+        F.trim(F.regexp_extract(html, TITLE_RE, 1)).alias("title"),
+        desc.alias("meta_desc"),
+        F.regexp_extract(html, OG_TITLE_RE, 1).alias("og_title"),
+        F.regexp_extract(html, PUB_TIME_RE, 1).alias("pub_date"),
+        F.regexp_extract(html, HTML_LANG_RE, 1).alias("lang_attr"),
+    )
+
+
 def gopher_keep(
     dup_line_frac: Column,
     dup_char_frac: Column,
@@ -353,5 +389,12 @@ __all__ = [
     "CANONICAL_HREF_RE",
     "outlink_hosts",
     "robots_directives",
+    "TITLE_RE",
+    "META_DESC_NAME_FIRST_RE",
+    "META_DESC_CONTENT_FIRST_RE",
+    "OG_TITLE_RE",
+    "PUB_TIME_RE",
+    "HTML_LANG_RE",
+    "page_metadata",
     "rnd",
 ]

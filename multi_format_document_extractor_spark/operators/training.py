@@ -379,6 +379,61 @@ def dsir_weights(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token document chunking with overlap — the context-window
+    prep step every RAG/embedding/eval pipeline runs between extraction
+    and encoding: split each document into windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap`` (so
+    consecutive chunks share ``overlap`` tokens and no sentence dies at
+    a hard boundary). Differs from ``pack_sequences`` (which CONCATENATES
+    short docs up to a budget for pretraining) — chunking SPLITS long
+    docs into overlapping windows, preserving per-doc provenance
+    (doc_id, chunk_id, start_tok). Every token lands in ≥1 chunk; the
+    final chunk is the only one allowed to run short. Empty docs emit
+    nothing.
+
+    Scale shape: pure map-side codegen — split, an integer chunk count,
+    a ``sequence``/``explode`` Generate, and ``slice``/``array_join``
+    projections. ZERO Exchange at any corpus size (chunking is
+    embarrassingly row-parallel); output size is the input token count
+    × (1 + overlap/stride). All integer arithmetic ⇒ DuckDB-oracle
+    exact."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), w.alias("_w")
+    )
+    # ceil((n - overlap) / stride), floored at 1: the last window may run
+    # short but never starts past the end
+    n_chunks = F.floor(
+        (F.greatest(F.size("_w") - overlap, F.lit(1)) + (stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    ch = base.select(
+        id_col,
+        "_w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sl = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return ch.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("int").alias("start_tok"),
+        F.size(sl).cast("int").alias("n_tok"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
 def unigram_model(
     ref: DataFrame, word_arr_col: str, min_count: int = 5
 ) -> DataFrame:

@@ -3232,3 +3232,211 @@ def dsir_select(spark, sf_dir):
         "selected",
     )
 
+
+# =========================================================================
+# Fixed-token chunking with overlap (RAG/embedding context-window prep)
+# =========================================================================
+
+_CHUNK_SQL = """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ), sized AS (
+      SELECT doc_id, w,
+             CAST(floor((greatest(len(w) - 8, 1) + 15) / 16.0) AS INT) AS nc
+      FROM base
+    ), ch AS (
+      SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM sized
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 16 AS INT) AS start_tok,
+           CAST(len(w[CAST(chunk_id*16+1 AS INT) : CAST(chunk_id*16+24 AS INT)])
+                AS INT) AS n_tok,
+           array_to_string(
+             w[CAST(chunk_id*16+1 AS INT) : CAST(chunk_id*16+24 AS INT)], ' ')
+             AS chunk_text
+    FROM ch
+"""
+
+
+@q("doc_chunks", _CHUNK_SQL)
+def doc_chunks(spark, sf_dir):
+    """Overlapping fixed-token chunking
+    (operators/training.chunk_documents, 24-token windows / 8-token
+    overlap / stride 16): the context-window prep between extraction and
+    embedding — long docs SPLIT into provenance-keyed windows
+    (complement of pack_sequences, which concatenates short docs).
+    Every token lands in ≥1 chunk, consecutive chunks share exactly the
+    overlap, only the last chunk runs short — pinned in
+    tests/test_training.py. Scale: pure map-side codegen (split →
+    integer chunk count → sequence/explode Generate → slice/array_join)
+    — ZERO Exchange at any corpus size, plan-pinned stageless."""
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = training.chunk_documents(
+        d, text_col="text", id_col="doc_id", chunk_tokens=24, overlap=8
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id",
+        "start_tok",
+        "n_tok",
+        "chunk_text",
+    )
+
+# =========================================================================
+# Page-head metadata extraction (title / description / OpenGraph / date)
+# =========================================================================
+
+_META_PAGE_SQL = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 7 <> 6
+                   THEN '<html lang="' || lang || '">' ELSE '<html>' END)
+             || '<head>'
+             || (CASE WHEN doc_id % 5 = 4 THEN ''
+                      WHEN doc_id % 10 = 7 THEN
+                        '<TITLE>  Doc ' || CAST(doc_id AS VARCHAR)
+                          || '  </TITLE>'
+                      ELSE '<title>Doc ' || CAST(doc_id AS VARCHAR)
+                          || '</title>' END)
+             || (CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN '<meta name="description" content="summary '
+                        || CAST(doc_id AS VARCHAR) || '">'
+                      WHEN 1 THEN '<meta content="summary '
+                        || CAST(doc_id AS VARCHAR) || '" name="description">'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 4 < 2 THEN
+                        '<meta property="og:title" content="OG Doc '
+                          || CAST(doc_id AS VARCHAR) || '">'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN
+                        '<meta property="article:published_time" content="2026-07-'
+                          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                          || 'T10:30:00Z">'
+                      ELSE '' END)
+             || '</head>' AS html
+      FROM documents
+"""
+
+
+def _metadata_page_html():
+    did = F.col("doc_id").cast("string")
+    lang_html = F.when(
+        F.col("doc_id") % 7 != 6,
+        F.concat(F.lit('<html lang="'), F.col("lang"), F.lit('">')),
+    ).otherwise(F.lit("<html>"))
+    title_html = (
+        F.when(F.col("doc_id") % 5 == 4, F.lit(""))
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit("<TITLE>  Doc "), did, F.lit("  </TITLE>")),
+        )
+        .otherwise(F.concat(F.lit("<title>Doc "), did, F.lit("</title>")))
+    )
+    desc_html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="summary '),
+                did,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('<meta content="summary '),
+                did,
+                F.lit('" name="description">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    og_html = F.when(
+        F.col("doc_id") % 4 < 2,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG Doc '),
+            did,
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    pub_html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta property="article:published_time" content="2026-07-'),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit('T10:30:00Z">'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        lang_html,
+        F.lit("<head>"),
+        title_html,
+        desc_html,
+        og_html,
+        pub_html,
+        F.lit("</head>"),
+    )
+
+
+@q(
+    "page_metadata",
+    f"""
+    WITH t AS ({_META_PAGE_SQL}),
+    x AS (
+      SELECT doc_id,
+             trim(regexp_extract(html, '(?i)<title>([^<]*)</title>', 1))
+               AS title,
+             coalesce(
+               nullif(regexp_extract(html,
+                 '<meta name="description" content="([^"]*)"', 1), ''),
+               regexp_extract(html,
+                 '<meta content="([^"]*)" name="description"', 1)) AS meta_desc,
+             regexp_extract(html,
+               '<meta property="og:title" content="([^"]*)"', 1) AS og_title,
+             regexp_extract(html,
+               '<meta property="article:published_time" content="(\\d\\d\\d\\d-\\d\\d-\\d\\d)',
+               1) AS pub_date,
+             regexp_extract(html, '<html lang="([A-Za-z-]*)"', 1) AS lang_attr
+      FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           title, meta_desc, og_title, pub_date, lang_attr,
+           CAST(title <> '' AS INT) + CAST(meta_desc <> '' AS INT)
+             + CAST(og_title <> '' AS INT) + CAST(pub_date <> '' AS INT)
+             + CAST(lang_attr <> '' AS INT) AS n_fields
+    FROM x
+    """,
+)
+def page_metadata(spark, sf_dir):
+    """Page-head metadata extraction (functions/webtext.page_metadata):
+    the metadata half of web extraction — case-insensitive <title>, meta
+    description in BOTH attribute orders (coalesced), OpenGraph title,
+    ISO date prefix of article:published_time, and the html lang
+    attribute, plus an n_fields completeness count (the metadata-quality
+    signal dated-corpus assembly filters on). Heads are synthesized
+    deterministically from doc_id × the table's lang column covering
+    every presence/absence/case/attribute-order combination — including
+    uppercase <TITLE> (exercises (?i)) and padded whitespace (exercises
+    trim). Zero Exchange: scan → project, five group-1 regex extracts,
+    all codegen — same shape as robots_gate."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).select("doc_id", _metadata_page_html().alias("html"))
+    m = W.page_metadata(F.col("html"))
+    x = t.select("doc_id", m.alias("_m")).select("doc_id", "_m.*")
+    nf = sum(
+        (F.col(c) != "").cast("int")
+        for c in ["title", "meta_desc", "og_title", "pub_date", "lang_attr"]
+    )
+    return x.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title",
+        "meta_desc",
+        "og_title",
+        "pub_date",
+        "lang_attr",
+        nf.cast("int").alias("n_fields"),
+    )

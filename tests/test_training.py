@@ -181,3 +181,42 @@ def test_cluster_split_closes_the_near_dup_leak(spark):
     # singletons (no component) fall back to their own id
     singles = [r for r in rows if r["rep"] == r["doc_id"]]
     assert singles
+
+
+def test_chunk_documents_coverage_overlap_and_stageless_plan(spark):
+    """Chunking contract: chunk_ids dense from 0; starts advance by the
+    stride; every chunk but the last is full-size; the last chunk ends
+    exactly at the doc's token count (full coverage, nothing past the
+    end); consecutive chunks share exactly `overlap` tokens. Plan: zero
+    Exchange — chunking is row-parallel codegen."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["doc_chunks"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500
+    multi = 0
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            assert c["start_tok"] == i * 16
+            assert len(c["chunk_text"].split(" ")) == c["n_tok"]
+            if i < len(chunks) - 1:
+                assert c["n_tok"] == 24
+                # shared overlap: last 8 tokens == next chunk's first 8
+                assert (
+                    c["chunk_text"].split(" ")[16:]
+                    == chunks[i + 1]["chunk_text"].split(" ")[:8]
+                )
+        last = chunks[-1]
+        n_doc_tokens = last["start_tok"] + last["n_tok"]
+        assert last["n_tok"] >= 1
+        if len(chunks) > 1:
+            multi += 1
+            assert n_doc_tokens > len(chunks[0]["chunk_text"].split(" "))
+    assert multi > 100  # the corpus genuinely exercises multi-chunk docs
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p

@@ -592,3 +592,39 @@ def test_bloom_seen_one_sided_guarantee_and_probe_plan(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_page_metadata_crafted_heads(spark):
+    """Unit contract on crafted heads: both meta-description attribute
+    orders land in meta_desc; uppercase <TITLE> and padded whitespace
+    resolve via (?i)+trim; absent fields extract as ''; the plan stays
+    stageless (zero Exchange)."""
+    m = W.page_metadata(F.col("h"))
+    r = _one_meta(
+        spark,
+        '<html lang="de"><head><TITLE>  Hi There </TITLE>'
+        '<meta content="alt order" name="description">'
+        '<meta property="article:published_time" content="2025-12-31T08:00:00Z">'
+        "</head>",
+        m,
+    )
+    assert r["title"] == "Hi There"
+    assert r["meta_desc"] == "alt order"
+    assert r["pub_date"] == "2025-12-31"
+    assert r["lang_attr"] == "de"
+    assert r["og_title"] == ""
+    r2 = _one_meta(
+        spark,
+        '<html><head><title>x</title>'
+        '<meta name="description" content="normal order"></head>',
+        m,
+    )
+    assert r2["meta_desc"] == "normal order"
+    assert r2["lang_attr"] == "" and r2["pub_date"] == ""
+    df = entry_mod.queries()["page_metadata"](spark, SF_DIR)
+    assert "Exchange" not in plan(df)
+
+
+def _one_meta(spark, html, mcol):
+    df = spark.createDataFrame([(html,)], "h string")
+    return df.select(mcol.alias("_m")).select("_m.*").collect()[0]
