@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "bpe_pair_counts",     # BPE merge-step pair table (vocab-phase agg)
     "window_agg",          # tumbling window (batch)
     "doc_chunks",          # overlapping fixed-token chunking (stageless)
+    "batch_assembly",      # length-bucketed inference batching
+    "page_metadata",       # head metadata extraction (stageless)
+    "cluster_split",       # leakage-free split (components + md5 CASE)
     "training_corpus",     # quality gate → dedup keepers → split
     "pack_sequences",      # fixed-token sequence packing
     "neardup_components",  # connected components (iterative)

@@ -238,6 +238,54 @@ def jaccard_verify(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS algorithm): hash every k-token shingle, slide a w-hash
+    window, keep each window's MINIMUM hash, emit the distinct selected
+    hashes as the document's fingerprints. The selection guarantee is
+    what MinHash doesn't give: any shared token run of length ≥ w+k−1
+    between two documents produces at least one SHARED fingerprint
+    (local-copy detection — plagiarism, quote mining, partial-overlap
+    candidates), while only ~2/(w+1) of hashes are kept. Min-of-window
+    over md5 hex strings is lexicographic min on ASCII — identical in
+    both engines, no RNG (the paper's random hash is an md5 here).
+
+    Returns exploded (id, fp) rows — the inverted fingerprint index; a
+    self-equi-join on fp (capped like ``candidate_pairs``) yields
+    partial-overlap candidates. Scale shape: per-doc transforms are pure
+    map-side HOFs (sequence → slice → md5 → window-min → distinct); the
+    explode output is ~2·n_tokens/(w+1) rows per doc and the index
+    build's groupBy(fp) is the only Exchange any consumer pays. Docs
+    shorter than k tokens have no k-gram and emit nothing."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        " ",
+    )
+    base = df.select(F.col(id_col), toks.alias("_w")).where(
+        F.size("_w") >= k
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, k))),
+    )
+    h = base.select(F.col(id_col), hashes.alias("_h"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_h") - (w - 1), F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+        )
+    )
+    return h.select(F.col(id_col), F.explode(sel).alias("fp"))
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash per document from word-level md5 bits.
 

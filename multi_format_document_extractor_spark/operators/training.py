@@ -205,6 +205,85 @@ def stratified_sample(
     )
 
 
+def batch_by_length(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    batch_size: int = 16,
+    bucket_width: int = 8,
+    n_subbuckets: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference batch assembly: group variable-length
+    sequences into fixed-count batches of SIMILAR length so the
+    per-batch padding-to-max waste stays bounded by the bucket width —
+    the serving-side twin of ``pack_sequences`` (training packs tokens
+    into one stream; inference pads each batch row to the batch max, so
+    mixing a 3-token and a 24-token sequence wastes 7/8 of the matrix).
+    Buckets are ``ceil(len/bucket_width)``; within a bucket, items are
+    ordered deterministically by md5 of their ids and cut into batches
+    of ``batch_size``. Returns per-batch stats: (batch_id, bucket,
+    n_items, max_tok, sum_tok, padding_frac).
+
+    Scale shape: buckets alone are few (max_len/width) — a bucket-
+    partitioned window would put a third of the corpus on one task, the
+    skew ``token_budget_sample`` already solved — so the window runs on
+    (bucket, md5-subbucket): ONE Exchange, ``n_subbuckets``-way parallel
+    per bucket, and the per-batch aggregation reuses the same
+    partitioning (grouping keys are a superset). Each subbucket's last
+    batch may run ragged — that's ≤ n_buckets × n_subbuckets short
+    batches total, O(1) waste regardless of corpus size. All-integer
+    batch math + one rounded division ⇒ DuckDB-oracle exact."""
+    k = F.md5(
+        F.concat_ws("_", *[F.col(c).cast("string") for c in id_cols])
+    )
+    base = df.select(
+        *id_cols,
+        F.col(len_col).alias("_len"),
+        k.alias("_k"),
+        F.floor(
+            (F.col(len_col) + (bucket_width - 1)) / F.lit(bucket_width)
+        )
+        .cast("int")
+        .alias("_bkt"),
+        (F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint") % n_subbuckets)
+        .cast("int")
+        .alias("_sub"),
+    )
+    w = Window.partitionBy("_bkt", "_sub").orderBy(
+        F.col("_k"), *[F.col(c) for c in id_cols]
+    )
+    numbered = base.withColumn(
+        "_batch",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast(
+            "int"
+        ),
+    )
+    agg = numbered.groupBy("_bkt", "_sub", "_batch").agg(
+        F.count("*").cast("int").alias("n_items"),
+        F.max("_len").cast("int").alias("max_tok"),
+        F.sum("_len").cast("bigint").alias("sum_tok"),
+    )
+    from ..functions.rounding import rnd
+
+    return agg.select(
+        (
+            F.col("_bkt").cast("bigint") * 1_000_000
+            + F.col("_sub") * 10_000
+            + F.col("_batch")
+        ).alias("batch_id"),
+        F.col("_bkt").alias("bucket"),
+        "n_items",
+        "max_tok",
+        "sum_tok",
+        rnd(
+            F.lit(1.0)
+            - F.col("sum_tok")
+            / (F.col("n_items").cast("double") * F.col("max_tok")),
+            4,
+        ).alias("padding_frac"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     group_col: str,

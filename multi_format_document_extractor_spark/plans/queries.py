@@ -1231,6 +1231,49 @@ def cluster_split(spark, sf_dir):
     )
 
 
+@q(
+    "winnow_fps",
+    _AUG_SQL
+    + """
+    , t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM docs_aug
+    ), f AS (
+      SELECT doc_id, w FROM t WHERE len(w) >= 5
+    ), h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 3),
+                            i -> md5(array_to_string(w[i:i+4], ' '))) AS hs
+      FROM f
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(hs[j:j+3]))) AS fps
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp FROM s
+    """,
+)
+def winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints —
+    MOSS, Schleimer et al. 2003), k=5-token shingles / w=4-hash windows:
+    every window's minimum md5 survives, giving the LOCAL-match
+    guarantee MinHash lacks — any shared run of ≥ w+k−1 = 8 tokens
+    yields a shared fingerprint (pinned adversarially in
+    tests/test_dedup.py), at ~2/(w+1) storage. The output is the
+    exploded inverted fingerprint index; the near-clone docs injected by
+    the shared corpus augmentation overlap their originals' fingerprint
+    sets almost everywhere, exercising the dedup direction. Scale: all
+    selection is map-side HOF codegen; the explode is the only row
+    growth and any consumer's fp-keyed groupBy is the only Exchange."""
+    return dedup.winnow_fingerprints(
+        _docs_aug(spark, sf_dir), "text", "doc_id", k=5, w=4
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp")
+
+
 _INCR_AUG_SQL = """
     WITH docs_aug AS (
       SELECT doc_id, text FROM documents

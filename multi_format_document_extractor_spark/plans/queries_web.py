@@ -3440,3 +3440,65 @@ def page_metadata(spark, sf_dir):
         "lang_attr",
         nf.cast("int").alias("n_fields"),
     )
+
+# =========================================================================
+# Length-bucketed inference batch assembly (padding-waste minimization)
+# =========================================================================
+
+
+@q(
+    "batch_assembly",
+    f"""
+    WITH ch AS ({_CHUNK_SQL}),
+    keyed AS (
+      SELECT doc_id, chunk_id, n_tok,
+             md5(CAST(doc_id AS VARCHAR) || '_'
+                 || CAST(chunk_id AS VARCHAR)) AS k,
+             CAST(floor((n_tok + 7) / 8.0) AS INT) AS bkt
+      FROM ch
+    ), sub AS (
+      SELECT keyed.*,
+             CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS INT) AS sb
+      FROM keyed
+    ), numbered AS (
+      SELECT sub.*,
+             CAST(floor((row_number() OVER (
+               PARTITION BY bkt, sb ORDER BY k, doc_id, chunk_id) - 1)
+               / 16.0) AS INT) AS batch
+      FROM sub
+    )
+    SELECT CAST(bkt AS BIGINT) * 1000000 + sb * 10000 + batch AS batch_id,
+           bkt AS bucket,
+           CAST(count(*) AS INT) AS n_items,
+           CAST(max(n_tok) AS INT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * max(n_tok)), 4)
+             AS padding_frac
+    FROM numbered GROUP BY bkt, sb, batch
+    """,
+)
+def batch_assembly(spark, sf_dir):
+    """Inference batch assembly (operators/training.batch_by_length):
+    length-bucket the doc_chunks output (ceil(n_tok/8)) and cut each
+    bucket into deterministic md5-ordered batches of 16, reporting
+    per-batch padding waste (1 − Σtok / (n·max)) — the serving-side twin
+    of pack_sequences (training packs one stream; serving pads to the
+    batch max, so batching a 3-token chunk with a 24-token chunk wastes
+    7/8 of the compute). Composes the REGISTERED doc_chunks query so
+    chunker and batcher can never drift. Scale: ONE Exchange — the
+    window runs on (bucket, md5-subbucket) for skew-proof parallelism
+    (the token_budget_sample lesson: a bucket-only window would put a
+    third of the corpus on one task) and the per-batch aggregation
+    reuses the same partitioning (superset grouping keys)."""
+    from ..operators import training
+
+    chunks = QUERIES["doc_chunks"](spark, sf_dir)
+    return training.batch_by_length(
+        chunks,
+        len_col="n_tok",
+        id_cols=("doc_id", "chunk_id"),
+        batch_size=16,
+        bucket_width=8,
+        n_subbuckets=8,
+    )

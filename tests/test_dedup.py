@@ -314,3 +314,32 @@ def test_incremental_neardup_matches_recrawls_not_fresh(spark):
     ).fetchone()[0]
     assert len(matched_self) == n_docs, (len(matched_self), n_docs)
     assert not any((r["new_id"] - 3000000) % 10 == 5 for r in rows)
+
+
+def test_winnowing_local_match_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. §3): two documents
+    sharing a token run of length ≥ w+k−1 (= 8 at k=5, w=4) MUST share
+    at least one fingerprint, wherever the run sits and whatever
+    surrounds it; documents with no shared 5-gram must share none."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine ten {shared} eleven twelve thirteen fourteen"),
+        (3, f"{shared} trailing words here"),
+        (4, "totally disjoint content with no overlap at all kappa"),
+        (5, "more disjoint filler unrelated tokens everywhere lambda mu"),
+    ]
+    fps = {}
+    out = dedup.winnow_fingerprints(
+        _docs(spark, rows), "text", "doc_id", k=5, w=4
+    ).collect()
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert fps[a] & fps[b], (a, b)
+    for a in (1, 2, 3):
+        assert not (fps[a] & fps[4]) and not (fps[a] & fps[5])
+    assert not (fps[4] & fps[5])
+    # storage bound: far fewer fingerprints than k-grams survive
+    n_tokens = len(rows[0][1].split())
+    assert len(fps[1]) <= n_tokens - 4

@@ -220,3 +220,34 @@ def test_chunk_documents_coverage_overlap_and_stageless_plan(spark):
     assert multi > 100  # the corpus genuinely exercises multi-chunk docs
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_batch_assembly_bucket_bounds_and_single_exchange(spark):
+    """Batching contract: every batch holds only lengths from its bucket
+    ((bucket-1)*8 < len <= bucket*8 ⇒ sum/max bounds), batches are full
+    (16) except at most one ragged tail per (bucket, subbucket), and the
+    whole job pays exactly ONE hash Exchange (the skew-proofed
+    (bucket, subbucket) window; the aggregation reuses it)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["batch_assembly"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    ragged = {}
+    for r in rows:
+        lo, hi = (r["bucket"] - 1) * 8, r["bucket"] * 8
+        assert lo < r["max_tok"] <= hi, r
+        assert r["sum_tok"] > r["n_items"] * lo, r
+        assert r["sum_tok"] <= r["n_items"] * r["max_tok"], r
+        assert 0.0 <= r["padding_frac"] < 1.0
+        if r["n_items"] < 16:
+            key = (r["bucket"], r["batch_id"] // 10000 % 100)
+            assert key not in ragged, (key, r)
+            ragged[key] = r["batch_id"]
+    p = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert p.count("Exchange hashpartitioning") == 1, p
