@@ -311,36 +311,53 @@ def robots_directives(html: Column) -> Column:
 
 
 TITLE_RE = r"(?i)<title>([^<]*)</title>"
-META_DESC_NAME_FIRST_RE = r'<meta name="description" content="([^"]*)"'
-META_DESC_CONTENT_FIRST_RE = r'<meta content="([^"]*)" name="description"'
-OG_TITLE_RE = r'<meta property="og:title" content="([^"]*)"'
-PUB_TIME_RE = (
-    r'<meta property="article:published_time" '
-    r'content="(\d\d\d\d-\d\d-\d\d)'
+# Attribute NAMES take a ["'] quote class (the known literal can't
+# contain a quote); attribute VALUES need one pattern per quote style —
+# a class would cut a double-quoted value at its first apostrophe, and
+# RE2 has no backrefs to match the opening quote. All case-insensitive:
+# real pages emit <META NAME="Description" ...> and single quotes alike.
+META_DESC_RES = (
+    r'(?i)<meta name=["\']description["\'] content="([^"]*)"',
+    r"(?i)<meta name=[\"']description[\"'] content='([^']*)'",
+    r'(?i)<meta content="([^"]*)" name=["\']description["\']',
+    r"(?i)<meta content='([^']*)' name=[\"']description[\"']",
 )
-HTML_LANG_RE = r'<html lang="([A-Za-z-]*)"'
+OG_TITLE_RES = (
+    r'(?i)<meta property=["\']og:title["\'] content="([^"]*)"',
+    r"(?i)<meta property=[\"']og:title[\"'] content='([^']*)'",
+)
+PUB_TIME_RE = (
+    r'(?i)<meta property=["\']article:published_time["\'] '
+    r'content=["\'](\d\d\d\d-\d\d-\d\d)'
+)
+HTML_LANG_RE = r'(?i)<html lang=["\']([A-Za-z-]*)["\']'
+
+
+def _first_nonempty(html: Column, patterns) -> Column:
+    out = F.regexp_extract(html, patterns[-1], 1)
+    for p in reversed(patterns[:-1]):
+        out = F.coalesce(
+            F.nullif(F.regexp_extract(html, p, 1), F.lit("")), out
+        )
+    return out
 
 
 def page_metadata(html: Column) -> Column:
     """``struct(title, meta_desc, og_title, pub_date, lang_attr)`` from a
     page head — the metadata side of extraction (search indexing,
     dated-corpus assembly, og-card joins) next to the main-content side.
-    Case-insensitive title, BOTH meta-description attribute orders
-    (name-first and content-first — real pages emit either), OpenGraph
-    title, ISO date prefix of article:published_time, and the html lang
-    attribute. Absent fields extract as '' (regexp_extract's no-match
-    value on both engines — same contract as robots_directives). Pure
-    group-1 regex codegen: zero Exchange, Java-regex/RE2 common subset."""
-    desc = F.coalesce(
-        F.nullif(
-            F.regexp_extract(html, META_DESC_NAME_FIRST_RE, 1), F.lit("")
-        ),
-        F.regexp_extract(html, META_DESC_CONTENT_FIRST_RE, 1),
-    )
+    Everything is case-insensitive and accepts single- OR double-quoted
+    attribute values (coalesced per-quote-style patterns), BOTH
+    meta-description attribute orders (name-first and content-first —
+    real pages emit either), OpenGraph title, ISO date prefix of
+    article:published_time, and the html lang attribute. Absent fields
+    extract as '' (regexp_extract's no-match value on both engines —
+    same contract as robots_directives). Pure group-1 regex codegen:
+    zero Exchange, Java-regex/RE2 common subset (no backrefs)."""
     return F.struct(
         F.trim(F.regexp_extract(html, TITLE_RE, 1)).alias("title"),
-        desc.alias("meta_desc"),
-        F.regexp_extract(html, OG_TITLE_RE, 1).alias("og_title"),
+        _first_nonempty(html, META_DESC_RES).alias("meta_desc"),
+        _first_nonempty(html, OG_TITLE_RES).alias("og_title"),
         F.regexp_extract(html, PUB_TIME_RE, 1).alias("pub_date"),
         F.regexp_extract(html, HTML_LANG_RE, 1).alias("lang_attr"),
     )
@@ -390,9 +407,8 @@ __all__ = [
     "outlink_hosts",
     "robots_directives",
     "TITLE_RE",
-    "META_DESC_NAME_FIRST_RE",
-    "META_DESC_CONTENT_FIRST_RE",
-    "OG_TITLE_RE",
+    "META_DESC_RES",
+    "OG_TITLE_RES",
     "PUB_TIME_RE",
     "HTML_LANG_RE",
     "page_metadata",

@@ -325,7 +325,11 @@ def semdedup(
     satisfaction still holds for aggregations). Pair count is O(n²/K),
     the paper's own cost model (they size K ~ n/10⁴; ``max_cell`` caps
     pathological cells exactly like ``lsh_ann_pairs``/
-    ``candidate_pairs``). Single-corpus-Exchange shape pinned in
+    ``candidate_pairs`` — but capped-out cells are NOT dropped: their
+    rows skip the pairwise pass and come back ``kept=true``, a recall
+    loss, never a data loss — a dedup verdict that silently deleted an
+    entire hot cell from the corpus would be corruption, not capping).
+    Single-corpus-Exchange shape pinned in
     tests/test_plans.py. Returns (id, cell, c_sim, kept) for the full
     input — the kept flag is the dedup verdict."""
     a = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
@@ -345,14 +349,24 @@ def semdedup(
         # the ONE corpus shuffle; every consumer below reuses it
         .repartition(F.col("cell"))
     )
+    skipped = None
     if max_cell is not None:
-        ok = (
-            withsim.groupBy("cell")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_cell)
-            .select("cell")
+        counts = withsim.groupBy("cell").agg(F.count("*").alias("_n"))
+        skipped = (
+            withsim.join(
+                counts.where(F.col("_n") > max_cell).select("cell"),
+                "cell",
+                "left_semi",
+            )
+            .select(
+                F.col(id_col), "cell", "c_sim", F.lit(True).alias("kept")
+            )
         )
-        withsim = withsim.join(ok, "cell", "left_semi")
+        withsim = withsim.join(
+            counts.where(F.col("_n") <= max_cell).select("cell"),
+            "cell",
+            "left_semi",
+        )
     l = withsim.select(
         F.col("cell"),
         F.col(id_col).alias("_xa"),
@@ -384,7 +398,7 @@ def semdedup(
     )
     # self-pairs (xa == xb, dropping=false) guarantee every surviving row
     # reaches the aggregation, so no join-back is needed for the verdict
-    return (
+    out = (
         l.join(r, "cell")
         .groupBy(
             F.col("cell"),
@@ -394,6 +408,9 @@ def semdedup(
         .agg((~F.max(dropping)).alias("kept"))
         .select(F.col(id_col), "cell", "c_sim", "kept")
     )
+    if skipped is not None:
+        out = out.unionByName(skipped.select(id_col, "cell", "c_sim", "kept"))
+    return out
 
 
 # --- Product quantization (compressed ANN) ---------------------------------

@@ -266,9 +266,16 @@ def batch_by_length(
     from ..functions.rounding import rnd
 
     return agg.select(
+        # (bucket, subbucket) gets _PACK_BINS_PER_BUCKET batch ids, the
+        # same headroom trick as pack_sequences — a narrower encoding
+        # collides once a subbucket exceeds its digit budget, which at
+        # corpus scale (few buckets × few subbuckets) is guaranteed
         (
-            F.col("_bkt").cast("bigint") * 1_000_000
-            + F.col("_sub") * 10_000
+            (
+                F.col("_bkt").cast("bigint") * n_subbuckets
+                + F.col("_sub")
+            )
+            * _PACK_BINS_PER_BUCKET
             + F.col("_batch")
         ).alias("batch_id"),
         F.col("_bkt").alias("bucket"),

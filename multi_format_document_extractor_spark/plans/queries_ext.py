@@ -1588,6 +1588,10 @@ _SEMDEDUP_SQL = f"""
     SELECT CAST(s.vec_id AS BIGINT) AS vec_id, s.cell, s.c_sim,
            d.vec_id IS NULL AS kept
     FROM capped s LEFT JOIN drops d ON d.vec_id = s.vec_id
+    UNION ALL
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id, s.cell, s.c_sim,
+           TRUE AS kept
+    FROM sim s WHERE s.cell NOT IN (SELECT cell FROM okc)
 """
 
 

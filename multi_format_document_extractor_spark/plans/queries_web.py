@@ -2207,15 +2207,12 @@ def _bloom_pos_sql(salt: str, url: str) -> str:
 
 
 def _bloom_pos_col(salt, url):
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(salt.cast("string"), F.lit("|"), url)), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _BLOOM_M
+    # one portable-hash recipe in the codebase: reuse hash_bucket (the
+    # salted key is already a string, so the cast inside is a no-op)
+    from ..operators.training import hash_bucket
+
+    return hash_bucket(
+        F.concat(salt.cast("string"), F.lit("|"), url), _BLOOM_M
     )
 
 
@@ -3304,12 +3301,15 @@ _META_PAGE_SQL = """
              || (CASE CAST(doc_id % 3 AS INT)
                       WHEN 0 THEN '<meta name="description" content="summary '
                         || CAST(doc_id AS VARCHAR) || '">'
-                      WHEN 1 THEN '<meta content="summary '
-                        || CAST(doc_id AS VARCHAR) || '" name="description">'
+                      WHEN 1 THEN '<META content=''summary '
+                        || CAST(doc_id AS VARCHAR) || ''' name=''description''>'
                       ELSE '' END)
-             || (CASE WHEN doc_id % 4 < 2 THEN
+             || (CASE WHEN doc_id % 4 = 0 THEN
                         '<meta property="og:title" content="OG Doc '
                           || CAST(doc_id AS VARCHAR) || '">'
+                      WHEN doc_id % 4 = 1 THEN
+                        '<META PROPERTY="og:title" content=''OG Doc '
+                          || CAST(doc_id AS VARCHAR) || '''>'
                       ELSE '' END)
              || (CASE WHEN doc_id % 2 = 0 THEN
                         '<meta property="article:published_time" content="2026-07-'
@@ -3347,21 +3347,32 @@ def _metadata_page_html():
         .when(
             F.col("doc_id") % 3 == 1,
             F.concat(
-                F.lit('<meta content="summary '),
+                F.lit("<META content='summary "),
                 did,
-                F.lit('" name="description">'),
+                F.lit("' name='description'>"),
             ),
         )
         .otherwise(F.lit(""))
     )
-    og_html = F.when(
-        F.col("doc_id") % 4 < 2,
-        F.concat(
-            F.lit('<meta property="og:title" content="OG Doc '),
-            did,
-            F.lit('">'),
-        ),
-    ).otherwise(F.lit(""))
+    og_html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG Doc '),
+                did,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<META PROPERTY="og:title" content=\'OG Doc '),
+                did,
+                F.lit("'>"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
     pub_html = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(
@@ -3391,15 +3402,29 @@ def _metadata_page_html():
                AS title,
              coalesce(
                nullif(regexp_extract(html,
-                 '<meta name="description" content="([^"]*)"', 1), ''),
+                 '(?i)<meta name=["'']description["''] content="([^"]*)"',
+                 1), ''),
+               nullif(regexp_extract(html,
+                 '(?i)<meta name=["'']description["''] content=''([^'']*)''',
+                 1), ''),
+               nullif(regexp_extract(html,
+                 '(?i)<meta content="([^"]*)" name=["'']description["'']',
+                 1), ''),
                regexp_extract(html,
-                 '<meta content="([^"]*)" name="description"', 1)) AS meta_desc,
+                 '(?i)<meta content=''([^'']*)'' name=["'']description["'']',
+                 1)) AS meta_desc,
+             coalesce(
+               nullif(regexp_extract(html,
+                 '(?i)<meta property=["'']og:title["''] content="([^"]*)"',
+                 1), ''),
+               regexp_extract(html,
+                 '(?i)<meta property=["'']og:title["''] content=''([^'']*)''',
+                 1)) AS og_title,
              regexp_extract(html,
-               '<meta property="og:title" content="([^"]*)"', 1) AS og_title,
-             regexp_extract(html,
-               '<meta property="article:published_time" content="(\\d\\d\\d\\d-\\d\\d-\\d\\d)',
+               '(?i)<meta property=["'']article:published_time["''] content=["''](\\d\\d\\d\\d-\\d\\d-\\d\\d)',
                1) AS pub_date,
-             regexp_extract(html, '<html lang="([A-Za-z-]*)"', 1) AS lang_attr
+             regexp_extract(html,
+               '(?i)<html lang=["'']([A-Za-z-]*)["'']', 1) AS lang_attr
       FROM t
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3418,8 +3443,9 @@ def page_metadata(spark, sf_dir):
     attribute, plus an n_fields completeness count (the metadata-quality
     signal dated-corpus assembly filters on). Heads are synthesized
     deterministically from doc_id × the table's lang column covering
-    every presence/absence/case/attribute-order combination — including
-    uppercase <TITLE> (exercises (?i)) and padded whitespace (exercises
+    every presence/absence/case/attribute-order/quote-style combination —
+    including uppercase <TITLE>/<META PROPERTY> (exercises (?i)),
+    single-quoted attribute values, and padded whitespace (exercises
     trim). Zero Exchange: scan → project, five group-1 regex extracts,
     all codegen — same shape as robots_gate."""
     t = _t(spark, sf_dir, "documents").select(
@@ -3467,7 +3493,7 @@ def page_metadata(spark, sf_dir):
                / 16.0) AS INT) AS batch
       FROM sub
     )
-    SELECT CAST(bkt AS BIGINT) * 1000000 + sb * 10000 + batch AS batch_id,
+    SELECT (CAST(bkt AS BIGINT) * 8 + sb) * 1000000000 + batch AS batch_id,
            bkt AS bucket,
            CAST(count(*) AS INT) AS n_items,
            CAST(max(n_tok) AS INT) AS max_tok,

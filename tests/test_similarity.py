@@ -247,3 +247,35 @@ def test_semdedup_keeps_exactly_one_of_each_same_cell_pair(spark):
     dropped = [v for v, r in by_id.items() if not r["kept"]]
     assert any(v < 1000000 for v in dropped), dropped
     assert any(v >= 1000000 for v in dropped), dropped
+
+
+def test_semdedup_capped_cell_passes_through_kept(spark):
+    """max_cell is a recall cap, not a row filter: a cell over the cap
+    must skip the pairwise pass and return ALL its rows kept=true (an
+    over-cap verdict that deleted the cell would corrupt the corpus
+    downstream of a kept-filter). Two cells: cell 0 holds 3 near-
+    identical vectors (over a max_cell of 2 — passes through undeduped),
+    cell 1 holds 2 near-identical vectors (under the cap — dedups to
+    one kept)."""
+    base0 = [1.0] + [0.0] * 63
+    base1 = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        (1, base0),
+        (2, [0.999] + [0.001] * 63),
+        (3, [0.998, 0.002] + [0.0] * 62),
+        (10, base1),
+        (11, [0.002, 0.999] + [0.001] * 62),
+    ]
+    cents = spark.createDataFrame(
+        [(0, base0), (1, base1)], "cell int, cv array<double>"
+    )
+    out = similarity.semdedup(
+        _vecs(spark, rows), cents, threshold=0.9, max_cell=2
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3, 10, 11}, sorted(by_id)
+    assert all(by_id[v]["kept"] for v in (1, 2, 3)), [
+        (v, by_id[v]["kept"]) for v in (1, 2, 3)
+    ]
+    kept_small = [v for v in (10, 11) if by_id[v]["kept"]]
+    assert len(kept_small) == 1, kept_small

@@ -241,7 +241,7 @@ def test_batch_assembly_bucket_bounds_and_single_exchange(spark):
         assert r["sum_tok"] <= r["n_items"] * r["max_tok"], r
         assert 0.0 <= r["padding_frac"] < 1.0
         if r["n_items"] < 16:
-            key = (r["bucket"], r["batch_id"] // 10000 % 100)
+            key = (r["bucket"], (r["batch_id"] // 1_000_000_000) % 8)
             assert key not in ragged, (key, r)
             ragged[key] = r["batch_id"]
     p = (

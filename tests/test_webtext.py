@@ -621,6 +621,25 @@ def test_page_metadata_crafted_heads(spark):
     )
     assert r2["meta_desc"] == "normal order"
     assert r2["lang_attr"] == "" and r2["pub_date"] == ""
+    # real-page variance: uppercase tags, single-quoted values, and an
+    # apostrophe INSIDE a double-quoted value (a quote class would cut it)
+    r3 = _one_meta(
+        spark,
+        "<HTML LANG='en-GB'><head>"
+        '<META NAME="Description" CONTENT="it\'s fine">'
+        "<meta property='og:title' content='Single Quoted'></head>",
+        m,
+    )
+    assert r3["lang_attr"] == "en-GB"
+    assert r3["og_title"] == "Single Quoted"
+    # (?i) covers attribute-NAME case too, so NAME=/CONTENT= still hit
+    assert r3["meta_desc"] == "it's fine"
+    r4 = _one_meta(
+        spark,
+        '<head><meta name=\'description\' content="it\'s fine"></head>',
+        m,
+    )
+    assert r4["meta_desc"] == "it's fine"
     df = entry_mod.queries()["page_metadata"](spark, SF_DIR)
     assert "Exchange" not in plan(df)
 
