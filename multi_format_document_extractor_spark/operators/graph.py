@@ -80,11 +80,14 @@ def host_pagerank(
     base = (1.0 - damping) / float(n)
     ranks = hosts.select("host", (F.lit(1.0) / float(n)).alias("rank"))
     for _ in range(n_iter):
+        # no broadcast hint on the |hosts|-sized rank/out-weight tables:
+        # at 10^8+ hosts a forced broadcast is a multi-GB ship per
+        # iteration (the drop_near_dups class) — AQE picks a broadcast
+        # only when the runtime size is genuinely small, else a plain
+        # shuffle join on _src co-locates all three per-host tables
         contrib = (
-            e.join(
-                F.broadcast(ranks.withColumnRenamed("host", "_src")), "_src"
-            )
-            .join(F.broadcast(ow), "_src")
+            e.join(ranks.withColumnRenamed("host", "_src"), "_src")
+            .join(ow, "_src")
             .select(
                 F.col("_dst").alias("host"),
                 _q20(
