@@ -378,6 +378,114 @@ def gopher_keep(
     )
 
 
+# --- HTML table extraction (the web analog of the reference's XLSX/DOCX
+# table parse — src/parsers/excel_parser.py sheets, word_parser.py embedded
+# tables — over the format web pages actually carry) ----------------------
+
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+TD_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+TAG_STRIP_RE = r"<[^>]+>"
+
+
+def table_bodies(html: Column) -> Column:
+    """``array<string>`` of <table> inner bodies, document order.
+    Dot-all + case-insensitive: real tables span lines and mix case."""
+    return F.regexp_extract_all(html, F.lit(TABLE_RE), 1)
+
+
+def table_rows(body: Column) -> Column:
+    """``array<string>`` of <tr> inner bodies within one table body."""
+    return F.regexp_extract_all(body, F.lit(TR_RE), 1)
+
+
+def row_cells(row: Column) -> Column:
+    """Cleaned cell texts of one <tr> body: every <td>/<th> inner text,
+    inline markup stripped, trimmed. Nested single tags (<b>, <span>)
+    strip correctly; nested TABLES are out of scope (RE2 cannot balance
+    — the lockstep DuckDB oracle shares the exact same boundary)."""
+    return F.transform(
+        F.regexp_extract_all(row, F.lit(TD_RE), 1),
+        lambda c: F.trim(F.regexp_replace(c, TAG_STRIP_RE, "")),
+    )
+
+
+# --- RSS / Atom feed parsing (frontier discovery channel #3, next to the
+# outlink graph and sitemap.xml) ------------------------------------------
+
+RSS_ITEM_RE = r"(?is)<item>(.*?)</item>"
+ATOM_ENTRY_RE = r"(?is)<entry>(.*?)</entry>"
+RSS_LINK_RE = r"(?i)<link>([^<]+)</link>"
+ATOM_LINK_RE = r'(?i)<link href="([^"]+)"'
+RSS_DATE_RE = r"(?i)<pubDate>(\d\d\d\d-\d\d-\d\d)"
+ATOM_DATE_RE = r"(?i)<updated>(\d\d\d\d-\d\d-\d\d)"
+
+
+def feed_entries(xml: Column) -> Column:
+    """``array<string>`` of feed entry bodies — RSS <item> and Atom
+    <entry> concatenated (a feed is one or the other; parsing both
+    unconditionally lets one scan handle a mixed landing zone)."""
+    return F.concat(
+        F.regexp_extract_all(xml, F.lit(RSS_ITEM_RE), 1),
+        F.regexp_extract_all(xml, F.lit(ATOM_ENTRY_RE), 1),
+    )
+
+
+def feed_link(entry: Column) -> Column:
+    """Entry link: RSS ``<link>url</link>`` else Atom
+    ``<link href="url"/>`` (first non-empty wins)."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(entry, RSS_LINK_RE, 1), F.lit("")),
+        F.regexp_extract(entry, ATOM_LINK_RE, 1),
+    )
+
+
+def feed_date(entry: Column) -> Column:
+    """ISO date prefix of RSS pubDate / Atom updated, '' when absent
+    (same absent-contract as page_metadata)."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(entry, RSS_DATE_RE, 1), F.lit("")),
+        F.regexp_extract(entry, ATOM_DATE_RE, 1),
+    )
+
+
+# --- Readability (Flesch reading ease on rational counts) ----------------
+
+SENTENCE_RE = r"[.!?]+"
+SYLLABLE_RE = r"[aeiouyAEIOUY]+"
+
+
+def readability_counts(text: Column, wordarr: Column) -> Column:
+    """``struct(n_words, n_sentences, n_syllables)`` — the integer counts
+    under Flesch reading ease. Syllables use the standard vowel-group
+    proxy (each maximal [aeiouy]+ run ≈ one syllable); sentences are
+    terminal-punctuation runs, floored at 1 so fragments still score.
+    Pure regexp_count codegen."""
+    return F.struct(
+        F.size(wordarr).cast("int").alias("n_words"),
+        F.greatest(
+            F.regexp_count(text, F.lit(SENTENCE_RE)), F.lit(1)
+        ).cast("int").alias("n_sentences"),
+        F.regexp_count(text, F.lit(SYLLABLE_RE)).cast("int").alias(
+            "n_syllables"
+        ),
+    )
+
+
+def flesch_ease(counts: Column) -> Column:
+    """206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Engine-exact under the rounding contract: each term is one IEEE
+    divide + multiply on identical integer-derived operands (the
+    gopher-ratio determinism class), summed in fixed order. Callers
+    guard n_words ≥ 1 (empty docs carry no readability)."""
+    w = counts["n_words"].cast("double")
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / counts["n_sentences"].cast("double"))
+        - F.lit(84.6) * (counts["n_syllables"].cast("double") / w)
+    )
+
+
 __all__ = [
     "EMAIL_RE",
     "IPV4_RE",

@@ -3528,3 +3528,541 @@ def batch_assembly(spark, sf_dir):
         bucket_width=8,
         n_subbuckets=8,
     )
+
+
+# =========================================================================
+# HTML table extraction (the web analog of the reference's XLSX/DOCX table
+# parse — src/parsers/excel_parser.py:31-84 sheet rows,
+# src/parsers/word_parser.py embedded tables — over the markup web pages
+# actually carry)
+# =========================================================================
+
+_TABLES_HTML_SQL = """
+      SELECT doc_id,
+             '<p>before</p><TABLE class="d"><tr><th>Name</th>'
+               || '<th><b>Qty</b></th><th>Price</th></tr><tr><td>item '
+               || CAST(doc_id AS VARCHAR) || '</td><td>'
+               || CAST(doc_id % 7 AS VARCHAR) || '</td><td>'
+               || CAST(doc_id % 100 AS VARCHAR) || '.50</td></tr><tr>'
+               || '<td>item ' || CAST(doc_id + 1 AS VARCHAR)
+               || '</td><td>' || CAST((doc_id + 1) % 7 AS VARCHAR)
+               || '</td><td><span>' || CAST((doc_id + 1) % 100 AS VARCHAR)
+               || '.25</span></td></tr></TABLE>'
+               || (CASE WHEN doc_id % 5 = 0 THEN
+                     '<table><tr><td> pad </td><td></td></tr></table>'
+                   ELSE '' END)
+               || '<p>after</p>' AS html
+      FROM documents
+"""
+
+
+def _tables_html_col():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<p>before</p><TABLE class="d"><tr><th>Name</th>'),
+        F.lit("<th><b>Qty</b></th><th>Price</th></tr><tr><td>item "),
+        did,
+        F.lit("</td><td>"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td><td>"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(".50</td></tr><tr>"),
+        F.lit("<td>item "),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("</td><td>"),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit("</td><td><span>"),
+        ((F.col("doc_id") + 1) % 100).cast("string"),
+        F.lit(".25</span></td></tr></TABLE>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("<table><tr><td> pad </td><td></td></tr></table>"),
+        ).otherwise(F.lit("")),
+        F.lit("<p>after</p>"),
+    )
+
+
+@q(
+    "html_tables",
+    f"""
+    WITH h AS ({_TABLES_HTML_SQL}),
+    tabs AS (
+      SELECT doc_id,
+             unnest(generate_series(1,
+               len(regexp_extract_all(html, '{W.TABLE_RE}', 1))))
+               AS table_idx,
+             unnest(regexp_extract_all(html, '{W.TABLE_RE}', 1)) AS body
+      FROM h
+    ), trs AS (
+      SELECT doc_id, table_idx,
+             unnest(generate_series(1,
+               len(regexp_extract_all(body, '{W.TR_RE}', 1)))) AS row_idx,
+             unnest(regexp_extract_all(body, '{W.TR_RE}', 1)) AS tr
+      FROM tabs
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(table_idx AS INT) AS table_idx,
+           CAST(row_idx AS INT) AS row_idx,
+           regexp_matches(tr, '(?is)<th') AS is_header,
+           CAST(len(regexp_extract_all(tr, '{W.TD_RE}', 1)) AS INT)
+             AS n_cells,
+           array_to_string(list_transform(
+             regexp_extract_all(tr, '{W.TD_RE}', 1),
+             x -> trim(regexp_replace(x, '{W.TAG_STRIP_RE}', '', 'g'))),
+             ' | ') AS cells
+    FROM trs
+    """,
+)
+def html_tables(spark, sf_dir):
+    """HTML ``<table>`` extraction into typed (doc, table, row, cells)
+    records — the web-markup analog of the reference's XLSX sheet-row and
+    DOCX embedded-table parse (src/parsers/excel_parser.py:31-84,
+    src/parsers/word_parser.py:58-87), done declaratively: table bodies
+    → rows → cleaned cell arrays via dot-all case-insensitive
+    ``regexp_extract_all`` + posexplode, inline markup stripped per cell
+    (``functions/webtext.table_bodies/table_rows/row_cells``). Header
+    rows flagged by ``<th>`` presence; ragged rows surface as differing
+    ``n_cells`` (the ragged_kv_scan class, discovered not assumed).
+    Nested single tags strip correctly; nested TABLES are out of scope
+    (RE2 has no balanced matching — oracle shares the exact boundary).
+    The synthetic markup exercises uppercase tags, attribute-bearing
+    ``<table class>``, inline ``<b>``/``<span>``, an empty cell, and
+    untrimmed whitespace. Scale shape: scan → project → two narrow
+    generates — ZERO Exchange; at 10^12 docs this is embarrassingly
+    parallel and the output is join-ready for the multisheet_join
+    consolidation path."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    h = d.select("doc_id", _tables_html_col().alias("html"))
+    tabs = h.select(
+        "doc_id",
+        F.posexplode(W.table_bodies(F.col("html"))).alias("_ti", "body"),
+    )
+    trs = tabs.select(
+        "doc_id",
+        (F.col("_ti") + 1).cast("int").alias("table_idx"),
+        F.posexplode(W.table_rows(F.col("body"))).alias("_ri", "tr"),
+    )
+    return trs.select(
+        "doc_id",
+        "table_idx",
+        (F.col("_ri") + 1).cast("int").alias("row_idx"),
+        F.col("tr").rlike("(?is)<th").alias("is_header"),
+        F.size(
+            F.regexp_extract_all(F.col("tr"), F.lit(W.TD_RE), 1)
+        ).cast("int").alias("n_cells"),
+        F.array_join(W.row_cells(F.col("tr")), " | ").alias("cells"),
+    )
+
+
+# =========================================================================
+# RSS/Atom feed parsing (frontier discovery channel #3, next to the
+# outlink graph and sitemap.xml)
+# =========================================================================
+
+_FEED_XML_SQL = """
+      SELECT doc_id,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               AS host,
+             CASE WHEN doc_id % 2 = 0 THEN
+               '<?xml version="1.0"?><rss><channel><item><title>P'
+               || CAST(doc_id AS VARCHAR)
+               || '</title><link>https://www.host'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/post/'
+               || CAST(doc_id AS VARCHAR)
+               || '?utm_source=feed</link><pubDate>2024-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-01</pubDate></item>'
+               || (CASE WHEN doc_id % 4 = 0 THEN
+                     '<item><link>https://www.host'
+                     || CAST(doc_id % 37 AS VARCHAR)
+                     || '.example.com/alt/' || CAST(doc_id AS VARCHAR)
+                     || '</link></item>'
+                   ELSE '' END)
+               || '</channel></rss>'
+             ELSE
+               '<feed><entry><title>P' || CAST(doc_id AS VARCHAR)
+               || '</title><link href="https://host'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/atom/'
+               || CAST(doc_id AS VARCHAR)
+               || '#s"/><updated>2024-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-02</updated></entry></feed>'
+             END AS xml
+      FROM documents
+"""
+
+
+def _feed_xml_col():
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 37).cast("string")
+    m = (F.col("doc_id") % 9 + 1).cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss><channel><item><title>P'),
+        did,
+        F.lit("</title><link>https://www.host"),
+        k,
+        F.lit(".example.com/post/"),
+        did,
+        F.lit("?utm_source=feed</link><pubDate>2024-0"),
+        m,
+        F.lit("-01</pubDate></item>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<item><link>https://www.host"),
+                k,
+                F.lit(".example.com/alt/"),
+                did,
+                F.lit("</link></item>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>P"),
+        did,
+        F.lit('</title><link href="https://host'),
+        k,
+        F.lit(".example.com/atom/"),
+        did,
+        F.lit('#s"/><updated>2024-0'),
+        m,
+        F.lit("-02</updated></entry></feed>"),
+    )
+    return F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+
+
+@q(
+    "feed_parse",
+    f"""
+    WITH s AS ({_FEED_XML_SQL}),
+    entries AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml, '{W.RSS_ITEM_RE}', 1)
+                    || regexp_extract_all(xml, '{W.ATOM_ENTRY_RE}', 1))
+               AS entry
+      FROM s
+    ), parsed AS (
+      SELECT host,
+             {W.canonical_url_sql(
+                 "coalesce(nullif(regexp_extract(entry,"
+                 f" '{W.RSS_LINK_RE}', 1), ''),"
+                 f" regexp_extract(entry, '{W.ATOM_LINK_RE}', 1))")}
+               AS loc,
+             coalesce(nullif(regexp_extract(entry, '{W.RSS_DATE_RE}', 1),
+                             ''),
+                      regexp_extract(entry, '{W.ATOM_DATE_RE}', 1))
+               AS pub,
+             CASE WHEN nullif(regexp_extract(entry, '{W.RSS_LINK_RE}', 1),
+                              '') IS NOT NULL
+                  THEN 'rss' ELSE 'atom' END AS channel
+      FROM entries
+    )
+    SELECT host, loc,
+           CASE WHEN pub = '' THEN NULL ELSE CAST(pub AS DATE) END
+             AS published,
+           channel,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM parsed GROUP BY host, loc, published, channel
+    """,
+)
+def feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing — the third frontier-discovery channel next
+    to the outlink graph and sitemap.xml: per-host feed XML parsed for
+    real (RSS ``<item>`` AND Atom ``<entry>`` bodies in one scan, link
+    from ``<link>url</link>`` or ``<link href>``, date from pubDate /
+    updated) into (host, canonical loc, published, channel) rows.
+    Discovered urls run through the SAME canonicalization as crawled and
+    sitemap urls (utm params and fragments stripped), so all three
+    frontiers join on one key; entries without a date surface as NULL —
+    the freshness signal crawl_schedule's staleness term consumes.
+    Scale shape: pure regexp codegen per feed + ONE aggregation on the
+    (host, loc) key; feeds are host-count-sized, tiny next to the
+    corpus — same class as sitemap_parse."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    s = d.select(
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        _feed_xml_col().alias("xml"),
+    )
+    entries = s.select(
+        "host", F.explode(W.feed_entries(F.col("xml"))).alias("entry")
+    )
+    parsed = entries.select(
+        "host",
+        W.canonical_url(W.feed_link(F.col("entry"))).alias("loc"),
+        W.feed_date(F.col("entry")).alias("pub"),
+        F.when(
+            F.nullif(
+                F.regexp_extract(F.col("entry"), W.RSS_LINK_RE, 1),
+                F.lit(""),
+            ).isNotNull(),
+            F.lit("rss"),
+        ).otherwise(F.lit("atom")).alias("channel"),
+    )
+    return (
+        parsed.select(
+            "host",
+            "loc",
+            F.when(F.col("pub") == "", F.lit(None))
+            .otherwise(F.col("pub"))
+            .cast("date")
+            .alias("published"),
+            "channel",
+        )
+        .groupBy("host", "loc", "published", "channel")
+        .agg(F.count("*").cast("bigint").alias("n_listed"))
+    )
+
+
+# =========================================================================
+# Inverted index (capped posting lists — the serving-side search artifact)
+# =========================================================================
+
+
+@q(
+    "inverted_index",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS token FROM d
+    ), td AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY token, doc_id
+    ), rk AS (
+      SELECT token, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY token
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM td
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           string_agg(CASE WHEN rk <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY rk) AS postings
+    FROM rk GROUP BY token
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted index build — per-token document frequency, total term
+    frequency, and a CAPPED posting list (8 md5-ranked doc ids, the
+    deterministic sample a search/serving layer stores next to exact
+    df/tf stats). df and tf_total aggregate over ALL (token, doc) rows;
+    only the posting SAMPLE is capped — the anchor_texts bounded-agg
+    rule (an uncapped collect_list on a stopword token is an OOM).
+
+    Scale shape, three linear Exchanges over (token, doc)-grain rows
+    (~tens of bytes each after the first partial agg): (1) tf agg on
+    (token, doc) — map-side combined; (2) the rank window on (token,
+    md5-subbucket-of-doc) so a stopword's posting set splits across 16
+    tasks instead of sorting corpus-cardinality rows in one (the
+    token_budget_sample lesson; scale n_sub to the cluster); (3) final
+    agg on token — partial aggregation bounds every map task's state to
+    one scalar row + ≤8·16 candidate structs per token, so stopword skew
+    collapses map-side. Global-exactness of the cap under subbucketing:
+    every global top-8 row is top-8 within its subbucket, so sorting the
+    ≤128 survivors and slicing 8 reproduces the single-window answer —
+    the oracle computes the unpartitioned window directly."""
+    from pyspark.sql import Window as _Win
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            W.words_of(F.col("text")).alias("w"),
+        )
+    )
+    tok = d.select("doc_id", F.explode("w").alias("token"))
+    td = tok.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    td = td.withColumn(
+        "m", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("_sub", F.pmod(F.col("doc_id"), F.lit(16)))
+    w = _Win.partitionBy("token", "_sub").orderBy("m", "doc_id")
+    rk = td.withColumn("rk", F.row_number().over(w))
+    return rk.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= 8,
+                                F.struct(F.col("m"), F.col("doc_id")),
+                            )
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                lambda x: x["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# =========================================================================
+# Readability (Flesch reading ease on rational counts)
+# =========================================================================
+
+
+@q(
+    "readability",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text,
+               '{W.SENTENCE_RE}')), 1) AS INT) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '{W.SYLLABLE_RE}')) AS INT)
+               AS n_syllables
+      FROM d
+    ), s AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               AS flesch
+      FROM c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_sentences,
+           n_syllables, flesch,
+           CASE WHEN flesch >= 60 THEN 'easy'
+                WHEN flesch >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM s
+    """,
+)
+def readability(spark, sf_dir):
+    """Flesch reading ease as a corpus quality signal (the classic
+    textbook-difficulty score education/content filters still use) on
+    fully rational counts: words (whitespace tokens), sentences
+    (terminal-punctuation runs, floored at 1), syllables (maximal vowel
+    groups — the standard proxy; no dictionary). 206.835 − 1.015·(W/S)
+    − 84.6·(Syl/W), engine-exact because each term is a single IEEE
+    divide/multiply on identical integer-derived operands summed in
+    fixed order (the gopher-ratio class), under the floor rounding
+    contract. Banding (easy ≥60 / medium ≥30 / hard) happens on the
+    ROUNDED value so thresholds can't straddle representation noise.
+    Scale shape: scan → project, zero Exchange — pure regexp_count
+    codegen next to quality_score/gopher_quality in the per-document
+    gate family."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    c = d.select(
+        "doc_id",
+        W.readability_counts(
+            F.col("text"), W.words_of(F.col("text"))
+        ).alias("rc"),
+    )
+    s = c.select(
+        "doc_id",
+        F.col("rc")["n_words"].alias("n_words"),
+        F.col("rc")["n_sentences"].alias("n_sentences"),
+        F.col("rc")["n_syllables"].alias("n_syllables"),
+        rnd(W.flesch_ease(F.col("rc")), 4).alias("flesch"),
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch",
+        F.when(F.col("flesch") >= 60, F.lit("easy"))
+        .when(F.col("flesch") >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )
+
+
+# =========================================================================
+# As-of (point-in-time) join — a temporal operator Spark lacks natively
+# =========================================================================
+
+
+@q(
+    "asof_state",
+    """
+    WITH s AS (
+      SELECT user_id, ts, max(value) AS state_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           p.value,
+           s.state_value,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS state_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_state(spark, sf_dir):
+    """Point-in-time lookup: every purchase event joined to the latest
+    signup state at-or-before its timestamp, per user
+    (``operators/joins.asof_join`` — the union-window encoding of an
+    operator Spark has no native node for; DuckDB's native ASOF JOIN is
+    the oracle, so the tie-inclusive ``>=`` semantics are pinned
+    cross-engine). Purchases before any signup surface with NULL state.
+    Scale shape: no join node at all — ONE hash Exchange on the user
+    key over the slim tagged union, then a single running-last window;
+    the naive range-join encoding is BroadcastNestedLoop and never
+    finishes at corpus scale (plan-pinned: no SortMergeJoin, no
+    nested-loop, exactly one Exchange)."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    states = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"), F.col("ts")
+        )
+        .agg(F.max("value").alias("state_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    out = asof_join(
+        purchases,
+        states,
+        ts_col="ts",
+        by_cols=("user_id",),
+        value_cols=("state_value",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "state_value",
+        F.date_format(F.col("state_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "state_ts"
+        ),
+    )

@@ -336,3 +336,32 @@ def test_semdedup_single_corpus_shuffle_no_id_exchange(spark):
     assert "isFinalPlan=true" in p, p[:200]
     assert "ReusedExchange" in p, p
     assert "hashpartitioning(vec_id" not in p, p
+
+
+def test_html_tables_and_readability_are_stageless(spark):
+    """Both are scan→project(+Generate) codegen pipelines — an Exchange
+    or Python stage means the extraction got a shuffle it never needs."""
+    for name in ("html_tables", "readability"):
+        p = plan(entry_mod.queries()[name](spark, SF_DIR))
+        assert "Exchange" not in p, (name, p)
+        assert "Python" not in p and "MapInPandas" not in p, (name, p)
+
+
+def test_feed_parse_single_aggregation_exchange(spark):
+    """Feed parsing shuffles once: the (host, loc, published, channel)
+    aggregation; the parse itself is codegen."""
+    p = plan(entry_mod.queries()["feed_parse"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_inverted_index_skew_split_window_and_bounded_aggs(spark):
+    """The posting-rank window must partition on (token, _sub) — a
+    token-only window puts a stopword's whole posting set in one task —
+    and nothing may collapse to a single partition."""
+    import re
+
+    p = plan(entry_mod.queries()["inverted_index"](spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(token#\d+, _sub#\d+", p), p
+    assert "SinglePartition" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
