@@ -4066,3 +4066,4 @@ def asof_state(spark, sf_dir):
             "state_ts"
         ),
     )
+

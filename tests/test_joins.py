@@ -1,0 +1,61 @@
+"""As-of join semantics (operators/joins.py): tie-inclusiveness, NULL
+before first state, latest-state selection, and the no-join-node plan
+shape. The cross-engine value check (vs DuckDB's native ASOF JOIN) lives
+in tests/test_queries_oracle.py[asof_state]."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import __spark_entry__ as entry_mod
+from multi_format_document_extractor_spark.operators.joins import asof_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_crafted_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01T09:00:00"), 10.0),  # before any state
+            (2, 7, _ts("2024-01-01T10:00:00"), 20.0),  # tie with state A
+            (3, 7, _ts("2024-01-01T11:30:00"), 30.0),  # between A and B
+            (4, 7, _ts("2024-01-01T12:00:05"), 40.0),  # after B
+            (5, 8, _ts("2024-01-01T10:30:00"), 50.0),  # other key
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    states = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01T10:00:00"), 100.0),  # A
+            (7, _ts("2024-01-01T12:00:00"), 200.0),  # B
+            (8, _ts("2024-01-01T10:00:00"), 300.0),
+        ],
+        "user_id bigint, ts timestamp, state_value double",
+    )
+    out = asof_join(events, states).collect()
+    got = {r["event_id"]: (r["state_value"], r["state_ts"]) for r in out}
+    assert got[1] == (None, None)  # no state yet
+    # inclusive tie: a state stamped exactly at the event time applies
+    assert got[2] == (100.0, _ts("2024-01-01T10:00:00"))
+    assert got[3] == (100.0, _ts("2024-01-01T10:00:00"))
+    assert got[4] == (200.0, _ts("2024-01-01T12:00:00"))  # latest wins
+    assert got[5] == (300.0, _ts("2024-01-01T10:00:00"))  # per-key carry
+    # all left rows and columns survive
+    assert len(out) == 5 and out[0]["value"] is not None
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The union-window encoding must produce NO join operator and
+    exactly ONE hash Exchange on the key — a range-join fallback
+    (BroadcastNestedLoop) here would be the 100TB scale-killer."""
+    df = entry_mod.queries()["asof_state"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+    # one Exchange for the states pre-agg, one for the union window
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Window" in p, p
