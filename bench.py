@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "training_corpus",     # quality gate → dedup keepers → split
     "pack_sequences",      # fixed-token sequence packing
     "neardup_components",  # connected components (iterative)
+    "inverted_index",      # capped posting lists (skew-split window)
+    "asof_state",          # as-of join (union-window, no join node)
 ]
 
 

@@ -4067,3 +4067,190 @@ def asof_state(spark, sf_dir):
         ),
     )
 
+
+# =========================================================================
+# MinHash-LSH QA harness: precision/recall vs exact Jaccard on a sample
+# ("measure, don't guess" — the recall a banding config actually delivers)
+# =========================================================================
+
+from .queries import _AUG_SQL as _AUG_SQL_I  # noqa: E402
+from .queries import _LSH_MAX_BUCKET as _LSH_CAP_I  # noqa: E402
+from .queries import _WORDS_SQL as _WORDS_SQL_I  # noqa: E402
+
+
+@q(
+    "minhash_pr",
+    _AUG_SQL_I
+    + _WORDS_SQL_I
+    + f"""
+    , bands_s AS (
+      SELECT doc_id, band, band_min FROM bands WHERE mod(doc_id, 5) <= 1
+    ), ok_cells AS (
+      SELECT band, band_min FROM bands_s GROUP BY band, band_min
+      HAVING count(*) > 1 AND count(*) <= {_LSH_CAP_I}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands_s l
+      JOIN ok_cells o ON l.band = o.band AND l.band_min = o.band_min
+      JOIN bands_s r
+        ON l.band = r.band AND l.band_min = r.band_min
+       AND l.doc_id < r.doc_id
+    ), toks AS (
+      SELECT DISTINCT doc_id AS doc, unnest(w) AS tok FROM norm
+      WHERE mod(doc_id, 5) <= 1
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc
+    ), allp AS (
+      SELECT DISTINCT ta.doc AS a, tb.doc AS b
+      FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc < tb.doc
+    ), inter AS (
+      SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter
+      FROM allp p
+      JOIN toks ta ON ta.doc = p.a
+      JOIN toks tb ON tb.doc = p.b AND tb.tok = ta.tok
+      GROUP BY p.a, p.b
+    ), truth AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.a JOIN sizes sb ON sb.doc = i.b
+      WHERE round(i.inter / (1.0 * (sa.n + sb.n - i.inter)), 4) >= 0.8
+    ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    nh AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit
+      FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b
+    )
+    SELECT n_cand, n_true, n_hit,
+           round(n_hit / (1.0 * greatest(n_cand, 1)), 4) AS precision,
+           round(n_hit / (1.0 * greatest(n_true, 1)), 4) AS recall
+    FROM nc, nt, nh
+    """,
+)
+def minhash_pr(spark, sf_dir):
+    """MinHash-LSH quality harness: the banding config's MEASURED
+    precision/recall against exact all-pairs token-set Jaccard ≥ 0.8 on
+    a deterministic 2-of-5 doc sample (the only place all-pairs is
+    affordable — that is the point of a QA harness; production dedup
+    never runs the truth side). Precision = verified fraction of LSH
+    candidates; recall = fraction of true near-dup pairs the 8×4
+    banding surfaced (theory: 1−(1−s⁴)⁸ ≈ 0.985 at s=0.8 — this query
+    is the measurement that backs the number). Composes the SAME
+    minhash_bands / candidate_pairs / jaccard_verify operators the
+    production path uses, so the harness can never drift from what it
+    measures. Scale: sample-bounded by construction; the all-pairs
+    truth side is quadratic ONLY within the sample."""
+    from ..operators import dedup
+    from .queries import _LSH_MAX_BUCKET, _docs_aug
+    from ..functions.textstats import words
+
+    sample = _docs_aug(spark, sf_dir).where(
+        F.pmod(F.col("doc_id"), F.lit(5)) <= 1
+    )
+    bands = dedup.minhash_bands(sample, "text", "doc_id")
+    cand = dedup.candidate_pairs(bands, max_bucket=_LSH_MAX_BUCKET)
+    toks = sample.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(words(F.col("text"))).alias("w"),
+    ).distinct()
+    ta = toks.select(F.col("doc").alias("a"), "w")
+    tb = toks.select(F.col("doc").alias("b"), "w")
+    allp = (
+        ta.join(tb, "w")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    truth = dedup.jaccard_verify(
+        allp, sample, "text", "doc_id", 0.8
+    ).select("a", "b")
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    nh = cand.join(truth, ["a", "b"]).agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_cand",
+            "n_true",
+            "n_hit",
+            rnd(
+                F.col("n_hit")
+                / (F.greatest(F.col("n_cand"), F.lit(1)) * 1.0),
+                4,
+            ).alias("precision"),
+            rnd(
+                F.col("n_hit")
+                / (F.greatest(F.col("n_true"), F.lit(1)) * 1.0),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+# =========================================================================
+# Quality-funnel report (pipeline observability over the layered gates)
+# =========================================================================
+
+
+@q(
+    "quality_funnel",
+    f"""
+    WITH g AS ({_ORACLES["gopher_quality"]}),
+    c AS ({_ORACLES["c4_line_filter"]}),
+    b AS ({_ORACLES["badwords_gate"]}),
+    j AS (
+      SELECT g.doc_id, g.keep AS kg, c.keep AS kc, b.kept AS kb
+      FROM g JOIN c ON c.doc_id = g.doc_id JOIN b ON b.doc_id = g.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher,
+           CAST(sum(CASE WHEN kg AND kc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c4,
+           CAST(sum(CASE WHEN kg AND kc AND kb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final,
+           round(sum(CASE WHEN kg AND kc AND kb THEN 1 ELSE 0 END)
+                 / (1.0 * greatest(count(*), 1)), 4) AS survival_rate
+    FROM j
+    """,
+)
+def quality_funnel(spark, sf_dir):
+    """Pipeline observability: the survivor funnel through the layered
+    quality gates (Gopher §A.1.1 → C4 line rules → bad-words page gate)
+    as cumulative counts + the end-to-end survival rate — the ONE table
+    a corpus curator watches per crawl batch (every production pipeline
+    paper reports exactly this: RefinedWeb Fig. 2, Gopher Table A1).
+    Composes the REGISTERED gate queries so the funnel can never drift
+    from the gates it reports on (the crawl_schedule composition rule).
+    Scale shape: each gate is a stageless scan→project, so the funnel is
+    three scans + two doc_id-co-partitioned joins + ONE scalar partial
+    aggregation; in a materialized deployment the three flag columns ride
+    the extraction table and the funnel is a single metadata-only scan."""
+    g = QUERIES["gopher_quality"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kg")
+    )
+    c = QUERIES["c4_line_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kc")
+    )
+    b = QUERIES["badwords_gate"](spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kb")
+    )
+    j = g.join(c, "doc_id").join(b, "doc_id")
+    kall = F.col("kg") & F.col("kc") & F.col("kb")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("kg"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gopher"),
+        F.sum(F.when(F.col("kg") & F.col("kc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c4"),
+        F.sum(F.when(kall, 1).otherwise(0)).cast("bigint").alias("n_final"),
+        rnd(
+            F.sum(F.when(kall, 1).otherwise(0))
+            / (F.greatest(F.count("*"), F.lit(1)) * 1.0),
+            4,
+        ).alias("survival_rate"),
+    )
