@@ -520,5 +520,25 @@ __all__ = [
     "PUB_TIME_RE",
     "HTML_LANG_RE",
     "page_metadata",
+    "TABLE_RE",
+    "TR_RE",
+    "TD_RE",
+    "TAG_STRIP_RE",
+    "table_bodies",
+    "table_rows",
+    "row_cells",
+    "RSS_ITEM_RE",
+    "ATOM_ENTRY_RE",
+    "RSS_LINK_RE",
+    "ATOM_LINK_RE",
+    "RSS_DATE_RE",
+    "ATOM_DATE_RE",
+    "feed_entries",
+    "feed_link",
+    "feed_date",
+    "SENTENCE_RE",
+    "SYLLABLE_RE",
+    "readability_counts",
+    "flesch_ease",
     "rnd",
 ]

@@ -1,0 +1,70 @@
+"""Inverted-index construction (serving-side search artifact).
+
+One public function shared by the registry query (`plans/queries_web.py
+inverted_index`) and its cap-exactness pytest, so the capped-posting
+logic cannot drift between what ships and what is tested (the registry
+composition rule applied to test code).
+
+Scale shape (see PLANS.md §16): three linear Exchanges over slim
+(token, doc)-grain rows — the (token, doc) tf aggregation (map-side
+combined), the posting-rank window on (token, subbucket) so a stopword's
+posting set splits across ``n_sub`` tasks instead of sorting
+corpus-cardinality rows on one, and the final token aggregation whose
+partial aggregation bounds per-map state to one scalar row plus
+≤ cap·n_sub candidate structs per token. df/tf_total stay exact over ALL
+rows; only the posting SAMPLE is capped (the anchor_texts bounded-agg
+rule — an uncapped collect_list on a stopword is an OOM).
+
+Cap exactness under subbucketing: every global top-``cap`` row (by
+(md5(doc), doc)) is top-``cap`` within its own subbucket, so sorting the
+≤ cap·n_sub survivors and slicing ``cap`` reproduces the unpartitioned
+window's answer — the DuckDB oracle computes that single window
+directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_inverted_index(
+    tok: DataFrame, cap: int = 8, n_sub: int = 16
+) -> DataFrame:
+    """(doc_id, token) occurrence rows → one row per token:
+    (token, df, tf_total, postings) with ``postings`` the first ``cap``
+    doc ids in deterministic (md5(doc), doc) order, comma-joined.
+    Scale ``n_sub`` to the cluster (tasks per stopword posting set)."""
+    td = tok.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    td = td.withColumn(
+        "m", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("_sub", F.pmod(F.col("doc_id"), F.lit(n_sub)))
+    w = Window.partitionBy("token", "_sub").orderBy("m", "doc_id")
+    rk = td.withColumn("rk", F.row_number().over(w))
+    return rk.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= cap,
+                                F.struct(F.col("m"), F.col("doc_id")),
+                            )
+                        )
+                    ),
+                    1,
+                    cap,
+                ),
+                lambda x: x["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+__all__ = ["build_inverted_index"]

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 _TAG = "_is_state"
 _STS = "_state_ts"
+_STATE = "_state"
 
 
 def asof_join(
@@ -52,22 +53,34 @@ def asof_join(
     Returns all ``left`` columns plus ``value_cols`` (NULL when no state
     precedes the row) and ``state_ts_col`` (the matched state's
     timestamp, NULL likewise). ``right`` must be unique per
-    (by, ts) — pre-aggregate if it is not."""
+    (by, ts) — pre-aggregate if it is not.
+
+    NULL handling matches ASOF semantics exactly: each state row rides
+    the union as ONE non-null struct of (ts, values), so a state whose
+    VALUE is NULL still wins as the latest state (its NULL value is
+    returned — ``last(ignorenulls)`` per column would instead resurrect
+    an older state's value under the newer state's timestamp, a chimera
+    no single state row contains); states with a NULL timestamp are
+    dropped up front (``l.ts >= NULL`` never matches), and a left row
+    with NULL ts matches nothing (NULLS FIRST puts it before every
+    state)."""
     by = list(by_cols)
     vals = list(value_cols)
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(0).alias(_TAG),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_v_{v}")
-          for v in vals],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(_STS),
+    state_struct = F.struct(
+        F.col(ts_col).alias(_STS),
+        *[F.col(v).alias(v) for v in vals],
     )
-    r_tag = right.select(
+    r_tag = right.where(F.col(ts_col).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(ts_col),
         F.lit(1).alias(_TAG),
-        *[F.col(v).alias(f"_v_{v}") for v in vals],
-        F.col(ts_col).alias(_STS),
+        state_struct.alias(_STATE),
+    )
+    struct_type = r_tag.schema[_STATE].dataType
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(0).alias(_TAG),
+        F.lit(None).cast(struct_type).alias(_STATE),
     )
     # align schemas: left columns absent on the right become NULL
     for c in left.columns:
@@ -86,13 +99,16 @@ def asof_join(
     carried = u.select(
         *[F.col(c) for c in left.columns],
         F.col(_TAG),
-        *[
-            F.last(F.col(f"_v_{v}"), ignorenulls=True).over(w).alias(v)
-            for v in vals
-        ],
-        F.last(F.col(_STS), ignorenulls=True).over(w).alias(state_ts_col),
+        F.last(F.col(_STATE), ignorenulls=True).over(w).alias("_carried"),
     )
-    return carried.where(F.col(_TAG) == 0).drop(_TAG)
+    return (
+        carried.where(F.col(_TAG) == 0)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_carried")[v].alias(v) for v in vals],
+            F.col("_carried")[_STS].alias(state_ts_col),
+        )
+    )
 
 
 __all__ = ["asof_join"]

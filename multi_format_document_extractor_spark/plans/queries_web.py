@@ -3765,7 +3765,8 @@ def _feed_xml_col():
              AS published,
            channel,
            CAST(count(*) AS BIGINT) AS n_listed
-    FROM parsed GROUP BY host, loc, published, channel
+    FROM parsed WHERE loc <> ''
+    GROUP BY host, loc, published, channel
     """,
 )
 def feed_parse(spark, sf_dir):
@@ -3808,7 +3809,12 @@ def feed_parse(spark, sf_dir):
         ).otherwise(F.lit("atom")).alias("channel"),
     )
     return (
-        parsed.select(
+        parsed
+        # entries with no recognizable link parse to loc='' — they must
+        # never enter the frontier (an empty-URL key would poison every
+        # downstream loc join); dropped identically in the oracle
+        .where(F.col("loc") != "")
+        .select(
             "host",
             "loc",
             F.when(F.col("pub") == "", F.lit(None))
@@ -3872,8 +3878,10 @@ def inverted_index(spark, sf_dir):
     collapses map-side. Global-exactness of the cap under subbucketing:
     every global top-8 row is top-8 within its subbucket, so sorting the
     ≤128 survivors and slicing 8 reproduces the single-window answer —
-    the oracle computes the unpartitioned window directly."""
-    from pyspark.sql import Window as _Win
+    the oracle computes the unpartitioned window directly. The build
+    itself lives in ``operators/indexing.build_inverted_index`` — shared
+    with the cap-exactness pytest so the two cannot drift."""
+    from ..operators.indexing import build_inverted_index
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -3884,36 +3892,7 @@ def inverted_index(spark, sf_dir):
         )
     )
     tok = d.select("doc_id", F.explode("w").alias("token"))
-    td = tok.groupBy("token", "doc_id").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
-    td = td.withColumn(
-        "m", F.md5(F.col("doc_id").cast("string"))
-    ).withColumn("_sub", F.pmod(F.col("doc_id"), F.lit(16)))
-    w = _Win.partitionBy("token", "_sub").orderBy("m", "doc_id")
-    rk = td.withColumn("rk", F.row_number().over(w))
-    return rk.groupBy("token").agg(
-        F.count("*").cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("tf_total"),
-        F.array_join(
-            F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rk") <= 8,
-                                F.struct(F.col("m"), F.col("doc_id")),
-                            )
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                lambda x: x["doc_id"].cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
-    )
+    return build_inverted_index(tok, cap=8, n_sub=16)
 
 
 # =========================================================================

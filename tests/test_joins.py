@@ -59,3 +59,48 @@ def test_asof_join_plan_has_no_join_node(spark):
     # one Exchange for the states pre-agg, one for the union window
     assert p.count("Exchange hashpartitioning") <= 2, p
     assert "Window" in p, p
+
+
+def test_asof_join_null_value_state_wins_whole(spark):
+    """A state row whose VALUE is NULL is still the latest state: the
+    event must get (NULL value, that state's ts) — per-column carry
+    would resurrect the OLDER state's value under the NEWER timestamp,
+    a chimera no single state row contains (DuckDB ASOF returns the
+    newer row whole; pinned here after the review fix)."""
+    events = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01T12:00:00"), 1.0)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    states = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01T10:00:00"), 5.0),
+            (7, _ts("2024-01-01T11:00:00"), None),
+        ],
+        "user_id bigint, ts timestamp, state_value double",
+    )
+    r = asof_join(events, states).collect()[0]
+    assert r["state_ts"] == _ts("2024-01-01T11:00:00")
+    assert r["state_value"] is None, r
+
+
+def test_asof_join_null_ts_state_never_matches(spark):
+    """``l.ts >= NULL`` never matches: a NULL-timestamp state must not
+    poison the key's carry chain (it used to sort NULLS FIRST and leak
+    its value into every event before the first real state)."""
+    events = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01T09:00:00"), 1.0),
+            (2, 7, _ts("2024-01-01T11:00:00"), 2.0),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    states = spark.createDataFrame(
+        [(7, None, 99.0), (7, _ts("2024-01-01T10:00:00"), 5.0)],
+        "user_id bigint, ts timestamp, state_value double",
+    )
+    got = {
+        r["event_id"]: (r["state_value"], r["state_ts"])
+        for r in asof_join(events, states).collect()
+    }
+    assert got[1] == (None, None), got  # nothing real precedes it
+    assert got[2] == (5.0, _ts("2024-01-01T10:00:00")), got

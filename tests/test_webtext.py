@@ -743,52 +743,22 @@ def test_readability_counts_and_score(spark):
 def test_inverted_index_cap_binds_and_stats_stay_exact(spark):
     """A token in 30 docs keeps exact df/tf_total but only 8 postings,
     equal to the brute-force global md5-order head (the subbucket
-    superset argument); a rare token keeps every posting."""
+    superset argument); a rare token keeps every posting. Drives the
+    SAME operators/indexing.build_inverted_index the registry query
+    ships (shared code, no copied expression to drift)."""
     import hashlib
+
+    from multi_format_document_extractor_spark.operators.indexing import (
+        build_inverted_index,
+    )
 
     rows = [(i, "common common rare%d" % i if i < 2 else "common") for i in
             range(30)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    from multi_format_document_extractor_spark.plans import queries_web  # noqa: F401
-
-    # reuse the registered query's shape on a local table via a temp dir
-    # is overkill — drive the same expressions directly
-    from pyspark.sql import Window as _Win
-
     tok = df.select(
         "doc_id", F.explode(W.words_of(F.col("text"))).alias("token")
     )
-    td = (
-        tok.groupBy("token", "doc_id")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .withColumn("m", F.md5(F.col("doc_id").cast("string")))
-        .withColumn("_sub", F.pmod(F.col("doc_id"), F.lit(16)))
-    )
-    w = _Win.partitionBy("token", "_sub").orderBy("m", "doc_id")
-    rk = td.withColumn("rk", F.row_number().over(w))
-    out = rk.groupBy("token").agg(
-        F.count("*").cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("tf_total"),
-        F.array_join(
-            F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rk") <= 8,
-                                F.struct(F.col("m"), F.col("doc_id")),
-                            )
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                lambda x: x["doc_id"].cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
-    )
-    got = {r["token"]: r for r in out.collect()}
+    got = {r["token"]: r for r in build_inverted_index(tok).collect()}
     assert got["common"]["df"] == 30
     assert got["common"]["tf_total"] == 2 * 2 + 28 * 1
     want = [
@@ -800,3 +770,25 @@ def test_inverted_index_cap_binds_and_stats_stay_exact(spark):
     ]
     assert got["common"]["postings"].split(",") == want
     assert got["rare0"]["df"] == 1 and got["rare0"]["postings"] == "0"
+
+
+def test_feed_parse_drops_linkless_entries(spark):
+    """An entry with no recognizable link must NOT reach the frontier —
+    an empty canonical loc would poison every downstream loc join."""
+    xml = (
+        "<rss><channel>"
+        "<item><pubDate>2024-05-01</pubDate></item>"
+        "<item><link>https://h.example/ok</link></item>"
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    locs = [
+        r["loc"]
+        for r in df.select(
+            F.explode(W.feed_entries(F.col("xml"))).alias("entry")
+        )
+        .select(W.canonical_url(W.feed_link(F.col("entry"))).alias("loc"))
+        .where(F.col("loc") != "")
+        .collect()
+    ]
+    assert locs == ["h.example/ok"], locs
