@@ -4233,3 +4233,141 @@ def quality_funnel(spark, sf_dir):
             4,
         ).alias("survival_rate"),
     )
+
+
+# =========================================================================
+# Corpus drift monitor + reciprocal-link (link-farm) detection
+# =========================================================================
+
+
+@q(
+    "corpus_drift",
+    """
+    WITH d AS (
+      SELECT CAST(substr(source, 4) AS INT) % 2 AS b,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE n_chars > 0
+    ), tok AS (
+      SELECT b, unnest(w) AS token FROM d
+    ), tc AS (
+      SELECT token,
+             CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_old,
+             CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_new
+      FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+             CAST(sum(c_new) AS BIGINT) AS n_new
+      FROM tc
+    )
+    SELECT token, c_old, c_new,
+           round(c_old / (1.0 * n_old), 6) AS rate_old,
+           round(c_new / (1.0 * n_new), 6) AS rate_new,
+           round(abs(c_old / (1.0 * n_old) - c_new / (1.0 * n_new)), 6)
+             AS drift
+    FROM tc, tot
+    ORDER BY drift DESC, token LIMIT 30
+    """,
+)
+def corpus_drift(spark, sf_dir):
+    """Data-drift monitor between two corpus slices (here: even- vs
+    odd-numbered sources, standing in for last batch vs this batch):
+    the 30 tokens whose unigram RATE moved most, with both counts and
+    rates — the table a pipeline operator actually reads when a crawl
+    batch goes weird (new boilerplate, a spam flood, an encoding bug
+    upstream). Per-token |rate_old − rate_new| stays engine-exact
+    (integer counts, single-op IEEE divisions, floor rounding) — a
+    summed KL/chi-square scalar deliberately does NOT appear because a
+    transcendental-free cross-engine sum would need per-term
+    quantization for nothing the per-token view doesn't already show.
+    Scale shape: ONE token aggregation Exchange (map-side combined),
+    1-row totals broadcast, global top-30 via TakeOrderedAndProject —
+    never a full sort."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            (F.substring(F.col("source"), 4, 10).cast("int") % 2).alias(
+                "b"
+            ),
+            W.words_of(F.col("text")).alias("w"),
+        )
+    )
+    tok = d.select("b", F.explode("w").alias("token"))
+    tc = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_new"),
+    )
+    tot = tc.agg(
+        F.sum("c_old").cast("bigint").alias("n_old"),
+        F.sum("c_new").cast("bigint").alias("n_new"),
+    )
+    ro = F.col("c_old") / (F.col("n_old") * 1.0)
+    rn = F.col("c_new") / (F.col("n_new") * 1.0)
+    return (
+        tc.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c_old",
+            "c_new",
+            rnd(ro, 6).alias("rate_old"),
+            rnd(rn, 6).alias("rate_new"),
+            rnd(F.abs(ro - rn), 6).alias("drift"),
+        )
+        .orderBy(F.col("drift").desc(), F.col("token").asc())
+        .limit(30)
+    )
+
+
+@q(
+    "mutual_links",
+    f"""
+    WITH g AS ({_ORACLES["outlink_graph"]})
+    SELECT a.src_host AS host_a, a.dst_host AS host_b,
+           a.n_links AS a_to_b, b.n_links AS b_to_a,
+           CAST(a.n_links + b.n_links AS BIGINT) AS n_mutual
+    FROM g a
+    JOIN g b ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+    WHERE a.src_host < a.dst_host
+    """,
+)
+def mutual_links(spark, sf_dir):
+    """Reciprocal-link detection — the classic link-farm / link-exchange
+    spam signal (hosts that link each other far more than organic graphs
+    do; PageRank's known blind spot, which is why rankers discount
+    mutual edges): every unordered host pair with edges in BOTH
+    directions, with both per-direction counts. Composes the REGISTERED
+    outlink_graph (the composition rule), so the spam signal and the
+    frontier share one edge table. Scale shape: one self-equi-join of
+    the host graph on the swapped key — the graph is ~10⁶× smaller than
+    the corpus, and the join is AQE-skew-splittable on the host key;
+    `<` halves the output to unordered pairs."""
+    g = QUERIES["outlink_graph"](spark, sf_dir)
+    a = g.select(
+        F.col("src_host").alias("host_a"),
+        F.col("dst_host").alias("host_b"),
+        F.col("n_links").alias("a_to_b"),
+    )
+    b = g.select(
+        F.col("dst_host").alias("host_a"),
+        F.col("src_host").alias("host_b"),
+        F.col("n_links").alias("b_to_a"),
+    )
+    return (
+        a.join(b, ["host_a", "host_b"])
+        .where(F.col("host_a") < F.col("host_b"))
+        .select(
+            "host_a",
+            "host_b",
+            "a_to_b",
+            "b_to_a",
+            (F.col("a_to_b") + F.col("b_to_a"))
+            .cast("bigint")
+            .alias("n_mutual"),
+        )
+    )
