@@ -401,12 +401,20 @@ def table_rows(body: Column) -> Column:
 
 def row_cells(row: Column) -> Column:
     """Cleaned cell texts of one <tr> body: every <td>/<th> inner text,
-    inline markup stripped, trimmed. Nested single tags (<b>, <span>)
-    strip correctly; nested TABLES are out of scope (RE2 cannot balance
-    — the lockstep DuckDB oracle shares the exact same boundary)."""
+    inline markup stripped, whitespace runs collapsed to single spaces
+    (HTML rendering semantics — a newline inside a cell is display
+    whitespace, and engine trim() strips only 0x20, so collapsing first
+    is what makes trim complete), then trimmed. Nested single tags
+    (<b>, <span>) strip correctly; nested TABLES are out of scope (RE2
+    cannot balance — the lockstep DuckDB oracle shares the exact same
+    boundary)."""
     return F.transform(
         F.regexp_extract_all(row, F.lit(TD_RE), 1),
-        lambda c: F.trim(F.regexp_replace(c, TAG_STRIP_RE, "")),
+        lambda c: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, TAG_STRIP_RE, ""), r"\s+", " "
+            )
+        ),
     )
 
 

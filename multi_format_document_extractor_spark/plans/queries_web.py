@@ -3608,7 +3608,9 @@ def _tables_html_col():
              AS n_cells,
            array_to_string(list_transform(
              regexp_extract_all(tr, '{W.TD_RE}', 1),
-             x -> trim(regexp_replace(x, '{W.TAG_STRIP_RE}', '', 'g'))),
+             x -> trim(regexp_replace(
+                    regexp_replace(x, '{W.TAG_STRIP_RE}', '', 'g'),
+                    '\\s+', ' ', 'g'))),
              ' | ') AS cells
     FROM trs
     """,
@@ -4371,3 +4373,4 @@ def mutual_links(spark, sf_dir):
             .alias("n_mutual"),
         )
     )
+

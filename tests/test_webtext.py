@@ -674,7 +674,8 @@ def test_html_table_extraction_crafted(spark):
     got = {(r["ti"], r["ri"]): r for r in rows.collect()}
     assert set(got) == {(0, 0), (0, 1), (1, 0)}, sorted(got)
     assert got[(0, 0)]["is_header"] and not got[(0, 1)]["is_header"]
-    assert got[(0, 0)]["cells"] == ["A", "B\nC"]
+    # whitespace collapses to HTML display semantics: "B\nC" renders "B C"
+    assert got[(0, 0)]["cells"] == ["A", "B C"]
     # inline <b> stripped, whitespace trimmed, empty cell kept: ragged
     # widths (2 vs 3) surface as differing cell counts, never an error
     assert got[(0, 1)]["cells"] == ["bold v", "pad", ""]
@@ -792,3 +793,113 @@ def test_feed_parse_drops_linkless_entries(spark):
         .collect()
     ]
     assert locs == ["h.example/ok"], locs
+
+
+def test_table_roundtrip_on_random_structures(spark):
+    """Seeded-random table structures (0-3 tables × 1-4 rows × 1-5 cells,
+    random tag case, attributes, inline tags, newlines, padding) render
+    to HTML and must parse back to exactly the cleaned cell matrix —
+    one Spark job over all docs (the batch property-test style of
+    test_spark_sniff_agrees_with_oracle_on_random_payloads)."""
+    import random
+    import re as _re
+
+    rng = random.Random(1234)
+    letters = "abcd efgh "
+    docs, want = [], {}
+    for i in range(200):
+        parts, exp = ["<p>head</p>"], []
+        for t in range(rng.randint(0, 3)):
+            tag = rng.choice(["table", "TABLE", "Table"])
+            attr = rng.choice(["", " class='x'", ' id="t1"'])
+            rows_html = []
+            for r in range(rng.randint(1, 4)):
+                cells_html, row_exp = [], []
+                for c in range(rng.randint(1, 5)):
+                    body = "".join(
+                        rng.choice(letters) for _ in range(rng.randint(0, 9))
+                    )
+                    style = rng.choice(["plain", "b", "pad", "nl"])
+                    if style == "b":
+                        inner = f"<b>{body}</b>"
+                    elif style == "pad":
+                        inner = f"  {body}  "
+                    elif style == "nl":
+                        inner = f"{body}\n"
+                    else:
+                        inner = body
+                    ctag = rng.choice(["td", "TD", "th"])
+                    cells_html.append(f"<{ctag}>{inner}</{ctag}>")
+                    row_exp.append(
+                        _re.sub(
+                            r"\s+", " ", _re.sub(r"<[^>]+>", "", inner)
+                        ).strip()
+                    )
+                rows_html.append("<tr>" + "".join(cells_html) + "</tr>")
+                exp.append((t + 1, r + 1, row_exp))
+            parts.append(
+                f"<{tag}{attr}>" + "\n".join(rows_html) + f"</{tag}>"
+            )
+            parts.append("between text")
+        docs.append((i, "".join(parts)))
+        want[i] = exp
+    df = spark.createDataFrame(docs, "doc_id bigint, html string")
+    tabs = df.select(
+        "doc_id",
+        F.posexplode(W.table_bodies(F.col("html"))).alias("ti", "body"),
+    )
+    rows = tabs.select(
+        "doc_id",
+        (F.col("ti") + 1).alias("t"),
+        F.posexplode(W.table_rows(F.col("body"))).alias("ri", "tr"),
+    ).select(
+        "doc_id",
+        "t",
+        (F.col("ri") + 1).alias("r"),
+        W.row_cells(F.col("tr")).alias("cells"),
+    )
+    got = {}
+    for row in rows.collect():
+        got.setdefault(row["doc_id"], []).append(
+            (row["t"], row["r"], list(row["cells"]))
+        )
+    for i, exp in want.items():
+        assert sorted(got.get(i, [])) == sorted(exp), (i, exp, got.get(i))
+
+
+def test_readability_counts_match_python_reference(spark):
+    """Random ASCII text: the three readability counts must equal a
+    pure-Python re implementation of the same patterns (Java-regex /
+    Python-re agreement on these simple classes is the lockstep
+    contract the oracle relies on)."""
+    import random
+    import re as _re
+
+    rng = random.Random(99)
+    alpha = "abcdefgy AEIOU.!? ,;x "
+    docs = []
+    for i in range(300):
+        docs.append(
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 120))))
+        )
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            W.readability_counts(
+                F.col("text"), W.words_of(F.col("text"))
+            ).alias("c"),
+        )
+        .select("doc_id", "c.*")
+        .collect()
+    }
+    for i, text in docs:
+        toks = _re.split(r"\s+", text.strip())
+        assert out[i]["n_words"] == len(toks), (i, text)
+        assert out[i]["n_sentences"] == max(
+            len(_re.findall(r"[.!?]+", text)), 1
+        ), (i, text)
+        assert out[i]["n_syllables"] == len(
+            _re.findall(r"[aeiouyAEIOUY]+", text)
+        ), (i, text)
