@@ -99,3 +99,53 @@ def ece(df: DataFrame, conf_col: str, correct_col: str) -> DataFrame:
             6,
         ).alias("ece")
     )
+
+
+def exact_value_quantiles(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles of an integer-domain column via the
+    value-histogram cumsum — the skew-proof exact alternative to
+    approx_percentile (whose error bound is engine-specific and thus
+    never oracle-checkable). Shape: groupBy (group, value) with map-side
+    combine collapses the corpus to distinct-value rows (bounded by the
+    VALUE DOMAIN, not the corpus), the cumulative window runs over those
+    tiny rows only, and each quantile is the smallest value whose
+    cumulative count reaches ceil(q·n) (type-1 / lower inclusive-rank —
+    deterministic under ties by construction). A naive per-group rank
+    window would sort corpus-cardinality rows on |groups| tasks.
+    Output: (by_col, n_docs, p<q·100>...)."""
+    from pyspark.sql import Window
+
+    h = df.groupBy(by_col, value_col).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy(by_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(by_col)
+    cum = h.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+
+    def pick(q: float):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col(value_col),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{int(round(q * 100))}")
+        )
+
+    return cum.groupBy(by_col).agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        *[pick(q) for q in qs],
+    )

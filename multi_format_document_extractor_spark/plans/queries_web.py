@@ -4374,3 +4374,182 @@ def mutual_links(spark, sf_dir):
         )
     )
 
+
+# =========================================================================
+# Mixed-language detection + exact length quantiles (corpus QA)
+# =========================================================================
+
+from ..functions import textstats as TS  # noqa: E402
+from .queries import _LANG_CODES as _LCODES  # noqa: E402
+from .queries import _marker_count_sql as _mk_sql  # noqa: E402
+
+# doc_chunks' SQL rebased onto an augmented corpus: every 7th doc gets a
+# German tail long enough to own at least one full 24-token chunk, so the
+# mixed=true path carries live rows at every SF (the badwords_gate
+# augmentation rule: both branches of a gate must be exercised).
+_DE_TAIL = " ".join(
+    ["der die das und ist nicht mit ein eine auf"] * 3
+)
+_MIXED_AUG_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_DE_TAIL}'
+                  ELSE text END AS text
+      FROM documents
+"""
+_CHUNK_SQL_I = _CHUNK_SQL.replace(
+    "FROM documents", f"FROM ({_MIXED_AUG_SQL})"
+)
+
+
+def _chunk_lang_case_sql() -> str:
+    hits = ", ".join(
+        f"{_mk_sql(TS.LANG_MARKERS[c])} AS s_{c}" for c in _LCODES
+    )
+    mx = "greatest(" + ", ".join(f"s_{c}" for c in _LCODES) + ")"
+    case = " ".join(
+        f"WHEN s_{c} = mx AND mx > 0 THEN '{c}'" for c in _LCODES
+    )
+    return f"""
+    hits AS (
+      SELECT doc_id, {hits}
+      FROM (SELECT doc_id, chunk_text AS text FROM ch)
+    ), best AS (
+      SELECT doc_id, {", ".join(f"s_{c}" for c in _LCODES)}, {mx} AS mx
+      FROM hits
+    ), cl AS (
+      SELECT doc_id, CASE {case} ELSE 'und' END AS cl FROM best
+    )"""
+
+
+@q(
+    "mixed_lang",
+    f"""
+    WITH ch AS ({_CHUNK_SQL_I}),
+    {_chunk_lang_case_sql()},
+    per AS (
+      SELECT doc_id, cl, CAST(count(*) AS BIGINT) AS cnt
+      FROM cl GROUP BY doc_id, cl
+    ), ranked AS (
+      SELECT doc_id, cl, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, cl) AS rk,
+             sum(cnt) OVER (PARTITION BY doc_id) AS n_chunks,
+             sum(CASE WHEN cl <> 'und' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS n_langs
+      FROM per
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_langs AS INT) AS n_langs,
+           cl AS top_lang,
+           round(cnt / (1.0 * n_chunks), 4) AS top_frac,
+           n_langs >= 2 AS mixed
+    FROM ranked WHERE rk = 1
+    """,
+)
+def mixed_lang(spark, sf_dir):
+    """Mixed-language document detection — the QA signal monolingual
+    filters silently get wrong (a half-en/half-de page passes a
+    doc-level en gate yet poisons an en corpus): per-chunk marker
+    lang-id over the REGISTERED doc_chunks windows, rolled up to
+    (n_langs, dominant lang, dominance fraction, mixed flag) per doc.
+    Uses the SAME chunk_documents operator/params as doc_chunks and the
+    SAME LANG_MARKERS table as lang_id, so chunker and lang rule cannot
+    drift from the registered operators; every 7th doc gets a
+    deterministic German tail so the mixed=true branch has live rows at
+    every SF. Scale shape: chunking is stageless; ONE (doc, lang)
+    aggregation (map-side combined), then a window over the
+    ≤|langs|-rows-per-doc lang-count table — never over chunks."""
+    from pyspark.sql import Window as _Win
+
+    from ..operators import training
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DE_TAIL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    chunks = training.chunk_documents(
+        d, text_col="text", id_col="doc_id", chunk_tokens=24, overlap=8
+    )
+    ch = chunks.select(
+        "doc_id", TS.lang_id(F.col("chunk_text")).alias("cl")
+    )
+    per = ch.groupBy("doc_id", "cl").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wdoc = _Win.partitionBy("doc_id")
+    wrk = _Win.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("cl").asc()
+    )
+    ranked = (
+        per.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("n_chunks", F.sum("cnt").over(wdoc))
+        .withColumn(
+            "n_langs",
+            F.sum(
+                F.when(F.col("cl") != "und", 1).otherwise(0)
+            ).over(wdoc),
+        )
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("cl").alias("top_lang"),
+        rnd(F.col("cnt") / (F.col("n_chunks") * 1.0), 4).alias("top_frac"),
+        (F.col("n_langs") >= 2).alias("mixed"),
+    )
+
+
+@q(
+    "length_quantiles",
+    """
+    WITH h AS (
+      SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars > 0 GROUP BY lang, n_chars
+    ), cum AS (
+      SELECT lang, n_chars, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN n_chars END)
+                AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN n_chars END)
+                AS BIGINT) AS p99
+    FROM cum GROUP BY lang
+    """,
+)
+def length_quantiles(spark, sf_dir):
+    """EXACT per-language length quantiles (p50/p90/p99 of n_chars) via
+    the value-histogram cumsum — the skew-proof exact alternative to
+    approx_percentile (whose error bound is engine-specific, so it can
+    never be oracle-checked): group by (lang, value) with map-side
+    combine, run the cumulative window over the DISTINCT-VALUE rows
+    (bounded by the value domain, not the corpus — n_chars has at most
+    ~max-doc-length distinct values at any corpus size), then pick the
+    smallest value whose cumulative count reaches ceil(q·n). A naive
+    per-lang rank window would sort corpus-cardinality rows on ~12
+    tasks; the histogram never touches corpus-grain rows after the
+    first partial agg. Quantile definition: lower inclusive-rank
+    (type-1), deterministic under ties by construction. Implementation
+    shared with its pytest via operators/sampling.exact_value_quantiles
+    (the build_inverted_index rule: no copied expression to drift)."""
+    from ..operators.sampling import exact_value_quantiles
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("lang", "n_chars")
+    )
+    return exact_value_quantiles(d, "lang", "n_chars")

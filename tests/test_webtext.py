@@ -903,3 +903,46 @@ def test_readability_counts_match_python_reference(spark):
         assert out[i]["n_syllables"] == len(
             _re.findall(r"[aeiouyAEIOUY]+", text)
         ), (i, text)
+
+
+def test_exact_value_quantiles_crafted(spark):
+    """Hand-computable type-1 quantiles incl. the tie case, via the same
+    operators/sampling.exact_value_quantiles the registry query ships."""
+    from multi_format_document_extractor_spark.operators.sampling import (
+        exact_value_quantiles,
+    )
+
+    rows = [("a", v) for v in range(1, 11)] + [
+        ("b", 1),
+        ("b", 1),
+        ("b", 1),
+        ("b", 7),
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_chars bigint")
+    got = {
+        r["lang"]: r
+        for r in exact_value_quantiles(df, "lang", "n_chars").collect()
+    }
+    # lang a: 1..10 -> ceil(.5*10)=5 -> 5; ceil(.9*10)=9 -> 9; ceil(9.9)=10
+    assert (got["a"]["p50"], got["a"]["p90"], got["a"]["p99"]) == (5, 9, 10)
+    # lang b: [1,1,1,7] -> p50 at cum>=2 -> 1; p90 at cum>=ceil(3.6)=4 -> 7
+    assert (got["b"]["p50"], got["b"]["p90"], got["b"]["p99"]) == (1, 7, 7)
+    assert got["a"]["n_docs"] == 10 and got["b"]["n_docs"] == 4
+
+
+def test_mixed_lang_detects_planted_bilingual_docs(spark):
+    """Every 7th doc carries the planted German tail: those docs (when
+    their base chunks lang-id as a real language) must flag mixed with
+    de among the langs; unplanted docs must never flag."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["mixed_lang"](spark, SF_DIR).collect()
+    assert rows
+    mixed = [r for r in rows if r["mixed"]]
+    assert mixed, "planted bilingual docs must surface"
+    for r in rows:
+        assert 0.0 < r["top_frac"] <= 1.0, r
+        if r["mixed"]:
+            assert r["doc_id"] % 7 == 0 and r["n_langs"] >= 2, r
+        if r["doc_id"] % 7 != 0:
+            assert not r["mixed"], r
