@@ -386,6 +386,11 @@ TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
 TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
 TD_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
 TAG_STRIP_RE = r"<[^>]+>"
+# \s DIVERGES between engines: Java regex includes \x0B (vertical tab),
+# RE2 does not — a cell containing \x0B would collapse on the Spark side
+# only, breaking the oracle lockstep. Spell the class out explicitly so
+# both engines agree byte-for-byte.
+CELL_WS_RE = "[ \\t\\n\\f\\r\\x0B]+"
 
 
 def table_bodies(html: Column) -> Column:
@@ -412,7 +417,7 @@ def row_cells(row: Column) -> Column:
         F.regexp_extract_all(row, F.lit(TD_RE), 1),
         lambda c: F.trim(
             F.regexp_replace(
-                F.regexp_replace(c, TAG_STRIP_RE, ""), r"\s+", " "
+                F.regexp_replace(c, TAG_STRIP_RE, ""), CELL_WS_RE, " "
             )
         ),
     )
@@ -454,6 +459,37 @@ def feed_date(entry: Column) -> Column:
     return F.coalesce(
         F.nullif(F.regexp_extract(entry, RSS_DATE_RE, 1), F.lit("")),
         F.regexp_extract(entry, ATOM_DATE_RE, 1),
+    )
+
+
+def parse_feeds(feeds, host_col: str = "host", xml_col: str = "xml"):
+    """(host, xml) feed rows → one (host, loc, pub, channel) row per
+    entry that carries a recognizable link. Entries with no link parse
+    to loc='' and are DROPPED here — an empty-URL key would poison every
+    downstream frontier join — so the filter ships with the parse and
+    the registry query / tests drive the same code. ``pub`` is '' when
+    the entry has no date (cast downstream); channel is 'rss' when the
+    RSS-style link matched, else 'atom'."""
+    entry = F.col("_entry")
+    return (
+        feeds.select(
+            F.col(host_col).alias("host"),
+            F.explode(feed_entries(F.col(xml_col))).alias("_entry"),
+        )
+        .select(
+            "host",
+            canonical_url(feed_link(entry)).alias("loc"),
+            feed_date(entry).alias("pub"),
+            F.when(
+                F.nullif(
+                    F.regexp_extract(entry, RSS_LINK_RE, 1), F.lit("")
+                ).isNotNull(),
+                F.lit("rss"),
+            )
+            .otherwise(F.lit("atom"))
+            .alias("channel"),
+        )
+        .where(F.col("loc") != "")
     )
 
 

@@ -117,11 +117,17 @@ def exact_value_quantiles(
     cumulative count reaches ceil(q·n) (type-1 / lower inclusive-rank —
     deterministic under ties by construction). A naive per-group rank
     window would sort corpus-cardinality rows on |groups| tasks.
-    Output: (by_col, n_docs, p<q·100>...)."""
+    Output: (by_col, n_docs, p<q·100>...). NULL values are excluded up
+    front — quantiles are defined over present values only (an ascending
+    Spark window sorts NULLS FIRST while DuckDB defaults NULLS LAST, so
+    letting NULLs in would both inflate low quantiles and diverge from
+    any SQL oracle)."""
     from pyspark.sql import Window
 
-    h = df.groupBy(by_col, value_col).agg(
-        F.count("*").cast("bigint").alias("c")
+    h = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(by_col, value_col)
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
     wcum = (
         Window.partitionBy(by_col)

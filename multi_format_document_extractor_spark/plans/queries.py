@@ -1608,20 +1608,38 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
 
 
 _LANG_CODES = sorted(TS.LANG_MARKERS)
+
+
+def _lang_ctes(from_rel: str) -> str:
+    """The hits/best CTE pair for marker lang-id over (doc_id, text)
+    rows of ``from_rel`` — ONE generator for every SQL site that mirrors
+    TS.lang_id (lang_id's oracle here, mixed_lang's per-chunk oracle in
+    queries_web), so the argmax scaffolding cannot drift per site."""
+    hits = ", ".join(
+        f"{_marker_count_sql(TS.LANG_MARKERS[c])} AS s_{c}"
+        for c in _LANG_CODES
+    )
+    cols = ", ".join(f"s_{c}" for c in _LANG_CODES)
+    return (
+        f"hits AS (SELECT doc_id, {hits} FROM {from_rel}), "
+        f"best AS (SELECT doc_id, {cols}, greatest({cols}) AS mx FROM hits)"
+    )
+
+
+def _lang_case_expr() -> str:
+    """The argmax-with-deterministic-tiebreak CASE over the best CTE."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{c} = mx AND mx > 0 THEN '{c}'" for c in _LANG_CODES
+        )
+        + " ELSE 'und' END"
+    )
+
+
 _LANG_SQL = (
-    "WITH hits AS (SELECT doc_id, "
-    + ", ".join(
-        f"{_marker_count_sql(TS.LANG_MARKERS[c])} AS s_{c}" for c in _LANG_CODES
-    )
-    + " FROM documents), best AS (SELECT doc_id, "
-    + ", ".join(f"s_{c}" for c in _LANG_CODES)
-    + ", greatest("
-    + ", ".join(f"s_{c}" for c in _LANG_CODES)
-    + ") AS mx FROM hits) SELECT doc_id, CASE "
-    + " ".join(
-        f"WHEN s_{c} = mx AND mx > 0 THEN '{c}'" for c in _LANG_CODES
-    )
-    + " ELSE 'und' END AS lang_pred FROM best"
+    f"WITH {_lang_ctes('documents')} "
+    f"SELECT doc_id, {_lang_case_expr()} AS lang_pred FROM best"
 )
 
 

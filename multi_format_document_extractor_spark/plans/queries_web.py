@@ -3234,10 +3234,19 @@ def dsir_select(spark, sf_dir):
 # Fixed-token chunking with overlap (RAG/embedding context-window prep)
 # =========================================================================
 
-_CHUNK_SQL = """
+def _chunk_sql(from_rel: str = "documents") -> str:
+    """doc_chunks' SQL over (doc_id, text) rows of ``from_rel`` — one
+    generator for every oracle that chunks (doc_chunks, batch_assembly
+    via doc_chunks, mixed_lang over an augmented corpus), replacing the
+    string-surgery .replace() coupling that silently no-ops when the
+    base SQL is reworded."""
+    return _CHUNK_SQL_TMPL.format(from_rel=from_rel)
+
+
+_CHUNK_SQL_TMPL = """
     WITH base AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-      FROM documents WHERE trim(text) <> ''
+      FROM {from_rel} WHERE trim(text) <> ''
     ), sized AS (
       SELECT doc_id, w,
              CAST(floor((greatest(len(w) - 8, 1) + 15) / 16.0) AS INT) AS nc
@@ -3255,6 +3264,8 @@ _CHUNK_SQL = """
              AS chunk_text
     FROM ch
 """
+
+_CHUNK_SQL = _chunk_sql()
 
 
 @q("doc_chunks", _CHUNK_SQL)
@@ -3610,7 +3621,7 @@ def _tables_html_col():
              regexp_extract_all(tr, '{W.TD_RE}', 1),
              x -> trim(regexp_replace(
                     regexp_replace(x, '{W.TAG_STRIP_RE}', '', 'g'),
-                    '\\s+', ' ', 'g'))),
+                    '{W.CELL_WS_RE}', ' ', 'g'))),
              ' | ') AS cells
     FROM trs
     """,
@@ -3795,27 +3806,9 @@ def feed_parse(spark, sf_dir):
         ).alias("host"),
         _feed_xml_col().alias("xml"),
     )
-    entries = s.select(
-        "host", F.explode(W.feed_entries(F.col("xml"))).alias("entry")
-    )
-    parsed = entries.select(
-        "host",
-        W.canonical_url(W.feed_link(F.col("entry"))).alias("loc"),
-        W.feed_date(F.col("entry")).alias("pub"),
-        F.when(
-            F.nullif(
-                F.regexp_extract(F.col("entry"), W.RSS_LINK_RE, 1),
-                F.lit(""),
-            ).isNotNull(),
-            F.lit("rss"),
-        ).otherwise(F.lit("atom")).alias("channel"),
-    )
+    parsed = W.parse_feeds(s)  # linkless entries dropped inside the parse
     return (
         parsed
-        # entries with no recognizable link parse to loc='' — they must
-        # never enter the frontier (an empty-URL key would poison every
-        # downstream loc join); dropped identically in the oracle
-        .where(F.col("loc") != "")
         .select(
             "host",
             "loc",
@@ -4380,8 +4373,7 @@ def mutual_links(spark, sf_dir):
 # =========================================================================
 
 from ..functions import textstats as TS  # noqa: E402
-from .queries import _LANG_CODES as _LCODES  # noqa: E402
-from .queries import _marker_count_sql as _mk_sql  # noqa: E402
+from .queries import _lang_case_expr, _lang_ctes  # noqa: E402
 
 # doc_chunks' SQL rebased onto an augmented corpus: every 7th doc gets a
 # German tail long enough to own at least one full 24-token chunk, so the
@@ -4396,28 +4388,16 @@ _MIXED_AUG_SQL = f"""
                   ELSE text END AS text
       FROM documents
 """
-_CHUNK_SQL_I = _CHUNK_SQL.replace(
-    "FROM documents", f"FROM ({_MIXED_AUG_SQL})"
-)
+_CHUNK_SQL_I = _chunk_sql(f"({_MIXED_AUG_SQL})")
 
 
 def _chunk_lang_case_sql() -> str:
-    hits = ", ".join(
-        f"{_mk_sql(TS.LANG_MARKERS[c])} AS s_{c}" for c in _LCODES
-    )
-    mx = "greatest(" + ", ".join(f"s_{c}" for c in _LCODES) + ")"
-    case = " ".join(
-        f"WHEN s_{c} = mx AND mx > 0 THEN '{c}'" for c in _LCODES
-    )
+    """Per-chunk lang-id CTE chain — the SAME _lang_ctes/_lang_case_expr
+    generators as lang_id's oracle, pointed at the chunk rows."""
+    ctes = _lang_ctes("(SELECT doc_id, chunk_text AS text FROM ch)")
     return f"""
-    hits AS (
-      SELECT doc_id, {hits}
-      FROM (SELECT doc_id, chunk_text AS text FROM ch)
-    ), best AS (
-      SELECT doc_id, {", ".join(f"s_{c}" for c in _LCODES)}, {mx} AS mx
-      FROM hits
-    ), cl AS (
-      SELECT doc_id, CASE {case} ELSE 'und' END AS cl FROM best
+    {ctes}, cl AS (
+      SELECT doc_id, {_lang_case_expr()} AS cl FROM best
     )"""
 
 

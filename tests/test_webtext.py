@@ -782,16 +782,11 @@ def test_feed_parse_drops_linkless_entries(spark):
         "<item><link>https://h.example/ok</link></item>"
         "</channel></rss>"
     )
-    df = spark.createDataFrame([(xml,)], "xml string")
-    locs = [
-        r["loc"]
-        for r in df.select(
-            F.explode(W.feed_entries(F.col("xml"))).alias("entry")
-        )
-        .select(W.canonical_url(W.feed_link(F.col("entry"))).alias("loc"))
-        .where(F.col("loc") != "")
-        .collect()
-    ]
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    # drives the SAME W.parse_feeds the registry query ships — the
+    # linkless-drop filter lives inside it, so deleting the filter from
+    # the shipped code fails this test
+    locs = [r["loc"] for r in W.parse_feeds(df).collect()]
     assert locs == ["h.example/ok"], locs
 
 
@@ -819,13 +814,18 @@ def test_table_roundtrip_on_random_structures(spark):
                     body = "".join(
                         rng.choice(letters) for _ in range(rng.randint(0, 9))
                     )
-                    style = rng.choice(["plain", "b", "pad", "nl"])
+                    style = rng.choice(["plain", "b", "pad", "nl", "vt"])
                     if style == "b":
                         inner = f"<b>{body}</b>"
                     elif style == "pad":
                         inner = f"  {body}  "
                     elif style == "nl":
                         inner = f"{body}\n"
+                    elif style == "vt":
+                        # \x0B is in Java's \s but NOT RE2's — the
+                        # explicit CELL_WS_RE class must collapse it on
+                        # both engines identically
+                        inner = f"{body}\x0Bz"
                     else:
                         inner = body
                     ctag = rng.choice(["td", "TD", "th"])
@@ -928,6 +928,13 @@ def test_exact_value_quantiles_crafted(spark):
     # lang b: [1,1,1,7] -> p50 at cum>=2 -> 1; p90 at cum>=ceil(3.6)=4 -> 7
     assert (got["b"]["p50"], got["b"]["p90"], got["b"]["p99"]) == (1, 7, 7)
     assert got["a"]["n_docs"] == 10 and got["b"]["n_docs"] == 4
+    # NULL values are excluded, not counted below every real value
+    withnull = spark.createDataFrame(
+        [("c", None)] * 4 + [("c", v) for v in range(1, 7)],
+        "lang string, n_chars bigint",
+    )
+    gn = exact_value_quantiles(withnull, "lang", "n_chars").collect()[0]
+    assert gn["n_docs"] == 6 and gn["p50"] == 3, gn
 
 
 def test_mixed_lang_detects_planted_bilingual_docs(spark):
