@@ -2187,5 +2187,51 @@ from . import queries_web as _queries_web  # noqa: E402,F401
 # halfway doubles).
 from ..functions.rounding import portable_rounds as _portable_rounds  # noqa: E402
 
+# \s/\S DIVERGE between the engines' regex dialects: Java (Spark) \s is
+# exactly [ \t\n\x0B\f\r] while RE2 (DuckDB) \s excludes \x0B (vertical
+# tab). Every oracle regex therefore gets \s/\S rewritten to the explicit
+# Java-equivalent class so DuckDB tokenizes byte-identically to Spark —
+# the Spark side keeps its idiomatic \s (the classes are equal there by
+# definition). Class-aware: a \s INSIDE a bracket class (e.g. [^\w\s])
+# expands to the bare character list; the any-char idiom [\s\S] is
+# divergence-free (the union is all chars under either dialect) and is
+# left intact; a bare \S inside any other class cannot be expressed as a
+# char list and fails loudly at import.
+_WS_CHARS = " \\t\\n\\f\\r\\x0B"
+
+
+def _explicit_ws(sql: str) -> str:
+    out: list[str] = []
+    i = 0
+    in_class = False
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "\\" and i + 1 < len(sql):
+            nxt = sql[i + 1]
+            if nxt == "s":
+                out.append(_WS_CHARS if in_class else f"[{_WS_CHARS}]")
+                i += 2
+                continue
+            if nxt == "S":
+                assert not in_class, f"bare \\S inside a class: {sql[i-30:i+10]!r}"
+                out.append(f"[^{_WS_CHARS}]")
+                i += 2
+                continue
+            out.append(sql[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            if sql.startswith("[\\s\\S]", i):
+                out.append("[\\s\\S]")
+                i += 6
+                continue
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 for _name in list(ORACLES):
-    ORACLES[_name] = _portable_rounds(ORACLES[_name])
+    ORACLES[_name] = _explicit_ws(_portable_rounds(ORACLES[_name]))

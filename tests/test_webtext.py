@@ -953,3 +953,29 @@ def test_mixed_lang_detects_planted_bilingual_docs(spark):
             assert r["doc_id"] % 7 == 0 and r["n_langs"] >= 2, r
         if r["doc_id"] % 7 != 0:
             assert not r["mixed"], r
+
+
+def test_oracle_ws_rewrite_aligns_duckdb_with_java(spark):
+    """The import-time \\s/\\S rewrite must leave no bare shorthand in
+    any oracle (outside the divergence-free [\\s\\S] idiom), and the
+    explicit class must make DuckDB tokenize \\x0B exactly like Spark's
+    Java \\s does."""
+    import duckdb
+
+    from multi_format_document_extractor_spark.plans.queries import ORACLES
+
+    for n, s in ORACLES.items():
+        masked = s.replace("[\\s\\S]", "")
+        assert "\\s" not in masked, n
+        assert "\\S" not in masked, n
+    row = (
+        spark.createDataFrame([("a\x0Bb",)], "t string")
+        .select(F.split(F.trim("t"), r"\s+").alias("w"))
+        .collect()[0]
+    )
+    assert list(row["w"]) == ["a", "b"]  # Java \s eats vertical tab
+    got = duckdb.sql(
+        "select string_split_regex('a' || chr(11) || 'b',"
+        " '[ \\t\\n\\f\\r\\x0B]+') as w"
+    ).fetchone()[0]
+    assert list(got) == ["a", "b"]  # explicit class makes RE2 agree
