@@ -2197,6 +2197,20 @@ from ..functions.rounding import portable_rounds as _portable_rounds  # noqa: E4
 # divergence-free (the union is all chars under either dialect) and is
 # left intact; a bare \S inside any other class cannot be expressed as a
 # char list and fails loudly at import.
+#
+# Audit of the remaining Java-vs-RE2 dialect surface the oracles use —
+# each either identical or bounded by a data contract:
+#   \b \B \w \W \d \D — identical ASCII definitions in both dialects.
+#   (?i) — Java folds ASCII-only (no UNICODE_CASE), RE2 folds Unicode;
+#     equal here because every (?i) pattern literal in the registry is
+#     pure ASCII (tags, attribute names, marker words).
+#   .  — Java dot excludes all line terminators (\n \r   …),
+#     RE2 dot excludes only \n; every non-(?s) dot in the registry runs
+#     on single-line inputs (urls, per-line rules after split), and all
+#     multi-line scans use (?s) where the dialects agree on everything.
+#   $  — Java $ also matches before a FINAL \n, RE2 only at end of
+#     text; all $-anchored patterns run on newline-free values (urls,
+#     split lines).
 _WS_CHARS = " \\t\\n\\f\\r\\x0B"
 
 
