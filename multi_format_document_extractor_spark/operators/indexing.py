@@ -67,4 +67,73 @@ def build_inverted_index(
     )
 
 
-__all__ = ["build_inverted_index"]
+def merge_inverted_indexes(
+    a: DataFrame, b: DataFrame, cap: int = 8
+) -> DataFrame:
+    """Merge two inverted indexes built over DISJOINT doc-id sets into
+    the index of the union — the incremental-maintenance step: a crawl
+    batch indexes only its own delta (corpus-scale work proportional to
+    the BATCH), then this aggregate-level merge folds it into the stored
+    index without ever re-scanning the old corpus.
+
+    Exactness: df/tf_total add (disjoint docs), and the merged posting
+    sample equals the from-scratch build's because each side's capped
+    list is its md5-order head — the union head of two heads is the head
+    of the union (same superset argument as the subbucket cap in
+    ``build_inverted_index``; the oracle checks merge ≡ full rebuild).
+    The md5 sort keys are recomputed from the posting ids with a nested
+    HOF — pure codegen, no explode. Shape: ONE full-outer equi-join on
+    the token key over index-sized (not corpus-sized) rows."""
+
+    def keyed(col):
+        # "d1,d2" -> array<struct<m,doc>> in stored (md5-sorted) order
+        return F.transform(
+            F.split(col, ","),
+            lambda x: F.struct(
+                F.md5(x).alias("m"), x.cast("bigint").alias("doc")
+            ),
+        )
+
+    empty = F.array().cast(
+        "array<struct<m:string,doc:bigint>>"
+    )
+    la = a.select(
+        "token",
+        F.col("df").alias("_dfa"),
+        F.col("tf_total").alias("_tfa"),
+        keyed(F.col("postings")).alias("_pa"),
+    )
+    lb = b.select(
+        "token",
+        F.col("df").alias("_dfb"),
+        F.col("tf_total").alias("_tfb"),
+        keyed(F.col("postings")).alias("_pb"),
+    )
+    j = la.join(lb, "token", "full_outer")
+    merged = F.slice(
+        F.array_sort(
+            F.concat(
+                F.coalesce(F.col("_pa"), empty),
+                F.coalesce(F.col("_pb"), empty),
+            )
+        ),
+        1,
+        cap,
+    )
+    return j.select(
+        "token",
+        (
+            F.coalesce(F.col("_dfa"), F.lit(0))
+            + F.coalesce(F.col("_dfb"), F.lit(0))
+        ).cast("bigint").alias("df"),
+        (
+            F.coalesce(F.col("_tfa"), F.lit(0))
+            + F.coalesce(F.col("_tfb"), F.lit(0))
+        ).cast("bigint").alias("tf_total"),
+        F.array_join(
+            F.transform(merged, lambda x: x["doc"].cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+__all__ = ["build_inverted_index", "merge_inverted_indexes"]

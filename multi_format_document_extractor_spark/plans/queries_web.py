@@ -4533,3 +4533,48 @@ def length_quantiles(spark, sf_dir):
         .select("lang", "n_chars")
     )
     return exact_value_quantiles(d, "lang", "n_chars")
+
+
+# =========================================================================
+# Incremental inverted-index maintenance (merge == rebuild, by oracle)
+# =========================================================================
+
+
+@q(
+    "index_merge",
+    # the oracle is the FULL REBUILD over all docs — the query's whole
+    # claim is merge(build(old), build(delta)) ≡ build(old ∪ delta)
+    _ORACLES["inverted_index"],
+)
+def index_merge(spark, sf_dir):
+    """Incremental index maintenance: the corpus splits into a stored
+    side (doc_id % 3 ≠ 0) and a crawl delta (doc_id % 3 = 0); each side
+    builds its own inverted index (work proportional to its size) and
+    ``operators/indexing.merge_inverted_indexes`` folds the delta in at
+    the AGGREGATE level — one token-key full-outer join over index-sized
+    rows, never re-scanning the stored corpus. The oracle is the full
+    from-scratch rebuild over all docs: hash-equality IS the exactness
+    proof that the merge loses nothing (df/tf add over disjoint docs;
+    the union of two md5-order posting heads contains the union's
+    head)."""
+    from ..operators.indexing import (
+        build_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            W.words_of(F.col("text")).alias("w"),
+        )
+    )
+    tok = d.select("doc_id", F.explode("w").alias("token"))
+    old = build_inverted_index(
+        tok.where(F.col("doc_id") % 3 != 0), cap=8, n_sub=16
+    )
+    delta = build_inverted_index(
+        tok.where(F.col("doc_id") % 3 == 0), cap=8, n_sub=16
+    )
+    return merge_inverted_indexes(old, delta, cap=8)

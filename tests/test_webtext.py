@@ -979,3 +979,36 @@ def test_oracle_ws_rewrite_aligns_duckdb_with_java(spark):
         " '[ \\t\\n\\f\\r\\x0B]+') as w"
     ).fetchone()[0]
     assert list(got) == ["a", "b"]  # explicit class makes RE2 agree
+
+
+def test_index_merge_equals_global_head(spark):
+    """merge(build(A), build(B)) must reproduce the global md5-order
+    posting head over A∪B even when both sides' heads interleave, and
+    df/tf_total must add exactly."""
+    import hashlib
+
+    from multi_format_document_extractor_spark.operators.indexing import (
+        build_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    rows = [(i, "shared only%d" % i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tok = df.select(
+        "doc_id", F.explode(W.words_of(F.col("text"))).alias("token")
+    )
+    a = build_inverted_index(tok.where(F.col("doc_id") % 2 == 0))
+    b = build_inverted_index(tok.where(F.col("doc_id") % 2 == 1))
+    got = {
+        r["token"]: r for r in merge_inverted_indexes(a, b).collect()
+    }
+    assert got["shared"]["df"] == 40 and got["shared"]["tf_total"] == 40
+    want = [
+        str(i)
+        for i in sorted(
+            range(40),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:8]
+    ]
+    assert got["shared"]["postings"].split(",") == want
+    assert got["only3"]["df"] == 1 and got["only3"]["postings"] == "3"
