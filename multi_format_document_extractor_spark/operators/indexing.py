@@ -83,15 +83,29 @@ def merge_inverted_indexes(
     ``build_inverted_index``; the oracle checks merge ≡ full rebuild).
     The md5 sort keys are recomputed from the posting ids with a nested
     HOF — pure codegen, no explode. Shape: ONE full-outer equi-join on
-    the token key over index-sized (not corpus-sized) rows."""
+    the token key over index-sized (not corpus-sized) rows.
+
+    PRECONDITION: ``cap`` must not exceed the cap either input was built
+    with — the union-head argument only covers the stored heads, so a
+    larger slice would claim positions the inputs never carried (it
+    cannot be validated here: built indexes do not record their cap).
+    Rows with an empty postings string (not producible by
+    ``build_inverted_index``, but the operator accepts arbitrary
+    index-shaped frames) contribute nothing to the merged head."""
 
     def keyed(col):
-        # "d1,d2" -> array<struct<m,doc>> in stored (md5-sorted) order
-        return F.transform(
-            F.split(col, ","),
-            lambda x: F.struct(
-                F.md5(x).alias("m"), x.cast("bigint").alias("doc")
-            ),
+        # "d1,d2" -> array<struct<m,doc>> in stored (md5-sorted) order;
+        # '' -> [] (F.split('', ',') is [''], which would smuggle a
+        # NULL-doc struct into a head slot)
+        return F.when(col == "", F.expr(
+            "array()"
+        ).cast("array<struct<m:string,doc:bigint>>")).otherwise(
+            F.transform(
+                F.split(col, ","),
+                lambda x: F.struct(
+                    F.md5(x).alias("m"), x.cast("bigint").alias("doc")
+                ),
+            )
         )
 
     empty = F.array().cast(

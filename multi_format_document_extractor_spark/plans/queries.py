@@ -2215,15 +2215,44 @@ _WS_CHARS = " \\t\\n\\f\\r\\x0B"
 
 
 def _explicit_ws(sql: str) -> str:
+    # Regexes only live inside single-quoted SQL string literals, so the
+    # rewrite (and the bracket-class tracking) activates ONLY there —
+    # SQL-level brackets (DuckDB list literals, w[i:j] slices) outside
+    # quotes are never mistaken for character classes. A class-internal
+    # \s adjacent to '-' would create an unintended range after
+    # expansion and fails loudly instead.
     out: list[str] = []
     i = 0
+    in_string = False
     in_class = False
     while i < len(sql):
         ch = sql[i]
+        if ch == "'":
+            # toggles on every quote: SQL escapes ' as '' — two toggles,
+            # net state preserved, and no regex token spans the boundary
+            in_string = not in_string
+            if not in_string:
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if not in_string:
+            out.append(ch)
+            i += 1
+            continue
         if ch == "\\" and i + 1 < len(sql):
             nxt = sql[i + 1]
             if nxt == "s":
-                out.append(_WS_CHARS if in_class else f"[{_WS_CHARS}]")
+                if in_class:
+                    prev = out[-1] if out else ""
+                    follow = sql[i + 2 : i + 3]
+                    assert prev != "-" and follow != "-", (
+                        f"\\s adjacent to '-' in a class would become a "
+                        f"range after expansion: {sql[i-20:i+10]!r}"
+                    )
+                    out.append(_WS_CHARS)
+                else:
+                    out.append(f"[{_WS_CHARS}]")
                 i += 2
                 continue
             if nxt == "S":

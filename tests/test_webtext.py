@@ -1012,3 +1012,23 @@ def test_index_merge_equals_global_head(spark):
     ]
     assert got["shared"]["postings"].split(",") == want
     assert got["only3"]["df"] == 1 and got["only3"]["postings"] == "3"
+
+
+def test_index_merge_empty_postings_row_is_inert(spark):
+    """An index row with postings='' (stats-only) must not smuggle a
+    NULL-doc entry into the merged head."""
+    from multi_format_document_extractor_spark.operators.indexing import (
+        merge_inverted_indexes,
+    )
+
+    a = spark.createDataFrame(
+        [("t", 3, 5, "")],
+        "token string, df bigint, tf_total bigint, postings string",
+    )
+    b = spark.createDataFrame(
+        [("t", 2, 2, "7,9")],
+        "token string, df bigint, tf_total bigint, postings string",
+    )
+    r = merge_inverted_indexes(a, b).collect()[0]
+    assert r["df"] == 5 and r["tf_total"] == 7
+    assert set(r["postings"].split(",")) == {"7", "9"}, r
