@@ -4578,3 +4578,64 @@ def index_merge(spark, sf_dir):
         tok.where(F.col("doc_id") % 3 == 0), cap=8, n_sub=16
     )
     return merge_inverted_indexes(old, delta, cap=8)
+
+
+# =========================================================================
+# Frontier channel coverage (sitemap + RSS/Atom union, per-host ops table)
+# =========================================================================
+
+
+@q(
+    "frontier_union",
+    f"""
+    WITH sm AS ({_ORACLES["sitemap_parse"]}),
+    fd AS ({_ORACLES["feed_parse"]}),
+    u AS (
+      SELECT host, loc, 'sitemap' AS ch FROM sm
+      UNION ALL
+      SELECT host, loc, channel AS ch FROM fd
+    )
+    SELECT host,
+           CAST(sum(CASE WHEN ch = 'sitemap' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sitemap,
+           CAST(sum(CASE WHEN ch = 'rss' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rss,
+           CAST(sum(CASE WHEN ch = 'atom' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_atom,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT loc) AS BIGINT) AS n_distinct
+    FROM u GROUP BY host
+    """,
+)
+def frontier_union(spark, sf_dir):
+    """Per-host discovery-channel coverage — the crawl-ops table that
+    answers "where do this host's urls come from": the sitemap and
+    RSS/Atom frontiers (already canonicalized onto ONE url key by their
+    parsers) unioned with channel provenance, rolled up to per-channel
+    url counts + the distinct-url total (duplicates across channels
+    collapse in n_distinct — the overlap signal). Composes the
+    REGISTERED sitemap_parse and feed_parse queries, so this table can
+    never disagree with the frontiers it summarizes. Scale shape: both
+    inputs are host-count-sized; one unionByName + ONE host aggregation
+    (the count-distinct adds the standard Expand), all map-side
+    combined."""
+    sm = QUERIES["sitemap_parse"](spark, sf_dir).select(
+        "host", "loc", F.lit("sitemap").alias("ch")
+    )
+    fd = QUERIES["feed_parse"](spark, sf_dir).select(
+        "host", "loc", F.col("channel").alias("ch")
+    )
+    u = sm.unionByName(fd)
+    return u.groupBy("host").agg(
+        F.sum(F.when(F.col("ch") == "sitemap", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sitemap"),
+        F.sum(F.when(F.col("ch") == "rss", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rss"),
+        F.sum(F.when(F.col("ch") == "atom", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_atom"),
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("loc").cast("bigint").alias("n_distinct"),
+    )
