@@ -446,20 +446,15 @@ def feed_entries(xml: Column) -> Column:
 
 def feed_link(entry: Column) -> Column:
     """Entry link: RSS ``<link>url</link>`` else Atom
-    ``<link href="url"/>`` (first non-empty wins)."""
-    return F.coalesce(
-        F.nullif(F.regexp_extract(entry, RSS_LINK_RE, 1), F.lit("")),
-        F.regexp_extract(entry, ATOM_LINK_RE, 1),
-    )
+    ``<link href="url"/>`` (first non-empty wins — the page_metadata
+    ``_first_nonempty`` fallback chain)."""
+    return _first_nonempty(entry, (RSS_LINK_RE, ATOM_LINK_RE))
 
 
 def feed_date(entry: Column) -> Column:
     """ISO date prefix of RSS pubDate / Atom updated, '' when absent
     (same absent-contract as page_metadata)."""
-    return F.coalesce(
-        F.nullif(F.regexp_extract(entry, RSS_DATE_RE, 1), F.lit("")),
-        F.regexp_extract(entry, ATOM_DATE_RE, 1),
-    )
+    return _first_nonempty(entry, (RSS_DATE_RE, ATOM_DATE_RE))
 
 
 def parse_feeds(feeds, host_col: str = "host", xml_col: str = "xml"):
@@ -580,6 +575,7 @@ __all__ = [
     "feed_entries",
     "feed_link",
     "feed_date",
+    "parse_feeds",
     "SENTENCE_RE",
     "SYLLABLE_RE",
     "readability_counts",

@@ -93,13 +93,13 @@ def merge_inverted_indexes(
     ``build_inverted_index``, but the operator accepts arbitrary
     index-shaped frames) contribute nothing to the merged head."""
 
+    empty = F.array().cast("array<struct<m:string,doc:bigint>>")
+
     def keyed(col):
         # "d1,d2" -> array<struct<m,doc>> in stored (md5-sorted) order;
         # '' -> [] (F.split('', ',') is [''], which would smuggle a
         # NULL-doc struct into a head slot)
-        return F.when(col == "", F.expr(
-            "array()"
-        ).cast("array<struct<m:string,doc:bigint>>")).otherwise(
+        return F.when(col == "", empty).otherwise(
             F.transform(
                 F.split(col, ","),
                 lambda x: F.struct(
@@ -107,10 +107,6 @@ def merge_inverted_indexes(
                 ),
             )
         )
-
-    empty = F.array().cast(
-        "array<struct<m:string,doc:bigint>>"
-    )
     la = a.select(
         "token",
         F.col("df").alias("_dfa"),

@@ -1,7 +1,7 @@
 """Web-corpus hygiene operators (functions/webtext.py, plans/queries_web.py):
 unit behavior on crafted inputs + the plan shapes that make them scale.
-The cross-engine value checks live in tests/test_queries_oracle.py (the
-five queries are all oracle-backed)."""
+The cross-engine value checks live in tests/test_queries_oracle.py
+(every registered web-hygiene query is oracle-backed)."""
 
 from __future__ import annotations
 
