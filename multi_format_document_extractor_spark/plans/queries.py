@@ -2228,8 +2228,14 @@ def _explicit_ws(sql: str) -> str:
     while i < len(sql):
         ch = sql[i]
         if ch == "'":
-            # toggles on every quote: SQL escapes ' as '' — two toggles,
-            # net state preserved, and no regex token spans the boundary
+            if in_string and sql[i + 1 : i + 2] == "'":
+                # SQL-escaped quote INSIDE the string ('' = literal ') —
+                # not a boundary: string AND class state both survive
+                # (a [\"''] quote class with \s after it must stay
+                # in-class)
+                out.append("''")
+                i += 2
+                continue
             in_string = not in_string
             if not in_string:
                 in_class = False
@@ -2242,13 +2248,38 @@ def _explicit_ws(sql: str) -> str:
             continue
         if ch == "\\" and i + 1 < len(sql):
             nxt = sql[i + 1]
+            if nxt == "'":
+                # backslash is LITERAL in a plain SQL string; do not
+                # swallow the quote with it, or the string tracker
+                # desyncs for the rest of the SQL
+                out.append(ch)
+                i += 1
+                continue
             if nxt == "s":
                 if in_class:
                     prev = out[-1] if out else ""
                     follow = sql[i + 2 : i + 3]
-                    assert prev != "-" and follow != "-", (
-                        f"\\s adjacent to '-' in a class would become a "
-                        f"range after expansion: {sql[i-20:i+10]!r}"
+                    # a neighboring dash is only a range hazard when it
+                    # is not positionally literal: class-leading
+                    # ([- or [^-) and class-trailing (-]) dashes stay
+                    # literals after expansion
+                    prev_dash_ranges = (
+                        prev == "-"
+                        and len(out) >= 2
+                        and out[-2] not in ("[", "\\")
+                        and not (
+                            out[-2] == "^"
+                            and len(out) >= 3
+                            and out[-3] == "["
+                        )
+                    )
+                    follow_dash_ranges = (
+                        follow == "-" and sql[i + 3 : i + 4] != "]"
+                    )
+                    assert not prev_dash_ranges and not follow_dash_ranges, (
+                        f"\\s adjacent to a range-forming '-' in a class "
+                        f"would change the match set after expansion: "
+                        f"{sql[i-20:i+10]!r}"
                     )
                     out.append(_WS_CHARS)
                 else:

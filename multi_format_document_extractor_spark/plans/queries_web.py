@@ -4611,9 +4611,13 @@ def frontier_union(spark, sf_dir):
     """Per-host discovery-channel coverage — the crawl-ops table that
     answers "where do this host's urls come from": the sitemap and
     RSS/Atom frontiers (already canonicalized onto ONE url key by their
-    parsers) unioned with channel provenance, rolled up to per-channel
-    url counts + the distinct-url total (duplicates across channels
-    collapse in n_distinct — the overlap signal). Composes the
+    parsers) unioned with channel provenance, rolled up per host.
+    Counts are FRONTIER ROWS as the parsers emit them — (url, date[,
+    channel]) groups — so a url re-listed under a new lastmod/published
+    date counts once per listing (the freshness-churn signal), while
+    n_distinct collapses to canonical urls; n_urls − n_distinct
+    therefore reads as re-listings + cross-channel overlap combined,
+    not overlap alone. Composes the
     REGISTERED sitemap_parse and feed_parse queries, so this table can
     never disagree with the frontiers it summarizes. Scale shape: both
     inputs are host-count-sized; one unionByName + ONE host aggregation

@@ -1032,3 +1032,42 @@ def test_index_merge_empty_postings_row_is_inert(spark):
     r = merge_inverted_indexes(a, b).collect()[0]
     assert r["df"] == 5 and r["tf_total"] == 7
     assert set(r["postings"].split(",")) == {"7", "9"}, r
+
+
+def test_explicit_ws_rewriter_state_machine():
+    """Direct crafted-SQL cases for the \\s rewriter: escaped quotes
+    inside strings (and inside classes) keep state; a literal backslash
+    before a closing quote does not desync the tracker; positionally
+    literal dashes pass while range-forming dashes fail loudly."""
+    import pytest as _pytest
+
+    from multi_format_document_extractor_spark.plans.queries import (
+        _WS_CHARS,
+        _explicit_ws,
+    )
+
+    # plain rewrite in/out of strings
+    assert _explicit_ws("x '\\s+' y") == f"x '[{_WS_CHARS}]+' y"
+    assert _explicit_ws("w[i:j] '\\s'") == f"w[i:j] '[{_WS_CHARS}]'"
+    # '' escape inside a class: class state must survive the quote pair
+    assert (
+        _explicit_ws("'[^''\\s]+'") == f"'[^''{_WS_CHARS}]+'"
+    )
+    # literal backslash before the closing quote: tracker stays in sync,
+    # the NEXT string still gets rewritten
+    assert (
+        _explicit_ws("a('\\', '/') '\\s'")
+        == f"a('\\', '/') '[{_WS_CHARS}]'"
+    )
+    # positionally literal dashes are fine
+    assert _explicit_ws("'[-\\s]'") == f"'[-{_WS_CHARS}]'"
+    assert _explicit_ws("'[^-\\s]'") == f"'[^-{_WS_CHARS}]'"
+    assert _explicit_ws("'[\\s-]'") == f"'[{_WS_CHARS}-]'"
+    # a range-forming dash fails loudly instead of silently mutating
+    with _pytest.raises(AssertionError):
+        _explicit_ws("'[a-\\s]'")
+    with _pytest.raises(AssertionError):
+        _explicit_ws("'[\\s-z]'")
+    # the any-char idiom is untouched; \S outside classes expands
+    assert _explicit_ws("'[\\s\\S]*'") == "'[\\s\\S]*'"
+    assert _explicit_ws("'\\S+'") == f"'[^{_WS_CHARS}]+'"
