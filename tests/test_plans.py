@@ -365,3 +365,16 @@ def test_inverted_index_skew_split_window_and_bounded_aggs(spark):
     assert re.search(r"hashpartitioning\(token#\d+, _sub#\d+", p), p
     assert "SinglePartition" not in p, p
     assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_histogram_windows_run_over_aggregated_rows(spark):
+    """length_quantiles' cumsum windows and mixed_lang's per-doc windows
+    must consume MAP-SIDE-COMBINED aggregate rows (value-histogram /
+    lang-count grain), never corpus-grain rows — the tree prints
+    top-down, so the partial aggregation must appear BELOW (after) the
+    window nodes."""
+    for name in ("length_quantiles", "mixed_lang"):
+        p = plan(entry_mod.queries()[name](spark, SF_DIR))
+        assert "Window" in p and "partial_count" in p, (name, p)
+        assert p.index("Window") < p.index("partial_count"), (name, p)
+        assert "Python" not in p and "MapInPandas" not in p, (name, p)
