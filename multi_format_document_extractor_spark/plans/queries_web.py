@@ -4643,3 +4643,97 @@ def frontier_union(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_urls"),
         F.countDistinct("loc").cast("bigint").alias("n_distinct"),
     )
+
+
+# =========================================================================
+# Dedup-layer report (the dedup twin of quality_funnel)
+# =========================================================================
+
+
+@q(
+    "dedup_report",
+    f"""
+    WITH ex AS ({_ORACLES["dedup_exact"]}),
+    jp AS ({_ORACLES["jaccard_pairs"]}),
+    nc AS ({_ORACLES["neardup_components"]}),
+    pd AS ({_ORACLES["paragraph_dedup"]}),
+    e AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_docs - 1) AS BIGINT) AS n_exact_extra
+      FROM ex
+    ), j AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs FROM jp
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_clustered_docs,
+             CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+      FROM nc
+    ), p AS (
+      SELECT CAST(sum(n_paras) AS BIGINT) AS n_paras,
+             CAST(sum(n_paras - n_kept) AS BIGINT) AS n_paras_dropped
+      FROM pd
+    )
+    SELECT n_docs, n_exact_extra,
+           round(n_exact_extra / (1.0 * n_docs), 4) AS exact_dup_rate,
+           n_neardup_pairs, n_clustered_docs, n_clusters,
+           CAST(n_clustered_docs - n_clusters AS BIGINT)
+             AS n_neardup_losers,
+           n_paras, n_paras_dropped,
+           round(n_paras_dropped / (1.0 * n_paras), 4) AS para_dup_rate
+    FROM e, j, c, p
+    """,
+)
+def dedup_report(spark, sf_dir):
+    """The dedup-layer observability row — the quality_funnel twin for
+    the redundancy side: exact-duplicate surplus and rate (from the
+    registered dedup_exact groups), verified near-dup pair count
+    (jaccard_pairs), near-dup cluster structure (components: clustered
+    docs, clusters, and the losers a keep-one policy would drop), and
+    the paragraph-level duplicated-span volume (paragraph_dedup) — the
+    four numbers a corpus curator reads after every dedup pass
+    (duplicate-rate tables in the C4/RefinedWeb/Lee-et-al lineage).
+    Composes the REGISTERED queries so the report can never disagree
+    with the operators it summarizes. Scale shape: each input keeps its
+    own audited plan; the report adds only 1-row scalar aggregations
+    cross-joined at the end (the minhash_pr counting class)."""
+    ex = QUERIES["dedup_exact"](spark, sf_dir)
+    jp = QUERIES["jaccard_pairs"](spark, sf_dir)
+    nc = QUERIES["neardup_components"](spark, sf_dir)
+    pd_ = QUERIES["paragraph_dedup"](spark, sf_dir)
+    e = ex.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_exact_extra"),
+    )
+    j = jp.agg(F.count("*").cast("bigint").alias("n_neardup_pairs"))
+    c = nc.agg(
+        F.count("*").cast("bigint").alias("n_clustered_docs"),
+        F.countDistinct("component").cast("bigint").alias("n_clusters"),
+    )
+    p = pd_.agg(
+        F.sum("n_paras").cast("bigint").alias("n_paras"),
+        F.sum(F.col("n_paras") - F.col("n_kept"))
+        .cast("bigint")
+        .alias("n_paras_dropped"),
+    )
+    return (
+        e.crossJoin(j)
+        .crossJoin(c)
+        .crossJoin(p)
+        .select(
+            "n_docs",
+            "n_exact_extra",
+            rnd(
+                F.col("n_exact_extra") / (F.col("n_docs") * 1.0), 4
+            ).alias("exact_dup_rate"),
+            "n_neardup_pairs",
+            "n_clustered_docs",
+            "n_clusters",
+            (F.col("n_clustered_docs") - F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_neardup_losers"),
+            "n_paras",
+            "n_paras_dropped",
+            rnd(
+                F.col("n_paras_dropped") / (F.col("n_paras") * 1.0), 4
+            ).alias("para_dup_rate"),
+        )
+    )
