@@ -435,26 +435,48 @@ ATOM_DATE_RE = r"(?i)<updated>(\d\d\d\d-\d\d-\d\d)"
 
 
 def feed_entries(xml: Column) -> Column:
-    """``array<string>`` of feed entry bodies — RSS <item> and Atom
-    <entry> concatenated (a feed is one or the other; parsing both
-    unconditionally lets one scan handle a mixed landing zone)."""
+    """``array<struct<body,ch>>`` of feed entries, each tagged with its
+    CONTAINER type at extraction — 'rss' for ``<item>`` bodies, 'atom'
+    for ``<entry>`` bodies. The container, not a body re-sniff, decides
+    the channel (ADVICE r3: an Atom entry whose nested content/summary
+    markup contained an RSS-style ``<link>x</link>`` run was mislabeled
+    rss, and that embedded link beat the real href). Parsing both
+    notations in one scan still handles a mixed landing zone."""
+
+    def tag(arr: Column, ch: str) -> Column:
+        return F.transform(
+            arr,
+            lambda b: F.struct(b.alias("body"), F.lit(ch).alias("ch")),
+        )
+
     return F.concat(
-        F.regexp_extract_all(xml, F.lit(RSS_ITEM_RE), 1),
-        F.regexp_extract_all(xml, F.lit(ATOM_ENTRY_RE), 1),
+        tag(F.regexp_extract_all(xml, F.lit(RSS_ITEM_RE), 1), "rss"),
+        tag(F.regexp_extract_all(xml, F.lit(ATOM_ENTRY_RE), 1), "atom"),
     )
 
 
 def feed_link(entry: Column) -> Column:
-    """Entry link: RSS ``<link>url</link>`` else Atom
-    ``<link href="url"/>`` (first non-empty wins — the page_metadata
-    ``_first_nonempty`` fallback chain)."""
-    return _first_nonempty(entry, (RSS_LINK_RE, ATOM_LINK_RE))
+    """Entry link, preferring the notation of the entry's CONTAINER —
+    Atom ``<link href="url"/>`` for <entry> bodies, RSS
+    ``<link>url</link>`` for <item> bodies — then falling back to the
+    other notation (real feeds mix them, e.g. atom:link inside RSS).
+    ``entry`` is a ``feed_entries`` struct."""
+    body = entry["body"]
+    return F.when(
+        entry["ch"] == "atom",
+        _first_nonempty(body, (ATOM_LINK_RE, RSS_LINK_RE)),
+    ).otherwise(_first_nonempty(body, (RSS_LINK_RE, ATOM_LINK_RE)))
 
 
 def feed_date(entry: Column) -> Column:
-    """ISO date prefix of RSS pubDate / Atom updated, '' when absent
-    (same absent-contract as page_metadata)."""
-    return _first_nonempty(entry, (RSS_DATE_RE, ATOM_DATE_RE))
+    """ISO date prefix, container-notation first (Atom ``<updated>`` for
+    <entry>, RSS ``<pubDate>`` for <item>), '' when absent (same
+    absent-contract as page_metadata)."""
+    body = entry["body"]
+    return F.when(
+        entry["ch"] == "atom",
+        _first_nonempty(body, (ATOM_DATE_RE, RSS_DATE_RE)),
+    ).otherwise(_first_nonempty(body, (RSS_DATE_RE, ATOM_DATE_RE)))
 
 
 def parse_feeds(feeds, host_col: str = "host", xml_col: str = "xml"):
@@ -463,8 +485,9 @@ def parse_feeds(feeds, host_col: str = "host", xml_col: str = "xml"):
     to loc='' and are DROPPED here — an empty-URL key would poison every
     downstream frontier join — so the filter ships with the parse and
     the registry query / tests drive the same code. ``pub`` is '' when
-    the entry has no date (cast downstream); channel is 'rss' when the
-    RSS-style link matched, else 'atom'."""
+    the entry has no date (cast downstream); channel is the entry's
+    CONTAINER type from ``feed_entries`` ('rss' <item> / 'atom'
+    <entry>), never a body re-sniff."""
     entry = F.col("_entry")
     return (
         feeds.select(
@@ -475,14 +498,7 @@ def parse_feeds(feeds, host_col: str = "host", xml_col: str = "xml"):
             "host",
             canonical_url(feed_link(entry)).alias("loc"),
             feed_date(entry).alias("pub"),
-            F.when(
-                F.nullif(
-                    F.regexp_extract(entry, RSS_LINK_RE, 1), F.lit("")
-                ).isNotNull(),
-                F.lit("rss"),
-            )
-            .otherwise(F.lit("atom"))
-            .alias("channel"),
+            entry["ch"].alias("channel"),
         )
         .where(F.col("loc") != "")
     )

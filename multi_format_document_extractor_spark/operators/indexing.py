@@ -64,6 +64,11 @@ def build_inverted_index(
             ),
             ",",
         ).alias("postings"),
+        # the cap this index was built with, carried AS DATA so it
+        # survives any store/reload and the merge can enforce its
+        # precondition (ADVICE r3: an unrecorded cap made the merge's
+        # head-containment argument unenforceable)
+        F.first(F.lit(cap)).cast("int").alias("build_cap"),
     )
 
 
@@ -87,19 +92,26 @@ def merge_inverted_indexes(
 
     PRECONDITION: ``cap`` must not exceed the cap either input was built
     with — the union-head argument only covers the stored heads, so a
-    larger slice would claim positions the inputs never carried (it
-    cannot be validated here: built indexes do not record their cap).
-    Rows with an empty postings string (not producible by
-    ``build_inverted_index``, but the operator accepts arbitrary
-    index-shaped frames) contribute nothing to the merged head."""
+    larger slice would claim positions the inputs never carried. Indexes
+    from ``build_inverted_index`` record their cap in the ``build_cap``
+    column, and the merge ENFORCES the precondition against it: a
+    violating call raises at execution (``raise_error`` guard — constant-
+    folded to zero cost when the caps are plan-time literals, a cheap
+    per-index-row check when the index was reloaded from storage). A
+    hand-shaped frame without ``build_cap`` keeps the documented-
+    precondition behavior (nothing to validate against). Rows with an
+    empty postings string (not producible by ``build_inverted_index``,
+    but the operator accepts arbitrary index-shaped frames) contribute
+    nothing to the merged head."""
 
     empty = F.array().cast("array<struct<m:string,doc:bigint>>")
 
-    def keyed(col):
+    def keyed(df, side):
         # "d1,d2" -> array<struct<m,doc>> in stored (md5-sorted) order;
         # '' -> [] (F.split('', ',') is [''], which would smuggle a
         # NULL-doc struct into a head slot)
-        return F.when(col == "", empty).otherwise(
+        col = F.col("postings")
+        arr = F.when(col == "", empty).otherwise(
             F.transform(
                 F.split(col, ","),
                 lambda x: F.struct(
@@ -107,17 +119,36 @@ def merge_inverted_indexes(
                 ),
             )
         )
+        if "build_cap" in df.columns:
+            arr = F.when(
+                F.col("build_cap") < F.lit(cap),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"merge_inverted_indexes(cap={cap}) exceeds the "
+                            f"{side} input's build cap "
+                        ),
+                        F.col("build_cap").cast("string"),
+                        F.lit(
+                            ": the stored posting heads cannot back a "
+                            "larger head"
+                        ),
+                    )
+                ).cast("array<struct<m:string,doc:bigint>>"),
+            ).otherwise(arr)
+        return arr
+
     la = a.select(
         "token",
         F.col("df").alias("_dfa"),
         F.col("tf_total").alias("_tfa"),
-        keyed(F.col("postings")).alias("_pa"),
+        keyed(a, "left").alias("_pa"),
     )
     lb = b.select(
         "token",
         F.col("df").alias("_dfb"),
         F.col("tf_total").alias("_tfb"),
-        keyed(F.col("postings")).alias("_pb"),
+        keyed(b, "right").alias("_pb"),
     )
     j = la.join(lb, "token", "full_outer")
     merged = F.slice(
@@ -143,6 +174,9 @@ def merge_inverted_indexes(
         F.array_join(
             F.transform(merged, lambda x: x["doc"].cast("string")), ","
         ).alias("postings"),
+        # merged index is only good for this cap (chained merges validate
+        # against it like build outputs)
+        F.lit(cap).cast("int").alias("build_cap"),
     )
 
 

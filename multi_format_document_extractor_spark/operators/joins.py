@@ -66,6 +66,16 @@ def asof_join(
     state)."""
     by = list(by_cols)
     vals = list(value_cols)
+    # internal scaffolding names must not collide with caller columns —
+    # a left frame already carrying e.g. ``_carried`` would silently
+    # produce ambiguous/duplicate columns instead of an error (ADVICE r3)
+    reserved = {_TAG, _STS, _STATE, "_carried"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename the colliding input columns: {sorted(clash)}"
+        )
     state_struct = F.struct(
         F.col(ts_col).alias(_STS),
         *[F.col(v).alias(v) for v in vals],

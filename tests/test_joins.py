@@ -48,6 +48,31 @@ def test_asof_join_crafted_semantics(spark):
     assert len(out) == 5 and out[0]["value"] is not None
 
 
+def test_asof_join_reserved_name_collision_raises(spark):
+    """A caller column colliding with the internal scaffolding names must
+    fail loudly at entry (ADVICE r3: previously it silently produced
+    ambiguous/duplicate columns and wrong output)."""
+    import pytest
+
+    events = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01T09:00:00"), 1.0)],
+        "event_id bigint, user_id bigint, ts timestamp, _carried double",
+    )
+    states = spark.createDataFrame(
+        [(7, _ts("2024-01-01T08:00:00"), 9.0)],
+        "user_id bigint, ts timestamp, state_value double",
+    )
+    with pytest.raises(ValueError, match="_carried"):
+        asof_join(events, states, value_cols=("state_value",))
+    states_bad = states.withColumnRenamed("state_value", "_is_state")
+    with pytest.raises(ValueError, match="_is_state"):
+        asof_join(
+            events.withColumnRenamed("_carried", "value"),
+            states_bad,
+            value_cols=("_is_state",),
+        )
+
+
 def test_asof_join_plan_has_no_join_node(spark):
     """The union-window encoding must produce NO join operator and
     exactly ONE hash Exchange on the key — a range-join fallback

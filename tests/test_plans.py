@@ -367,6 +367,21 @@ def test_inverted_index_skew_split_window_and_bounded_aggs(spark):
     assert "Python" not in p and "MapInPandas" not in p, p
 
 
+def test_minhash_pr_truth_sample_absolutely_bounded(spark):
+    """The QA harness's all-pairs ground-truth side must be bounded by an
+    ABSOLUTE doc cap, not a corpus fraction (round-3 VERDICT #1): the plan
+    must carry the md5-rank TakeOrderedAndProject with the pinned cap, and
+    the sample set must re-enter the corpus as a broadcast join."""
+    from multi_format_document_extractor_spark.plans.queries_web import (
+        _PR_SAMPLE_CAP,
+    )
+
+    df = entry_mod.queries()["minhash_pr"](spark, SF_DIR)
+    p = plan(df)
+    assert f"TakeOrderedAndProject(limit={_PR_SAMPLE_CAP}" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_histogram_windows_run_over_aggregated_rows(spark):
     """length_quantiles' cumsum windows and mixed_lang's per-doc windows
     must consume MAP-SIDE-COMBINED aggregate rows (value-histogram /

@@ -773,6 +773,24 @@ def test_inverted_index_cap_binds_and_stats_stay_exact(spark):
     assert got["rare0"]["df"] == 1 and got["rare0"]["postings"] == "0"
 
 
+def test_feed_atom_entry_with_embedded_rss_link_keeps_href(spark):
+    """An Atom <entry> whose nested summary markup contains an RSS-style
+    <link>x</link> run must still classify as 'atom' and take the real
+    href — the container tag decides, never a body re-sniff (ADVICE r3:
+    the embedded link used to win and the frontier got the wrong URL)."""
+    xml = (
+        '<feed><entry><link href="https://h.example/real"/>'
+        "<summary>see <link>https://evil.example/embedded</link></summary>"
+        "<updated>2024-06-01</updated></entry></feed>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = W.parse_feeds(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["loc"] == "h.example/real", rows[0]
+    assert rows[0]["channel"] == "atom"
+    assert rows[0]["pub"] == "2024-06-01"
+
+
 def test_feed_parse_drops_linkless_entries(spark):
     """An entry with no recognizable link must NOT reach the frontier —
     an empty canonical loc would poison every downstream loc join."""
@@ -1012,6 +1030,37 @@ def test_index_merge_equals_global_head(spark):
     ]
     assert got["shared"]["postings"].split(",") == want
     assert got["only3"]["df"] == 1 and got["only3"]["postings"] == "3"
+
+
+def test_index_merge_cap_violation_fails_loudly(spark):
+    """Merging with a cap larger than an input's recorded build cap must
+    raise (ADVICE r3: previously it silently emitted a plausible-but-wrong
+    longer head), while merging at or below the build cap stays fine, and
+    the recorded cap survives a parquet round-trip."""
+    import pytest as _pytest
+
+    from multi_format_document_extractor_spark.operators.indexing import (
+        build_inverted_index,
+        merge_inverted_indexes,
+    )
+
+    rows = [(i, "tok") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, token string")
+    a = build_inverted_index(df.where(F.col("doc_id") % 2 == 0), cap=4)
+    b = build_inverted_index(df.where(F.col("doc_id") % 2 == 1), cap=4)
+    assert "build_cap" in a.columns
+    ok = merge_inverted_indexes(a, b, cap=4).collect()
+    assert ok[0]["build_cap"] == 4
+    with _pytest.raises(Exception, match="exceeds.*build cap"):
+        merge_inverted_indexes(a, b, cap=6).collect()
+    # stored/reloaded index still carries — and still enforces — its cap
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        a.write.mode("overwrite").parquet(tmp + "/ix")
+        a2 = spark.read.parquet(tmp + "/ix")
+        with _pytest.raises(Exception, match="exceeds.*build cap"):
+            merge_inverted_indexes(a2, b, cap=6).collect()
 
 
 def test_index_merge_empty_postings_row_is_inert(spark):
