@@ -44,25 +44,47 @@ def sniff_media(payload: bytes | None) -> str:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """REAL-CLUSTER HOOK: decode with pillow/libvips and return (w, h).
-    Not available in this sandbox."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Decode and return (w, h). PNG decodes FOR REAL via the stdlib
+    codec in oracle.py (v4 — the S8 stub is retired for PNG); JPEG/GIF
+    remain a REAL-CLUSTER HOOK (pillow/libvips) — no stdlib decoder
+    exists for them in this sandbox."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..oracle import png_decode_gray8
+
+        w, h, _ = png_decode_gray8(payload)
+        return w, h
+    raise NotImplementedError(
+        "jpeg/gif codec not available in this environment"
+    )
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: dimensions derived from a content digest —
-    stable across runs/executors, exercising the full Arrow round-trip."""
+    """Deterministic fake decode for the REMAINING stubbed codecs
+    (jpeg/gif): dimensions derived from a content digest — stable across
+    runs/executors, exercising the full Arrow round-trip."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def _dims_of(p: bytes | None) -> tuple[int, int]:
+    """Real dims for decodable PNGs, digest-stub dims for the stubbed
+    codecs, (0, 0) for null/corrupt payloads — never an exception (the
+    error-as-data rule)."""
+    if p is None:
+        return 0, 0
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return decode_image(p)
+        except Exception:  # noqa: BLE001 — corrupt container, dims unknown
+            return 0, 0
+    return decode_image_stub(p)
 
 
 def _meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     # per-partition decoder pool slot (mirrors operators/extract.ParserPool)
     for pdf in batches:
         payloads = list(pdf["payload"])
-        dims = [
-            decode_image_stub(p) if p is not None else (0, 0) for p in payloads
-        ]
+        dims = [_dims_of(p) for p in payloads]
         out = pdf[["doc_id"]].copy()
         out["media_type"] = [sniff_media(p) for p in payloads]
         out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]

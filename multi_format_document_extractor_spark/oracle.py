@@ -504,9 +504,16 @@ def html_block_spans(
 
 
 # ---------------------------------------------------------------------------
-# PDF layout parse (constrained subset: uncompressed text-op content streams,
-# as emitted by corpus.py — generator and parser are co-designed because the
-# sandbox has no pdfplumber; SURVEY.md §7 M0)
+# PDF layout parse — the real-world subset (round-3 VERDICT "Next round" #1):
+# obj/endobj walk honoring stream /Length (direct or indirect), /FlateDecode
+# content streams inflated with stdlib zlib, page order from the document
+# STRUCTURE (trailer /Root → catalog /Pages → /Kids → per-page /Contents,
+# cross-checked against the xref table when present) rather than file order,
+# falling back to a raw stream scan for non-conforming payloads. Text ops
+# remain the absolute-Td/Tj subset (reference parses arbitrary PDFs via
+# pdfplumber, src/parsers/pdf_parser.py:30-59; the sandbox has none, so the
+# tokenizer half stays co-designed with corpus.py while the CONTAINER half —
+# objects, xref, Flate, page tree — now follows the real PDF spec).
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
@@ -516,6 +523,216 @@ _TEXTOP_RE = re.compile(
 _PDF_ESCAPES = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")", b"\\n": b"\n"}
 
 COLUMN_GAP_PT = 150.0  # x-gap that separates layout columns
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
+
+
+_XREF_ENTRY_RE = re.compile(rb"(\d{10}) (\d{5}) ([nf])[ \r\n]{1,2}")
+_XREF_SUBSEC_RE = re.compile(rb"[ ]*(\d+)[ ]+(\d+)[ ]*(?:\r\n|\r|\n)")
+
+
+def _pdf_parse_obj_at(
+    payload: bytes,
+    head_match: "re.Match[bytes]",
+    int_objs: dict[int, int],
+) -> tuple[bytes, bytes | None, int]:
+    """Parse one object whose ``N G obj`` header is ``head_match``:
+    returns (body before any stream keyword, raw stream bytes or None,
+    position just past ``endobj``). Honors the stream's /Length — binary
+    (compressed) stream content may legally contain ``endobj``/
+    ``endstream`` byte runs, so slicing by declared length is the only
+    correct walk; indirect ``/Length n 0 R`` resolves through
+    ``int_objs``; a missing/implausible length falls back to searching
+    the ``endstream`` marker."""
+    n = len(payload)
+    body_start = head_match.end()
+    endobj = payload.find(b"endobj", body_start)
+    skw = _STREAM_KW_RE.search(payload, body_start)
+    if skw is None or (0 <= endobj < skw.start()):
+        if endobj < 0:
+            return payload[body_start:], None, n
+        return payload[body_start:endobj], None, endobj + 6
+    head = payload[body_start : skw.start()]
+    data_start = skw.end()
+    lm = _LENGTH_RE.search(head)
+    length = None
+    if lm is not None:
+        length = (
+            int_objs.get(int(lm.group(1)))
+            if lm.group(2)
+            else int(lm.group(1))
+        )
+    end = None
+    if length is not None and data_start + length <= n:
+        tail = payload[data_start + length : data_start + length + 16]
+        if tail.lstrip(b"\r\n").startswith(b"endstream"):
+            end = data_start + length
+    if end is None:  # absent/implausible /Length: search the marker
+        es = payload.find(b"endstream", data_start)
+        if es < 0:
+            return head, None, n
+        end = es
+        while end > data_start and payload[end - 1 : end] in (b"\r", b"\n"):
+            end -= 1
+    endobj = payload.find(b"endobj", end)
+    return head, payload[data_start:end], (n if endobj < 0 else endobj + 6)
+
+
+def _pdf_int_objs(payload: bytes) -> dict[int, int]:
+    """Pre-pass over simple integer objects (``N G obj 42 endobj`` —
+    cannot contain binary, so a flat regex is safe) for indirect
+    /Length resolution."""
+    return {
+        int(m.group(1)): int(m.group(2))
+        for m in _INT_OBJ_RE.finditer(payload)
+    }
+
+
+def _pdf_xref_objects(
+    payload: bytes,
+) -> dict[int, tuple[bytes, bytes | None]] | None:
+    """Object map via the cross-reference table — the spec path a real
+    reader takes (``startxref`` → table offset → per-object offsets), so
+    only REFERENCED objects are parsed and file layout/order never
+    matters. Every in-use entry's offset must land exactly on its own
+    object header; any inconsistency (no table, truncated entries,
+    offset drift) returns None and the caller rebuilds by linear scan —
+    the same recovery real readers perform on damaged files."""
+    sx = payload.rfind(b"startxref")
+    if sx < 0:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", payload[sx:])
+    if m is None:
+        return None
+    pos = int(m.group(1))
+    if payload[pos : pos + 4] != b"xref":
+        return None
+    pos += 4
+    m = re.match(rb"\r\n|\r|\n", payload[pos:])
+    if m is not None:
+        pos += m.end()
+    offsets: dict[int, int] = {}
+    while True:
+        sub = _XREF_SUBSEC_RE.match(payload, pos)
+        if sub is None:
+            break
+        first, count = int(sub.group(1)), int(sub.group(2))
+        pos = sub.end()
+        for i in range(count):
+            em = _XREF_ENTRY_RE.match(payload, pos)
+            if em is None:
+                return None
+            if em.group(3) == b"n":
+                offsets[first + i] = int(em.group(1))
+            pos = em.end()
+    if not offsets:
+        return None
+    int_objs = _pdf_int_objs(payload)
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, off in offsets.items():
+        hm = _OBJ_HEAD_RE.match(payload, off)
+        if hm is None or int(hm.group(1)) != num:
+            return None  # stale/wrong offset: fall back to the scan
+        head, stream, _ = _pdf_parse_obj_at(payload, hm, int_objs)
+        objs[num] = (head, stream)
+    return objs
+
+
+def _pdf_scan_objects(
+    payload: bytes,
+) -> dict[int, tuple[bytes, bytes | None]]:
+    """Object map by linear ``obj…endobj`` walk (xref-rebuild fallback):
+    the pointer moves past each stream by its declared length, so fake
+    headers inside compressed stream bytes are never visited."""
+    int_objs = _pdf_int_objs(payload)
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(payload, pos)
+        if m is None:
+            break
+        head, stream, pos = _pdf_parse_obj_at(payload, m, int_objs)
+        objs.setdefault(int(m.group(1)), (head, stream))
+    return objs
+
+
+def _pdf_decode_stream(head: bytes, data: bytes) -> bytes:
+    """Apply the stream's filter chain (subset: /FlateDecode or none)."""
+    if b"/FlateDecode" in head:
+        return zlib.decompress(data)
+    return data
+
+
+def _pdf_page_contents(payload: bytes) -> list[bytes] | None:
+    """Decoded content-stream bytes per page, in DOCUMENT order (trailer
+    /Root → /Pages → /Kids, recursing through nested page-tree nodes,
+    then each page's /Contents ref or ref-array) — the page order a real
+    reader renders, independent of where objects sit in the file. None
+    when the payload has no parsable structure (caller falls back to the
+    raw stream scan). Objects come from the xref table when it is
+    present and consistent, else from the linear rebuild scan."""
+    objs = _pdf_xref_objects(payload)
+    if objs is None:
+        objs = _pdf_scan_objects(payload)
+    if not objs:
+        return None
+    t = payload.rfind(b"trailer")
+    root_m = None
+    if t >= 0:
+        root_m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", payload[t:])
+    if root_m is None:  # no trailer (or /Root elsewhere): whole-file search
+        root_m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", payload)
+    if root_m is None:
+        return None
+    cat = objs.get(int(root_m.group(1)))
+    if cat is None:
+        return None
+    pages_m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", cat[0])
+    if pages_m is None:
+        return None
+
+    page_objs: list[bytes] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 32:  # cyclic/hostile page tree: stop, keep what we have
+            return
+        node = objs.get(num)
+        if node is None:
+            return
+        head = node[0]
+        kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", head)
+        if kids_m is not None and b"/Page" in head:
+            for km in _REF_RE.finditer(kids_m.group(1)):
+                walk(int(km.group(1)), depth + 1)
+        elif rb"/Type" in head and b"/Page" in head:
+            page_objs.append(head)
+
+    walk(int(pages_m.group(1)))
+    if not page_objs:
+        return None
+    out: list[bytes] = []
+    for head in page_objs:
+        cm = re.search(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[([^\]]*)\])", head)
+        if cm is None:
+            out.append(b"")
+            continue
+        refs = (
+            [int(cm.group(1))]
+            if cm.group(1)
+            else [int(m.group(1)) for m in _REF_RE.finditer(cm.group(2))]
+        )
+        parts: list[bytes] = []
+        for r in refs:
+            o = objs.get(r)
+            if o is not None and o[1] is not None:
+                parts.append(_pdf_decode_stream(o[0], o[1]))
+        out.append(b"\n".join(parts))
+    return out
 
 
 def _unescape_pdf_string(raw: bytes) -> str:
@@ -535,15 +752,25 @@ def pdf_layout_boxes(
     This is the box-level provenance the reference's layout stage
     produces (``Sorted boxes``, SURVEY §2.6 O4) — ``extract_pdf`` below
     is DEFINED as the order-preserving join of these boxes, so text and
-    geometry can never disagree."""
+    geometry can never disagree. Pages come from the document-structure
+    walk (Flate streams inflated, /Length honored, /Kids order) with a
+    raw uncompressed-stream scan as the fallback for structureless
+    payloads; a structured page with no text ops still ADVANCES the
+    page index (its geometry is empty, not renumbered)."""
     out: list[tuple[int, float, float, int, int, str]] = []
+    page_streams = _pdf_page_contents(payload)
+    structured = page_streams is not None
+    if page_streams is None:
+        page_streams = _STREAM_RE.findall(payload)
     page_idx = 0
-    for stream in _STREAM_RE.findall(payload):
+    for stream in page_streams:
         spans: list[tuple[float, float, str]] = []
         # Td operands in our subset are absolute per-BT positions.
         for xs, ys, txt in _TEXTOP_RE.findall(stream):
             spans.append((float(xs), float(ys), _unescape_pdf_string(txt)))
         if not spans:
+            if structured:
+                page_idx += 1  # a real page, just with no text boxes
             continue
         # Column detection: split sorted unique x at gaps >= COLUMN_GAP_PT.
         xs_sorted = sorted({x for x, _, _ in spans})
@@ -704,17 +931,13 @@ def _pbm_parse(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, raster
 
 
-def extract_pbm(payload: bytes) -> tuple[bytes, int]:
-    """Decode a P4 bitmap and classify 6×8 glyph cells against FONT5X7.
-    Lines of glyphs become text lines (trailing spaces stripped; unknown
-    bitmaps decode to '?'); n_blocks = number of non-empty lines."""
-    w, h, raster = _pbm_parse(payload)
-    stride = (w + 7) // 8
-
-    def px(x: int, y: int) -> int:
-        b = raster[y * stride + (x >> 3)]
-        return (b >> (7 - (x & 7))) & 1
-
+def _classify_glyph_grid(px, w: int, h: int) -> tuple[bytes, int]:
+    """Shared decode→segment→classify tail of the image-content path:
+    walk 6×8 cells of an ink-predicate raster ``px(x, y) -> 0/1`` and
+    match each against FONT5X7 (unknown bitmaps decode to '?'); lines of
+    glyphs become text lines, n_blocks = non-empty lines. Both raster
+    containers (P4 bitmaps, PNG) funnel here, so the OCR contract is one
+    definition."""
     lines: list[str] = []
     for row0 in range(0, h - GLYPH_H + 1, GLYPH_H):
         chars: list[str] = []
@@ -734,30 +957,234 @@ def extract_pbm(payload: bytes) -> tuple[bytes, int]:
     return "\n".join(lines).encode("utf-8"), n_blocks
 
 
-def render_pbm(lines: list[str]) -> bytes:
-    """Render text lines into a P4 bitmap with FONT5X7 (the generator half
-    of the contract; corpus.py calls this so payload and decoder share ONE
-    rendering definition while expected text stays generator-owned)."""
+def extract_pbm(payload: bytes) -> tuple[bytes, int]:
+    """Decode a P4 bitmap and classify 6×8 glyph cells against FONT5X7."""
+    w, h, raster = _pbm_parse(payload)
+    stride = (w + 7) // 8
+
+    def px(x: int, y: int) -> int:
+        b = raster[y * stride + (x >> 3)]
+        return (b >> (7 - (x & 7))) & 1
+
+    return _classify_glyph_grid(px, w, h)
+
+
+def _render_ink_pixels(lines: list[str]) -> tuple[int, int, set[tuple[int, int]]]:
+    """Shared rasterizer: text lines → (w, h, set of ink (x, y) pixels)
+    with FONT5X7 — one rendering definition for every image container."""
     if not lines:
-        raise ValueError("render_pbm needs at least one line")
+        raise ValueError("rendering needs at least one line")
     up = [ln.upper() for ln in lines]
     bad = {c for ln in up for c in ln if c not in FONT5X7}
     if bad:
         raise ValueError(f"glyphs not in FONT5X7: {sorted(bad)}")
     w = max(len(ln) for ln in up) * GLYPH_W
     h = len(up) * GLYPH_H
-    stride = (w + 7) // 8
-    raster = bytearray(stride * h)
+    ink: set[tuple[int, int]] = set()
     for li, ln in enumerate(up):
         for ci, ch in enumerate(ln):
             rows = FONT5X7[ch]
             for gy in range(7):
-                y = li * GLYPH_H + gy
                 for gx in range(5):
                     if (rows[gy] >> (4 - gx)) & 1:
-                        x = ci * GLYPH_W + gx
-                        raster[y * stride + (x >> 3)] |= 1 << (7 - (x & 7))
+                        ink.add((ci * GLYPH_W + gx, li * GLYPH_H + gy))
+    return w, h, ink
+
+
+def render_pbm(lines: list[str]) -> bytes:
+    """Render text lines into a P4 bitmap with FONT5X7 (the generator half
+    of the contract; corpus.py calls this so payload and decoder share ONE
+    rendering definition while expected text stays generator-owned)."""
+    w, h, ink = _render_ink_pixels(lines)
+    stride = (w + 7) // 8
+    raster = bytearray(stride * h)
+    for x, y in ink:
+        raster[y * stride + (x >> 3)] |= 1 << (7 - (x & 7))
     return b"P4\n" + f"{w} {h}\n".encode() + bytes(raster)
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL stdlib-only codec for 8-bit grayscale, non-interlaced images —
+# chunk walk, concatenated-IDAT zlib inflate, and all five scanline filters
+# (None/Sub/Up/Average/Paeth) unfiltered per the PNG spec. Retires the PNG
+# half of the S8 stub (round-3 VERDICT "Next round" #2; reference extracts
+# image content via EasyOCR/TrOCR, src/parsers/ocr_parser.py:59-217): decoded
+# pixels feed the same _classify_glyph_grid tail as P4 bitmaps. JPEG/GIF
+# remain on the media/error path (no stdlib decoder exists for them).
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; validates lengths and each
+    chunk's CRC (a bad CRC is a corrupt file — error-as-data upstream)."""
+    pos = len(_PNG_MAGIC)
+    n = len(payload)
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : data_end]
+        crc = int.from_bytes(payload[data_end : data_end + 4], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos = data_end + 4
+    raise ValueError("PNG ended without IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
+    """Reconstruct 8-bit grayscale scanlines (bpp=1): each row is one
+    filter-type byte + w filtered bytes."""
+    stride = w
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG pixel data shorter than geometry")
+    out = bytearray(stride * h)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        po = o - stride
+        if ftype == 0:  # None
+            out[o : o + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - 1] if x else 0
+                out[o + x] = (row[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[po + x] if y else 0
+                out[o + x] = (row[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - 1] if x else 0
+                b = out[po + x] if y else 0
+                out[o + x] = (row[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - 1] if x else 0
+                b = out[po + x] if y else 0
+                c = out[po + x - 1] if (x and y) else 0
+                out[o + x] = (row[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+    return out
+
+
+def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
+    """(w, h, recon bytes row-major) for an 8-bit grayscale (color type
+    0) non-interlaced PNG; anything else raises with the unsupported
+    parameter named (error-as-data upstream, same contract as the other
+    parsers)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    ihdr = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_i, comp, filt, interlace = ihdr[8:13]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("PNG geometry invalid or over the decode bound")
+    if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={ctype_i} "
+            f"interlace={interlace}); decoder covers 8-bit grayscale"
+        )
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    return w, h, _png_unfilter(raw, w, h)
+
+
+def extract_png(payload: bytes) -> tuple[bytes, int]:
+    """PNG → text via the shared raster pipeline: real chunk/inflate/
+    unfilter decode, threshold at mid-gray (ink = dark), then the same
+    6×8 glyph classification as P4 bitmaps."""
+    w, h, recon = png_decode_gray8(payload)
+
+    def px(x: int, y: int) -> int:
+        return 1 if recon[y * w + x] < 128 else 0
+
+    return _classify_glyph_grid(px, w, h)
+
+
+_PNG_FILTERS = (0, 1, 2, 3, 4)
+
+
+def render_png(lines: list[str], filter_types: list[int] | None = None) -> bytes:
+    """Render text lines into a REAL 8-bit grayscale PNG (ink=0x00 on
+    0xFF background) — the generator half of the PNG contract.
+    ``filter_types`` assigns each scanline's filter (cycled; default all
+    None) so the corpus can exercise every unfilter path with payloads
+    any standard PNG reader also decodes."""
+    w, h, ink = _render_ink_pixels(lines)
+    recon = bytearray(b"\xff" * (w * h))
+    for x, y in ink:
+        recon[y * w + x] = 0
+    fts = filter_types or [0]
+    raw = bytearray()
+    for y in range(h):
+        ftype = fts[y % len(fts)]
+        raw.append(ftype)
+        o = y * w
+        po = o - w
+        for x in range(w):
+            cur = recon[o + x]
+            a = recon[o + x - 1] if x else 0
+            b = recon[po + x] if y else 0
+            c = recon[po + x - 1] if (x and y) else 0
+            if ftype == 0:
+                raw.append(cur)
+            elif ftype == 1:
+                raw.append((cur - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((cur - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((cur - (a + b) // 2) & 0xFF)
+            elif ftype == 4:
+                raw.append((cur - _paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f"filter type {ftype} invalid")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -954,12 +1381,24 @@ def extract(payload: bytes | None, profile: str = "default") -> Extracted:
     if fmt == FORMAT_UNKNOWN:
         return Extracted(fmt, b"", 0, False, "empty or missing payload")
     if fmt == FORMAT_IMAGE:
-        # No deterministic decoder in the core; the multimodal media path
-        # (multimodal/media.py) owns binary image handling. Error-as-data,
-        # never garbage text passthrough.
+        sub = image_subtype(payload)
+        if sub == "png":
+            # REAL decode path (S8 stub retired for PNG): chunk walk +
+            # inflate + unfilter + glyph classify; unsupported color
+            # modes / corrupt files surface as error rows.
+            try:
+                text, n_blocks = extract_png(payload)  # type: ignore[arg-type]
+                return Extracted(fmt, text, n_blocks, True)
+            except Exception as exc:  # noqa: BLE001 — error path is data
+                return Extracted(
+                    fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
+                )
+        # jpeg/gif: no stdlib decoder exists; the multimodal media path
+        # (multimodal/media.py) owns them. Error-as-data, never garbage
+        # text passthrough.
         return Extracted(
             fmt, b"", 0, False,
-            f"image payload ({image_subtype(payload)}): route to media path",
+            f"image payload ({sub}): route to media path",
         )
     try:
         enc: str | None = None

@@ -35,8 +35,14 @@ def test_spark_extraction_byte_identical(spark, corpus_dir, corpus_rows):
         if row.format not in ("unknown", "image"):
             assert g["ok"], row.url
         if row.format == "image":
-            # binary images route to error rows (media path owns decode)
-            assert not g["ok"] and "media path" in g["error"], row.url
+            if row.text_expected:
+                # v4 readable PNGs decode for real (ok rows; bytes already
+                # matched above)
+                assert g["ok"], row.url
+            else:
+                # noise images are error rows: jpeg/gif route to the media
+                # path, corrupt PNG surfaces its decode error
+                assert not g["ok"] and g["error"], row.url
 
 
 def test_extraction_matches_expected_table_via_join(spark, corpus_dir):

@@ -57,6 +57,104 @@ def test_pdf_two_column_reading_order():
     assert t == b"left top\nleft bottom\nright top\nright bottom"
 
 
+def test_pdf_flate_xref_container_features():
+    """The v4 real-subset container features (VERDICT r3 #1): Flate
+    streams inflate, indirect /Length resolves, and a PERMUTED physical
+    object layout still reads in /Kids page order via the xref walk —
+    under every feature combination."""
+    import random
+
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    s1 = b"BT /F1 12 Tf\n50 720 Td (PAGE ONE) Tj\nET"
+    s2 = b"BT /F1 12 Tf\n50 720 Td (PAGE TWO) Tj\nET"
+    for flate in (False, True):
+        for ind in (False, True):
+            for seed in (None, 3, 99):
+                perm = random.Random(seed) if seed else None
+                p = _build_pdf(
+                    [s1, s2], flate=flate, indirect_length=ind, permute=perm
+                )
+                t, n_pages = oracle.extract_pdf(p)
+                assert n_pages == 2, (flate, ind, seed)
+                assert t == b"PAGE ONE\n\nPAGE TWO", (flate, ind, seed, t)
+
+
+def test_pdf_permuted_layout_differs_from_file_order():
+    """The structure walk must be LOAD-BEARING: on a permuted layout the
+    raw stream scan (file order) yields the wrong page order, so a green
+    corpus proves the walk ran."""
+    import random
+
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    s1 = b"BT /F1 12 Tf\n50 720 Td (PAGE ONE) Tj\nET"
+    s2 = b"BT /F1 12 Tf\n50 720 Td (PAGE TWO) Tj\nET"
+    for seed in range(20):
+        p = _build_pdf([s1, s2], permute=random.Random(seed))
+        file_order_texts = [
+            m.group(3)
+            for m in oracle._TEXTOP_RE.finditer(
+                b"\n".join(oracle._STREAM_RE.findall(p))
+            )
+        ]
+        if file_order_texts and file_order_texts[0] == b"PAGE TWO":
+            break
+    else:
+        raise AssertionError("no permutation flipped the file order")
+    t, _ = oracle.extract_pdf(p)
+    assert t == b"PAGE ONE\n\nPAGE TWO"
+
+
+def test_pdf_length_honored_over_embedded_markers():
+    """Stream DATA containing fake endstream/endobj runs must not end
+    the stream early — /Length decides (the binary-content hazard Flate
+    introduces, constructed here explicitly)."""
+    data = b"BT /F1 12 Tf\n50 720 Td (before) Tj\nET\n" \
+           b"% endstream endobj decoys inside data\n" \
+           b"BT /F1 12 Tf\n50 700 Td (after) Tj\nET"
+    # hand-assemble one page whose stream carries the decoy bytes
+    obj4 = (
+        b"<< /Length " + str(len(data)).encode() + b" >>\nstream\n"
+        + data + b"\nendstream"
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + obj4 + b"\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    )
+    t, n_pages = oracle.extract_pdf(body)
+    assert n_pages == 1
+    assert t == b"before\nafter"
+
+
+def test_pdf_corrupt_flate_is_error_row():
+    """A well-formed stream object whose Flate payload is corrupt must
+    surface as an error row, never a crash or silent empty text."""
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    p = _build_pdf([b"BT 50 720 Td (x) Tj ET"], flate=True)
+    bad = p.replace(b"stream\n", b"stream\n\xff\xfe\xfd", 1)
+    r = oracle.extract(bad)
+    assert r.format == "pdf" and not r.ok and r.error
+
+
+def test_pdf_stale_xref_falls_back_to_scan():
+    """Offsets that no longer land on their object headers (an edited
+    file whose xref was not rewritten) must fall back to the linear
+    rebuild scan and still extract."""
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    p = _build_pdf([b"BT /F1 12 Tf\n50 720 Td (RECOVERED) Tj\nET"])
+    stale = p.replace(b"%PDF-1.4\n", b"%PDF-1.4\n% padding comment\n")
+    assert oracle._pdf_xref_objects(stale) is None  # offsets now stale
+    t, n_pages = oracle.extract_pdf(stale)
+    assert n_pages == 1 and t == b"RECOVERED"
+
+
 def test_pdf_escapes():
     from multi_format_document_extractor_spark.corpus import _build_pdf, _pdf_escape
 
@@ -192,14 +290,19 @@ def test_unsupported_zip_and_corrupt_zip_are_error_rows():
 
 
 def test_image_routes_to_media_path():
+    # jpeg/gif: no stdlib decoder — media path owns them
     for magic, sub in [
-        (b"\x89PNG\r\n\x1a\n", "png"),
         (b"\xff\xd8\xff\xe0", "jpeg"),
         (b"GIF89a", "gif"),
     ]:
         e = oracle.extract(magic + b"\x01\x02\x03")
         assert e.format == "image" and not e.ok and e.text == b""
         assert sub in e.error and "media path" in e.error
+    # png: REAL decode path (v4) — garbage after the magic is a decode
+    # error row, never an exception or silent passthrough
+    e = oracle.extract(b"\x89PNG\r\n\x1a\n\x01\x02\x03")
+    assert e.format == "image" and not e.ok and e.text == b""
+    assert "media path" not in e.error  # it went through the decoder
 
 
 def test_csv_sniff_and_extract():
@@ -246,5 +349,70 @@ def test_pbm_render_decode_roundtrip():
     assert bad.format == "pbm" and not bad.ok and "PBM" in bad.error
     bad2 = oracle.extract(b"P4\nxx\n")
     assert bad2.format == "pbm" and not bad2.ok
-    # PNG/JPEG/GIF still route to the media path (no deterministic codec)
+    # a truncated PNG is an error row through the real decoder (v4)
     assert not oracle.extract(b"\x89PNG\r\n\x1a\nxxxx").ok
+
+
+def test_png_render_decode_roundtrip_and_errors():
+    """The v4 PNG codec: real chunk/inflate/unfilter decode under every
+    scanline filter type, CRC validation, unsupported-mode rejection —
+    all error-as-data, and a rendered payload any standard reader could
+    decode round-trips byte-identically."""
+    from multi_format_document_extractor_spark.oracle import (
+        extract_png,
+        png_decode_gray8,
+        render_png,
+    )
+
+    lines = ["QUICK BROWN FOX", "JUMPS OVER"]
+    for fts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 2, 3]):
+        p = render_png(lines, fts)
+        t, n = extract_png(p)
+        assert t == b"QUICK BROWN FOX\nJUMPS OVER" and n == 2, fts
+    # full dispatch: format 'image', ok, no encoding column
+    r = oracle.extract(render_png(["DENSITY LAYOUT"], [3, 4]))
+    assert r.format == "image" and r.ok and r.encoding is None
+    assert r.text == b"DENSITY LAYOUT" and r.n_blocks == 1
+    # corrupt CRC → error row naming the chunk
+    p = bytearray(render_png(["A"]))
+    p[-5] ^= 0xFF  # flip a byte of IEND's CRC
+    e = oracle.extract(bytes(p))
+    assert not e.ok and "CRC" in e.error
+    # flipped IDAT byte → CRC catches it (content integrity, not just tail)
+    p = bytearray(render_png(["AB"]))
+    idat_at = bytes(p).find(b"IDAT")
+    p[idat_at + 6] ^= 0x01
+    assert not oracle.extract(bytes(p)).ok
+    # unsupported color mode rejected by name, not garbage output
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr_rgb = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    rgb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_rgb)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    )
+    e = oracle.extract(rgb)
+    assert not e.ok and "unsupported PNG" in e.error
+    # geometry bound: a claimed 1-terapixel image is rejected up front
+    ihdr_huge = (
+        (10 ** 6).to_bytes(4, "big") + (10 ** 6).to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])
+    )
+    huge = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_huge)
+        + chunk(b"IDAT", _z.compress(b"")) + chunk(b"IEND", b"")
+    )
+    e = oracle.extract(huge)
+    assert not e.ok and "decode bound" in e.error
+    # decoder accepts geometry checks before touching pixel data
+    with __import__("pytest").raises(ValueError):
+        png_decode_gray8(b"\x89PNG\r\n\x1a\n")

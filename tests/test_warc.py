@@ -297,14 +297,22 @@ def test_parse_warc_truncated_single_member_keeps_prefix(tmp_path):
     import gzip as _gzip
     import os
 
+    # seed 24: no oversized rows in this shard, so compressed bytes are
+    # roughly uniform per record and a 90% cut leaves most records whole
+    # (with a multi-MB record mid-shard the suffix property below still
+    # holds but the "most survive" count would be layout luck, not a
+    # parser property)
     d = str(tmp_path / "m")
-    rows = write_warc(d, 30, seed=20, shard_docs=30)  # plain shard
+    rows = write_warc(d, 30, seed=24, shard_docs=30)  # plain shard
     path = os.path.join(d, sorted(os.listdir(d))[0])
     with open(path, "rb") as f:
         plain = f.read()
+    full = parse_warc(_gzip.compress(plain, mtime=0))
     n_full = len(_expected_map(rows))
+    assert len(full) == n_full
     whole = _gzip.compress(plain, mtime=0)
-    assert len(parse_warc(whole)) == n_full
-    # cut the gzip stream: most of the records must survive
     cut = parse_warc(whole[: int(len(whole) * 0.9)])
     assert 0 < n_full - len(cut) <= max(3, n_full // 4)
+    # the kept records must be exactly the leading records of the shard —
+    # a torn tail never corrupts or reorders what came before it
+    assert [r[0] for r in cut] == [r[0] for r in full[: len(cut)]]
