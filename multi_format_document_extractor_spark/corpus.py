@@ -9,7 +9,8 @@ a real two-implementation check.
 
 Row mix per FIXTURES.md §1 (extended round 2): ~60% HTML, ~13% PDF, ~8%
 plain text, ~5% DOCX + ~5% XLSX (real PK-zip containers), ~4% binary
-image (error/media path), ~3% empty/null payload (error path), ~2%
+image (decodable PBM/PNG/GIF + noise payloads on the error/media path),
+~3% empty/null payload (error path), ~2%
 oversized (≥1 MB, skew path). Host
 distribution is Zipf-like (host0 ≈ 30% of urls) to exercise salting (T4).
 All randomness flows from one seed.
@@ -29,7 +30,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 4  # v4: Flate/xref/permuted-layout PDFs + decodable PNGs
+CORPUS_VERSION = 5  # v5: + decodable GIFs (real LZW, interlace mix)
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -567,6 +568,27 @@ def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
     return render_png(lines, fts), "\n".join(lines), n_lines
 
 
+def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:
+    """Readable REAL GIF (v5): text rendered into a 2-color GIF89a with
+    real LZW, randomly interlaced and randomly carrying a Graphic Control
+    Extension, so the decoder's pass-reorder and extension-skip paths are
+    exercised by corpus payloads any standard reader also decodes.
+    Expected text is the generator's own line list (decode side stays
+    independently checked, as with PBM/PNG)."""
+    from .oracle import render_gif
+
+    n_lines = rng.randint(1, 3)
+    lines = [
+        _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
+    ]
+    payload = render_gif(
+        lines,
+        interlace=rng.random() < 0.5,
+        with_extension=rng.random() < 0.5,
+    )
+    return payload, "\n".join(lines), n_lines
+
+
 # ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
@@ -603,10 +625,12 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             kind = "docx"
         elif r < 0.96:
             kind = "xlsx"
-        elif r < 0.975:
+        elif r < 0.972:
             kind = "pbm"
-        elif r < 0.985:
+        elif r < 0.981:
             kind = "png"
+        elif r < 0.990:
+            kind = "gif"
         else:
             kind = "image"
 
@@ -640,6 +664,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             noisy = exp_s
         elif kind == "png":
             payload, exp_s, n_blocks = _make_png(rng)
+            expected, fmt = exp_s.encode("utf-8"), "image"
+            noisy = exp_s
+        elif kind == "gif":
+            payload, exp_s, n_blocks = _make_gif(rng)
             expected, fmt = exp_s.encode("utf-8"), "image"
             noisy = exp_s
         elif kind == "image":

@@ -1009,8 +1009,8 @@ def render_pbm(lines: list[str]) -> bytes:
 # (None/Sub/Up/Average/Paeth) unfiltered per the PNG spec. Retires the PNG
 # half of the S8 stub (round-3 VERDICT "Next round" #2; reference extracts
 # image content via EasyOCR/TrOCR, src/parsers/ocr_parser.py:59-217): decoded
-# pixels feed the same _classify_glyph_grid tail as P4 bitmaps. JPEG/GIF
-# remain on the media/error path (no stdlib decoder exists for them).
+# pixels feed the same _classify_glyph_grid tail as P4 bitmaps. JPEG
+# remains on the media/error path; GIF gets its own real LZW codec below.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -1185,6 +1185,280 @@ def render_png(lines: list[str], filter_types: list[int] | None = None) -> bytes
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF: a REAL stdlib-only codec for GIF87a/89a — header + logical-screen
+# parse, extension-block skip, variable-width LSB-first LZW decode (clear/EOI,
+# code widths min+1..12, 4096-entry table cap), optional interlace pass
+# reorder, palette→luminance. Retires the GIF half of the S8 stub (the PNG
+# half fell in v4; reference extracts image content via EasyOCR/TrOCR,
+# src/parsers/ocr_parser.py:59-217): decoded pixels feed the same
+# _classify_glyph_grid tail as P4 bitmaps and PNGs. JPEG stays on the media
+# path — baseline JPEG needs Huffman+DCT, out of the deterministic-stdlib
+# contract for now.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytearray:
+    """GIF-variant LZW: codes are packed LSB-first, start at ``min_code+1``
+    bits, grow when the table fills the current width (to 12 max), and the
+    ``clear``/``EOI`` control codes reset/terminate. Output is clamped to
+    ``n_expected`` indices (a conforming stream may pad the last byte)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < n_expected:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if code >= clear and not entry:
+                raise ValueError("GIF LZW referenced a control slot")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("GIF pixel data shorter than geometry")
+    return out[:n_expected]
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0x00 terminator)."""
+    parts: list[bytes] = []
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("truncated GIF sub-block chain")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(parts), pos
+        if pos + ln > n:
+            raise ValueError("truncated GIF sub-block")
+        parts.append(payload[pos : pos + ln])
+        pos += ln
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """(w, h, luminance bytes row-major) for the FIRST image of a
+    GIF87a/89a file whose frame covers the full logical screen; extension
+    blocks are skipped, interlaced frames are de-interlaced, palette
+    entries map to integer luminance (299/587/114 per mille). Anything
+    else — animation offsets, missing palette, bad LZW — raises with the
+    reason named (error-as-data upstream, same contract as PNG/PDF)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("GIF geometry invalid or over the decode bound")
+    pos = 13
+    global_ct: bytes | None = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        global_ct = payload[pos : pos + 3 * n_colors]
+        if len(global_ct) < 3 * n_colors:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n_colors
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError(
+                "unsupported GIF (partial/offset frame); decoder covers "
+                "single full-screen images"
+            )
+        ct = global_ct
+        if ipacked & 0x80:
+            n_colors = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n_colors]
+            if len(ct) < 3 * n_colors:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n_colors
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF before LZW data")
+        min_code = payload[pos]
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"GIF LZW min code size {min_code} invalid")
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(data, min_code, w * h)
+        n_colors = len(ct) // 3
+        lum = bytes(
+            (ct[3 * i] * 299 + ct[3 * i + 1] * 587 + ct[3 * i + 2] * 114)
+            // 1000
+            for i in range(n_colors)
+        )
+        out = bytearray(w * h)
+        rows: list[int]
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, h, step))
+        else:
+            rows = list(range(h))
+        for src_y, dst_y in enumerate(rows):
+            for x in range(w):
+                i = idx[src_y * w + x]
+                if i >= n_colors:
+                    raise ValueError("GIF pixel index outside color table")
+                out[dst_y * w + x] = lum[i]
+        return w, h, out
+    raise ValueError("GIF contains no image data")
+
+
+def extract_gif(payload: bytes) -> tuple[bytes, int]:
+    """GIF → text via the shared raster pipeline: real LZW decode,
+    threshold at mid-gray (ink = dark), then the same 6×8 glyph
+    classification as P4 bitmaps and PNGs."""
+    w, h, lum = gif_decode_gray(payload)
+
+    def px(x: int, y: int) -> int:
+        return 1 if lum[y * w + x] < 128 else 0
+
+    return _classify_glyph_grid(px, w, h)
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Greedy LZW encoder (the generator half): emits clear up front,
+    grows code width exactly when the decoder does (encoder runs one
+    table entry ahead, hence the ``+1``), and re-clears well before the
+    4096-entry cap so the stream never needs deferred-clear handling."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += size
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code + 1,
+        )
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4000:
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def render_gif(
+    lines: list[str], interlace: bool = False, with_extension: bool = False
+) -> bytes:
+    """Render text lines into a REAL GIF89a (2-color palette, ink=black
+    on white, real LZW) — the generator half of the GIF contract.
+    ``interlace`` writes the 4-pass row order; ``with_extension``
+    prepends a Graphic Control Extension so the skip path is exercised
+    by payloads any standard GIF reader also decodes."""
+    w, h, ink = _render_ink_pixels(lines)
+    idx = bytearray(w * h)  # palette: 0 = white background, 1 = black ink
+    for x, y in ink:
+        idx[y * w + x] = 1
+    if interlace:
+        rows: list[int] = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = bytearray(
+            b"".join(bytes(idx[y * w : (y + 1) * w]) for y in rows)
+        )
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])  # global CT, 2 entries; bg=0; no aspect
+    out += b"\xff\xff\xff\x00\x00\x00"  # white, black
+    if with_extension:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, then terminator
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    min_code = 2  # spec minimum, even for a 2-color palette
+    out += bytes([min_code])
+    data = _gif_lzw_encode(bytes(idx), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1393,8 +1667,19 @@ def extract(payload: bytes | None, profile: str = "default") -> Extracted:
                 return Extracted(
                     fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
                 )
-        # jpeg/gif: no stdlib decoder exists; the multimodal media path
-        # (multimodal/media.py) owns them. Error-as-data, never garbage
+        if sub == "gif":
+            # REAL decode path (S8 stub retired for GIF too): LZW +
+            # palette→luminance + glyph classify; animations / corrupt
+            # files surface as error rows.
+            try:
+                text, n_blocks = extract_gif(payload)  # type: ignore[arg-type]
+                return Extracted(fmt, text, n_blocks, True)
+            except Exception as exc:  # noqa: BLE001 — error path is data
+                return Extracted(
+                    fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
+                )
+        # jpeg: no stdlib decoder; the multimodal media path
+        # (multimodal/media.py) owns it. Error-as-data, never garbage
         # text passthrough.
         return Extracted(
             fmt, b"", 0, False,

@@ -290,19 +290,63 @@ def test_unsupported_zip_and_corrupt_zip_are_error_rows():
 
 
 def test_image_routes_to_media_path():
-    # jpeg/gif: no stdlib decoder — media path owns them
-    for magic, sub in [
-        (b"\xff\xd8\xff\xe0", "jpeg"),
-        (b"GIF89a", "gif"),
-    ]:
-        e = oracle.extract(magic + b"\x01\x02\x03")
-        assert e.format == "image" and not e.ok and e.text == b""
-        assert sub in e.error and "media path" in e.error
-    # png: REAL decode path (v4) — garbage after the magic is a decode
-    # error row, never an exception or silent passthrough
-    e = oracle.extract(b"\x89PNG\r\n\x1a\n\x01\x02\x03")
+    # jpeg: no stdlib decoder — media path owns it
+    e = oracle.extract(b"\xff\xd8\xff\xe0\x01\x02\x03")
     assert e.format == "image" and not e.ok and e.text == b""
-    assert "media path" not in e.error  # it went through the decoder
+    assert "jpeg" in e.error and "media path" in e.error
+    # png/gif: REAL decode paths (v4/v5) — garbage after the magic is a
+    # decode error row, never an exception or silent passthrough
+    for garbage in (b"\x89PNG\r\n\x1a\n\x01\x02\x03", b"GIF89a" + bytes(40)):
+        e = oracle.extract(garbage)
+        assert e.format == "image" and not e.ok and e.text == b""
+        assert "media path" not in e.error  # it went through the decoder
+
+
+def test_gif_roundtrip_all_variants():
+    """Real GIF codec (v5, retires the GIF half of S8): render → decode is
+    byte-identical across interlace × extension variants, and the payloads
+    are spec-shaped (header/LSD/CT/descriptor/LZW/trailer)."""
+    lines = ["HELLO WORLD", "SECOND LINE X", "ABC"]
+    for interlace in (False, True):
+        for ext in (False, True):
+            g = oracle.render_gif(lines, interlace=interlace, with_extension=ext)
+            assert g[:6] == b"GIF89a" and g[-1:] == b"\x3b"
+            t, n = oracle.extract_gif(g)
+            assert t == "\n".join(lines).encode() and n == 3
+            e = oracle.extract(g)
+            assert e.ok and e.format == "image" and e.text == t
+    # width growth / sub-block chains / single-glyph edge
+    for edge in (["A"], ["Z" * 40], ["THE QUICK BROWN FOX JUMPS"]):
+        g = oracle.render_gif(edge, interlace=True, with_extension=True)
+        assert oracle.extract_gif(g)[0] == "\n".join(edge).encode()
+
+
+def test_gif_spec_sample_and_truncation_fuzz():
+    """The canonical 1×1 spec GIF decodes (bit order is the GIF spec's,
+    not a private dialect), and every truncation of a real payload is an
+    error ROW, never an exception."""
+    sample = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "0202440100"
+        "3b"
+    )
+    w, h, lum = oracle.gif_decode_gray(sample)
+    assert (w, h, lum[0]) == (1, 1, 255)
+    g = oracle.render_gif(["HELLO"], with_extension=True)
+    for cut in range(len(g)):
+        e = oracle.extract(g[:cut])
+        assert isinstance(e.ok, bool)  # never an exception
+        if cut >= 4:  # enough bytes for the image magic to win the sniff
+            # a complete image missing only the 0x3B trailer still decodes
+            assert e.format == "image" and (e.ok == (cut >= len(g) - 1))
+    # animation-style second frame / offset frame is a named error
+    offset = bytearray(oracle.render_gif(["HI"]))
+    di = offset.index(b"\x2c")
+    offset[di + 1] = 1  # left = 1
+    e = oracle.extract(bytes(offset))
+    assert not e.ok and "partial/offset" in e.error
 
 
 def test_csv_sniff_and_extract():

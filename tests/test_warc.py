@@ -297,11 +297,6 @@ def test_parse_warc_truncated_single_member_keeps_prefix(tmp_path):
     import gzip as _gzip
     import os
 
-    # seed 24: no oversized rows in this shard, so compressed bytes are
-    # roughly uniform per record and a 90% cut leaves most records whole
-    # (with a multi-MB record mid-shard the suffix property below still
-    # holds but the "most survive" count would be layout luck, not a
-    # parser property)
     d = str(tmp_path / "m")
     rows = write_warc(d, 30, seed=24, shard_docs=30)  # plain shard
     path = os.path.join(d, sorted(os.listdir(d))[0])
@@ -311,8 +306,14 @@ def test_parse_warc_truncated_single_member_keeps_prefix(tmp_path):
     n_full = len(_expected_map(rows))
     assert len(full) == n_full
     whole = _gzip.compress(plain, mtime=0)
-    cut = parse_warc(whole[: int(len(whole) * 0.9)])
-    assert 0 < n_full - len(cut) <= max(3, n_full // 4)
-    # the kept records must be exactly the leading records of the shard —
-    # a torn tail never corrupts or reorders what came before it
-    assert [r[0] for r in cut] == [r[0] for r in full[: len(cut)]]
+    # HOW MANY records a cut drops is layout luck (where record
+    # boundaries land in the compressed stream — corpus-version
+    # dependent); the parser property is that EVERY cut keeps an intact,
+    # in-order leading prefix and loses only the torn tail
+    for frac in (0.5, 0.75, 0.9):
+        cut = parse_warc(whole[: int(len(whole) * frac)])
+        assert 0 < len(cut) < n_full, (frac, len(cut))
+        assert [r[0] for r in cut] == [r[0] for r in full[: len(cut)]]
+        # kept records are bit-intact, not just present
+        for got, want in zip(cut, full):
+            assert got == want
