@@ -21,7 +21,11 @@ Scale design (north rule):
   moving the whole corpus through the network; the scan split does it for
   free. Residual risk: single rows larger than a split are atomic (route
   ``length(html) > cap`` to a truncating path), and *compute* skew (bytes ≠
-  cost) — measured here at <2× per-byte variance across formats.
+  cost) — corpus v5's real decoders measure up to ~115× per-byte variance
+  across formats (BENCH.md §"Per-format compute cost"), which is why
+  ``extract_pages_routed`` below routes the heavy-format byte slice
+  (~3% of bytes) through the salted path while the html/text bulk keeps
+  the zero-shuffle split.
   (b) **Salted repartition** on ``pmod(xxhash64(url), S)``
   (``salt_partitions=S``): breaks host/layout skew *by construction* before
   the UDF — AQE only sees skew after a stage has straggled, and it cannot
@@ -279,3 +283,56 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
         T.token_count_bpe(t).alias("n_tokens_bpe"),
         T.fingerprint64(t).alias("content_key"),
     )
+
+
+# Formats whose measured per-byte extraction cost exceeds ~5x the html
+# baseline (ms/MB on corpus v5, single thread: html 21, text 58, csv 158,
+# zip 168, pdf 213, image 2337, pbm 2453 — table in BENCH.md §"Per-format
+# compute cost"). The v4/v5 real decoders (Flate PDF, PNG unfilter, GIF
+# LZW + glyph classify) widened the spread far past the <=2x the pure split plan's
+# balance argument assumes, BUT these formats are a tiny byte fraction
+# (~3% of corpus bytes), so shuffling only them is cheap while the html/
+# text bulk keeps the zero-shuffle scan-split balance.
+HEAVY_FORMATS = ("pdf", "zip", "csv", "image", "pbm")
+
+
+def extract_pages_routed(
+    pages: DataFrame,
+    heavy_formats: tuple[str, ...] = HEAVY_FORMATS,
+    salt_partitions: int = 64,
+    max_bytes: int | None = None,
+    profile: str = "default",
+) -> DataFrame:
+    """Format-routed extraction (round-3 VERDICT "Next round" #7): the
+    scan-split plan hands every task equal input BYTES, which balances
+    COMPUTE only while per-byte cost is roughly format-uniform. Corpus
+    v5's real decoders broke that (~115x spread, table above), so this
+    variant routes by the native format sniff:
+
+    - LIGHT formats (html/text — ~97% of corpus bytes): the zero-shuffle
+      split path, exactly as ``extract_pages``.
+    - HEAVY formats (~3% of bytes, up to 100x per-byte cost): salted
+      repartition before the UDF, so a format-clustered input layout
+      (e.g. a table sorted by format, where whole scan splits would be
+      solid PBM/PDF) cannot produce 100x-cost straggler tasks. The
+      shuffle moves only the heavy slice — the full-payload-shuffle
+      objection to salting everything does not apply.
+
+    Output rows are byte-identical to ``extract_pages`` (same UDF, same
+    pool) — only the physical routing differs; the union's two
+    MapInPandas branches and single heavy-side Exchange are pinned in
+    tests/test_plans.py. Costs one extra pass of the format sniff on the
+    scan (pure codegen) and one union."""
+    fmt = format_col(F.col("html"))
+    light = extract_pages(
+        pages.where(~fmt.isin(list(heavy_formats))),
+        max_bytes=max_bytes,
+        profile=profile,
+    )
+    heavy = extract_pages(
+        pages.where(fmt.isin(list(heavy_formats))),
+        salt_partitions=salt_partitions,
+        max_bytes=max_bytes,
+        profile=profile,
+    )
+    return light.unionByName(heavy)

@@ -2585,6 +2585,167 @@ def bpe_train_q(spark, sf_dir):
     )
 
 
+# -- batched BPE (one driver round-trip per ROUND of disjoint merges) -----
+
+_BPE_CAP = 64
+_BPE_BATCH_MERGES = 20
+_BPE_BATCH_ROUNDS = 4
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One batch round as CTEs: pair counts → global rank (capped) →
+    per-symbol best rank → conflict-free selection → fold-apply the whole
+    batch with list_reduce."""
+    src = f"bv{i - 1}"
+    # AS MATERIALIZED throughout: each round references earlier CTEs
+    # several times (br 3x, bv{i-1} 2x, the final UNION ALL re-reads every
+    # bsel); DuckDB inlines plain CTEs, which re-expands the whole chain
+    # exponentially in the round count — materializing keeps it linear.
+    return f"""
+    bp{i} AS MATERIALIZED ({_BPE_PAIRS_TMPL.format(src=src)}
+    ), br{i} AS MATERIALIZED (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn,
+             string_split(pair, ' ')[1] AS sa,
+             string_split(pair, ' ')[2] AS sb
+      FROM bp{i} QUALIFY rn <= {_BPE_CAP}
+    ), bs{i} AS MATERIALIZED (
+      SELECT sym, min(rn) AS best FROM (
+        SELECT sa AS sym, rn FROM br{i}
+        UNION ALL SELECT sb AS sym, rn FROM br{i}
+      ) GROUP BY sym
+    ), bsel{i} AS MATERIALIZED (
+      SELECT r.pair, r.n, r.rn FROM br{i} r
+      JOIN bs{i} x ON x.sym = r.sa AND x.best = r.rn
+      JOIN bs{i} y ON y.sym = r.sb AND y.best = r.rn
+    ), bv{i} AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend(s, coalesce(
+                 (SELECT list(pair ORDER BY rn) FROM bsel{i}),
+                 CAST([] AS VARCHAR[]))),
+               (acc, p) -> replace(acc,
+                 ' ' || string_split(p, ' ')[1] || '  '
+                     || string_split(p, ' ')[2] || ' ',
+                 ' ' || replace(p, ' ', '') || ' ')
+             ) AS s, freq
+      FROM bv{i - 1}
+    )"""
+
+
+# The shared CTE chain (vocab + the unrolled rounds) and the ranked
+# merge-list select — reused by both the batched-train oracle and the
+# encode oracle so the two can never drift.
+_BPE_BATCH_CTES = (
+    """w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE n_chars > 0
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM w WHERE word != '' GROUP BY word
+    ), bv0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), '  ') || ' ' AS s,
+             freq
+      FROM wf
+    ), """
+    + ", ".join(_bpe_round_sql(i) for i in range(1, _BPE_BATCH_ROUNDS + 1))
+)
+
+_BPE_RANKED_SQL = (
+    """
+    SELECT CAST(row_number() OVER (ORDER BY round, rn) AS INT)
+             AS merge_rank,
+           pair, CAST(n AS BIGINT) AS n
+    FROM (
+      """
+    + "\n      UNION ALL ".join(
+        f"SELECT {i} AS round, rn, pair, n FROM bsel{i}"
+        for i in range(1, _BPE_BATCH_ROUNDS + 1)
+    )
+    + f"""
+    ) ORDER BY merge_rank LIMIT {_BPE_BATCH_MERGES}
+    """
+)
+
+
+@q("bpe_train_batched", "WITH " + _BPE_BATCH_CTES + _BPE_RANKED_SQL)
+def bpe_train_batched_q(spark, sf_dir):
+    """Batch-greedy BPE training — the scale path for the merge loop
+    (round-3 VERDICT #2: sequential ``bpe_train`` costs one driver
+    round-trip per merge; a 32k-merge production vocab would be 32k
+    scheduler round-trips). Per ROUND the pair table is ranked once
+    (count desc, pair asc, capped), every pair that is the best-ranked
+    pair for BOTH its symbols merges — conflict-free by construction,
+    so the whole batch applies in one vocab pass — and ranks number in
+    (round, in-round rank) order. Measured on this corpus: 20 merges in
+    4 rounds = 5× fewer driver round-trips at equal merge count. The
+    oracle unrolls the identical per-round selection (row_number +
+    per-symbol min-rank join) and batch application (list_reduce fold),
+    so the learned merge list is hash-checked across engines."""
+    from ..operators.training import bpe_train_batched
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    merges = bpe_train_batched(
+        d,
+        "text",
+        n_merges=_BPE_BATCH_MERGES,
+        max_rounds=_BPE_BATCH_ROUNDS,
+        rank_cap=_BPE_CAP,
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, n bigint"
+    )
+
+
+@q(
+    "bpe_encode",
+    "WITH "
+    + _BPE_BATCH_CTES
+    + f"""
+    , ml AS MATERIALIZED (
+      SELECT coalesce(list(pair ORDER BY merge_rank),
+                      CAST([] AS VARCHAR[])) AS ms
+      FROM ({_BPE_RANKED_SQL})
+    ), enc AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend(s, ms),
+               (acc, p) -> replace(acc,
+                 ' ' || string_split(p, ' ')[1] || '  '
+                     || string_split(p, ' ')[2] || ' ',
+                 ' ' || replace(p, ' ', '') || ' ')
+             ) AS s, freq
+      FROM bv0, ml
+    )
+    SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(trim(s), '  ')) AS tok, freq FROM enc
+    ) GROUP BY tok
+    """,
+)
+def bpe_encode_q(spark, sf_dir):
+    """BPE ENCODING — the deploy half of the tokenizer story: train the
+    batched merge list, then apply it in rank order and report the
+    corpus's post-BPE token frequencies (token, n). Sequential rank-order
+    application reproduces the trainer's round-wise batches exactly
+    (within a round the pairs are symbol-disjoint; across rounds rank
+    order IS round order), which is why the Spark side can fold the whole
+    list as chained codegen replaces over the (word, freq) VOCAB — one
+    projection, sublinear in corpus size — and the oracle can fold the
+    identical list with list_reduce. Invariant worth reading off the
+    result: sum(len(token without spaces) · n) equals the corpus's
+    non-whitespace character count — merges never create or drop bytes."""
+    from ..operators.training import bpe_encode_counts, bpe_train_batched
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    merges = bpe_train_batched(
+        d,
+        "text",
+        n_merges=_BPE_BATCH_MERGES,
+        max_rounds=_BPE_BATCH_ROUNDS,
+        rank_cap=_BPE_CAP,
+    )
+    return bpe_encode_counts(d, "text", [p for _r, p, _n in merges])
+
+
 @q("pdf_boxes")  # rows-only: box geometry comes from the PDF tokenizer
 # over binary payloads, not SQL-reproducible (same reason as
 # extract_pages); the reading-order-join identity (rebuilding text from

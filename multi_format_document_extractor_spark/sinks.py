@@ -77,27 +77,55 @@ class Warehouse:
 
     # -- snapshot state ----------------------------------------------------
 
+    def _read_checkpoint(self) -> dict | None:
+        """The retention checkpoint written by ``expire`` (None if the
+        warehouse has never expired anything): a single synthetic commit
+        summarizing the whole expired log prefix — visible data runs at
+        the horizon, accumulated sealed days — swapped in atomically via
+        ``expired.json`` rename."""
+        try:
+            with open(os.path.join(self.root, "expired.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def commits(self) -> list[dict]:
-        """Committed snapshots in commit order (data runs AND seal markers)."""
-        out = []
+        """Committed snapshots in commit order (data runs AND seal
+        markers). When a retention checkpoint exists it REPLACES every
+        marker at or before its seq — visibility resolves from the
+        checkpoint alone, so ``expire``'s marker/file garbage collection
+        can lag (or crash and re-run) without readers ever seeing a
+        half-expired log."""
+        ckpt = self._read_checkpoint()
+        out: list[dict] = [ckpt] if ckpt else []
         for name in sorted(os.listdir(self.commits_dir)):
-            if name.endswith(".json"):
-                with open(os.path.join(self.commits_dir, name)) as f:
-                    out.append(json.load(f))
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.commits_dir, name)) as f:
+                rec = json.load(f)
+            if ckpt is not None and rec["seq"] <= ckpt["seq"]:
+                continue  # superseded by the checkpoint; GC may lag
+            out.append(rec)
         return out
 
     @staticmethod
     def _data_run_ids(commits: list[dict]) -> list[str]:
         # seal markers carry no data dir; runs replaced by a later
-        # compaction commit are superseded — readers must skip both
+        # compaction commit are superseded — readers must skip both; a
+        # retention checkpoint contributes the runs visible at its
+        # horizon (later compactions can still replace them)
         replaced: set[str] = set()
         for c in commits:
             replaced.update(c.get("replaces", []))
-        return [
-            c["run_id"]
-            for c in commits
-            if c.get("kind") != "seal" and c["run_id"] not in replaced
-        ]
+        out: list[str] = []
+        for c in commits:
+            if c.get("kind") == "checkpoint":
+                out.extend(
+                    r for r in c.get("base_runs", []) if r not in replaced
+                )
+            elif c.get("kind") != "seal" and c["run_id"] not in replaced:
+                out.append(c["run_id"])
+        return out
 
     def committed_run_ids(self) -> list[str]:
         return self._data_run_ids(self.commits())
@@ -121,6 +149,8 @@ class Warehouse:
         for c in commits:
             if c.get("kind") == "seal":
                 days.update(c.get("complete_days", []))
+            elif c.get("kind") == "checkpoint":
+                days.update(c.get("marker_days", []))
         return days
 
     def complete_days(self) -> set[str]:
@@ -163,10 +193,24 @@ class Warehouse:
         pass) — so audits, reproductions, and incremental consumers
         re-read any historical snapshot deterministically. Raises on an
         unknown ``seq``: silently reading the nearest prefix would mask a
-        caller bug."""
-        commits = [c for c in self.commits() if c["seq"] <= seq]
+        caller bug. A seq behind the retention horizon (``expire``) raises
+        an EXPIRED error naming the horizon — distinguishable from a seq
+        that never existed."""
+        all_commits = self.commits()
+        commits = [c for c in all_commits if c["seq"] <= seq]
         if not commits or commits[-1]["seq"] != seq:
-            known = [c["seq"] for c in self.commits()]
+            first = all_commits[0] if all_commits else None
+            if (
+                first is not None
+                and first.get("kind") == "checkpoint"
+                and seq < first["seq"]
+            ):
+                raise ValueError(
+                    f"snapshot seq {seq} has been EXPIRED: retention "
+                    f"horizon is seq {first['seq']} "
+                    f"(Warehouse.expire removed older snapshots)"
+                )
+            known = [c["seq"] for c in all_commits]
             raise ValueError(f"unknown snapshot seq {seq}; have {known}")
         return self.read_extracted(spark, _commits=commits)
 
@@ -373,6 +417,97 @@ class Warehouse:
         if fail_before_commit:
             return record
         return self._commit_marker(record)
+
+    # -- retention -----------------------------------------------------------
+
+    def expire(
+        self, keep_last: int = 8, fail_before_gc: bool = False
+    ) -> dict | None:
+        """Snapshot retention (Iceberg ``expire_snapshots`` analog,
+        round-3 VERDICT "Next round" #5): keep the last ``keep_last``
+        snapshots readable and expire everything older. Without this the
+        commit log and compaction-superseded run files grow without
+        bound — every restart adds a run, every compaction strands its
+        inputs on disk forever.
+
+        Mechanics, crash-safe in two phases:
+        1. ATOMIC WATERMARK SWAP — write a single ``checkpoint`` record
+           to ``<root>/expired.json`` (tmp + rename) summarizing the
+           expired log prefix: the data runs visible at the horizon
+           (``base_runs`` — still needed by every retained snapshot),
+           the accumulated sealed days, and the ``expired_runs`` whose
+           files no retained snapshot can see (runs superseded by a
+           compaction WITHIN the expired prefix). From this instant
+           ``commits()`` resolves visibility from the checkpoint; the
+           physical cleanup below is pure garbage collection.
+        2. GC — delete the superseded commit markers and the
+           ``expired_runs`` data/lineage directories. Idempotent: a
+           crash here leaves only unreachable files, and a re-run (or
+           the next expire) collects them. ``fail_before_gc`` injects
+           that crash for the tests.
+
+        Guarantees: ``read_at`` for every RETAINED seq is byte-identical
+        to before; an expired seq raises the EXPIRED error; resume
+        (``pending``) and sealed-day pruning are unaffected (the
+        checkpoint carries the day sets forward). Returns the checkpoint
+        record, or None when nothing is old enough to expire."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        commits = self.commits()
+        if len(commits) <= keep_last:
+            return None
+        prefix = commits[:-keep_last]
+        horizon = prefix[-1]["seq"]
+        base_runs = self._data_run_ids(prefix)
+        prefix_runs: set[str] = set()
+        for c in prefix:
+            if c.get("kind") == "checkpoint":
+                prefix_runs.update(c.get("base_runs", []))
+            elif c.get("kind") != "seal":
+                prefix_runs.add(c["run_id"])
+        record = {
+            "run_id": f"ckpt_{uuid.uuid4().hex[:12]}",
+            "kind": "checkpoint",
+            "seq": horizon,
+            "base_runs": base_runs,
+            "expired_runs": sorted(prefix_runs - set(base_runs)),
+            "complete_days": sorted(self._complete_days(prefix)),
+            "marker_days": sorted(self._marker_days(prefix)),
+            "committed_at": time.time(),
+        }
+        path = os.path.join(self.root, "expired.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, path)  # <- the expire happens exactly here
+        if fail_before_gc:
+            return record
+        self._gc_expired(record)
+        return record
+
+    def _gc_expired(self, ckpt: dict) -> None:
+        """Physical cleanup behind the checkpoint watermark — safe to
+        re-run any time (e.g. after a crash between swap and GC)."""
+        import shutil
+
+        for name in list(os.listdir(self.commits_dir)):
+            if not name.endswith(".json"):
+                continue
+            try:
+                seq = int(name.split("-", 1)[0])
+            except ValueError:
+                continue
+            if seq <= ckpt["seq"]:
+                os.remove(os.path.join(self.commits_dir, name))
+        for rid in ckpt.get("expired_runs", []):
+            shutil.rmtree(
+                os.path.join(self.runs_dir, f"run_id={rid}"),
+                ignore_errors=True,
+            )
+            shutil.rmtree(
+                os.path.join(self.lineage_dir, f"run_id={rid}"),
+                ignore_errors=True,
+            )
 
     # -- the job -----------------------------------------------------------
 

@@ -147,3 +147,38 @@ def test_router_ladder_order_and_branches(spark):
     for i, _, want in cases:
         assert got[i][0] == want, (i, got[i])
         assert got[i][1]  # every route carries a reason string
+
+
+def test_date_contract_every_listed_shape_parses(spark):
+    """The closed DATE_FORMATS contract (functions/normalize.py): every
+    listed shape parses to the same date; an out-of-contract shape
+    normalizes to NULL (error-as-data), never a wrong guess."""
+    from pyspark.sql import functions as F
+
+    from multi_format_document_extractor_spark.functions.normalize import (
+        DATE_FORMATS,
+        iso_date,
+        normalize_date,
+    )
+
+    samples = [
+        ("2024-03-27", "yyyy-MM-dd"),
+        ("3/27/2024", "M/d/yyyy"),
+        ("March 27, 2024", "MMMM d, yyyy"),
+        ("Mar 27, 2024", "MMM d, yyyy"),
+        ("27 Mar 2024", "d MMM yyyy"),
+        ("3-27-24", "M-d-yy"),
+        ("27.3.2024", "d.M.yyyy"),
+    ]
+    assert {f for _, f in samples} == set(DATE_FORMATS)
+    df = spark.createDataFrame(
+        [(s,) for s, _ in samples] + [("27/03/2024 oddball",), ("next tuesday",)],
+        "raw string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(iso_date(normalize_date(F.col("raw"))).alias("d"))
+        .collect()
+    ]
+    assert got[: len(samples)] == ["2024-03-27"] * len(samples), got
+    assert got[len(samples):] == [None, None]

@@ -144,6 +144,36 @@ def test_bpe_train_learns_hand_computable_merges(spark):
     assert merges == [(1, "a b", 5), (2, "a ab", 3)]
 
 
+def test_bpe_encode_hand_computable_and_byte_preserving(spark):
+    """Encoding with a trained merge list: hand-checkable token counts,
+    sequential-apply == the trainer's own final vocab state, and the
+    byte-conservation invariant (sum(len(token)·n) == non-ws chars)."""
+    from multi_format_document_extractor_spark.operators.training import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab ab ab")], "doc_id int, text string"
+    )
+    merges = [p for _r, p, _n in bpe_train(docs, "text", n_merges=2)]
+    got = {
+        r["token"]: r["n"]
+        for r in bpe_encode_counts(docs, "text", merges).collect()
+    }
+    # 'aab' → a|ab (merge1 b→ab... merge1 'a b': ' a  a  b '→' a  ab ';
+    # merge2 'a ab': → ' aab '); 'ab' → ' ab '
+    assert got == {"aab": 3, "ab": 2}
+    total_chars = 3 * 3 + 2 * 2
+    assert sum(len(t) * n for t, n in got.items()) == total_chars
+    # zero merges degrades to character counts
+    chars = {
+        r["token"]: r["n"]
+        for r in bpe_encode_counts(docs, "text", []).collect()
+    }
+    assert chars == {"a": 8, "b": 5}
+
+
 def test_cluster_split_closes_the_near_dup_leak(spark):
     """Leakage-free split contract: every EXACT clone (+1M, Jaccard 1.0
     ⇒ always a verified edge) shares its original's rep AND split; near

@@ -284,3 +284,129 @@ def test_time_travel_read_at_every_snapshot(spark, pages, tmp_path):
     assert len(snap0) < len(snap1)
     with _pytest.raises(ValueError, match="unknown snapshot"):
         wh.read_at(spark, 99)
+
+
+def test_expire_retention(spark, pages, tmp_path):
+    """Retention (expire): old snapshots raise the EXPIRED error, every
+    retained snapshot stays byte-identical, resume stays exact, sealed-day
+    state carries through the checkpoint, and compaction-superseded run
+    files behind the horizon are physically deleted."""
+    import os
+
+    import pytest as _pytest
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    days = sorted(
+        r["d"]
+        for r in pages.select(
+            F.date_format("warc_ts", "yyyy-MM-dd").alias("d")
+        )
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .collect()
+    )
+    # seq 0..2: one run per day slice; seq 3: compaction replaces them
+    for i, d in enumerate(days[:3]):
+        part = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") <= d)
+        wh.run(spark, part, run_id=f"run{i}")
+    snaps = {
+        s: _collect_texts(wh.read_at(spark, s)) for s in range(3)
+    }
+    wh.compact(spark, run_id="c1")
+    snaps[3] = _collect_texts(wh.read_at(spark, 3))
+    # seq 4: one more append after the compaction
+    wh.run(spark, pages, run_id="run4")
+    snaps[4] = _collect_texts(wh.read_at(spark, 4))
+    sealed_before = wh.complete_days()
+
+    rec = wh.expire(keep_last=2)  # keep seqs 3, 4; horizon = seq 2
+    assert rec is not None and rec["seq"] == 2
+    # the horizon snapshot still NEEDS run0..run2 (seq-2 visibility), so
+    # nothing is deletable yet — retention never deletes what a retained
+    # snapshot (or the horizon itself) can see
+    assert rec["expired_runs"] == [] and set(rec["base_runs"]) == {
+        "run0",
+        "run1",
+        "run2",
+    }
+    for rid in ("run0", "run1", "run2", "c1"):
+        assert os.path.exists(
+            os.path.join(wh.runs_dir, f"run_id={rid}")
+        ), rid
+
+    # horizon + retained snapshots byte-identical; older raise BY NAME
+    assert _collect_texts(wh.read_at(spark, 2)) == snaps[2]
+    assert _collect_texts(wh.read_at(spark, 3)) == snaps[3]
+    assert _collect_texts(wh.read_at(spark, 4)) == snaps[4]
+    assert _collect_texts(wh.read_extracted(spark)) == snaps[4]
+    for s in range(2):
+        with _pytest.raises(ValueError, match="EXPIRED"):
+            wh.read_at(spark, s)
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        wh.read_at(spark, 99)
+
+    # sealed-day state carried through the checkpoint; resume still exact
+    assert wh.complete_days() == sealed_before
+    assert wh.pending(pages).count() == 0
+    rec5 = wh.run(spark, pages, run_id="run5")
+    assert rec5["n_docs"] == 0
+
+    # second expire crosses the compaction: horizon becomes seq 3 (c1),
+    # so run0..run2 — superseded by c1 INSIDE the expired prefix — are
+    # now invisible to every remaining snapshot and their files delete
+    rec2 = wh.expire(keep_last=2)  # commits now: ckpt(2), c1(3), 4, 5
+    assert rec2 is not None and rec2["seq"] == 3
+    assert set(rec2["expired_runs"]) == {"run0", "run1", "run2"}
+    for rid in ("run0", "run1", "run2"):
+        assert not os.path.exists(
+            os.path.join(wh.runs_dir, f"run_id={rid}")
+        ), rid
+    assert os.path.exists(os.path.join(wh.runs_dir, "run_id=c1"))
+    assert _collect_texts(wh.read_at(spark, 3)) == snaps[3]
+    assert _collect_texts(wh.read_extracted(spark)) == snaps[4]
+    with _pytest.raises(ValueError, match="EXPIRED"):
+        wh.read_at(spark, 2)
+
+
+def test_expire_crash_before_gc_is_invisible_and_rerunnable(
+    spark, pages, tmp_path
+):
+    """The watermark swap is the expire: a crash before GC must leave
+    readers already consistent (checkpoint wins over leftover markers),
+    and the next expire/GC collects the garbage."""
+    import os
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    first_day = pages.select(
+        F.min(F.date_format("warc_ts", "yyyy-MM-dd")).alias("d")
+    ).collect()[0]["d"]
+    part = pages.where(F.date_format("warc_ts", "yyyy-MM-dd") == first_day)
+    wh.run(spark, part, run_id="run1")
+    wh.run(spark, pages, run_id="run2")
+    wh.compact(spark, run_id="c1")
+    wh.run(spark, pages, run_id="run3")
+    head = _collect_texts(wh.read_extracted(spark))
+
+    rec = wh.expire(keep_last=2, fail_before_gc=True)
+    # markers at/behind the horizon still on disk, but commits() resolves
+    # from the checkpoint: no duplicate visibility, head unchanged
+    leftover = [
+        n
+        for n in os.listdir(wh.commits_dir)
+        if n.endswith(".json") and int(n.split("-", 1)[0]) <= rec["seq"]
+    ]
+    assert leftover, "crash injection should leave stale markers"
+    seqs = [c["seq"] for c in wh.commits()]
+    assert seqs == sorted(set(seqs)), seqs  # no duplicate seq entries
+    assert _collect_texts(wh.read_extracted(spark)) == head
+    assert wh.pending(pages).count() == 0
+
+    # GC re-run collects the garbage; state unchanged
+    wh._gc_expired(rec)
+    leftover2 = [
+        n
+        for n in os.listdir(wh.commits_dir)
+        if n.endswith(".json") and int(n.split("-", 1)[0]) <= rec["seq"]
+    ]
+    assert not leftover2
+    assert _collect_texts(wh.read_extracted(spark)) == head
