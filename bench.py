@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "outlink_graph",       # href extract → host link graph
     "token_counts",        # tokenization stats
     "bpe_pair_counts",     # BPE merge-step pair table (vocab-phase agg)
+    "bpe_train_batched",   # batch-greedy merge loop (1 collect/round)
+    "bpe_encode",          # trained merges applied over the vocab
     "window_agg",          # tumbling window (batch)
     "doc_chunks",          # overlapping fixed-token chunking (stageless)
     "batch_assembly",      # length-bucketed inference batching
@@ -142,6 +144,21 @@ def main() -> None:
     docs_per_sec = N_DOCS / extract_sec
     times["extract_pages_salted"] = round(
         _timed(lambda: extract_pages(pages, salt_partitions=int(CPUS) * 4)), 3
+    )
+    from multi_format_document_extractor_spark.operators.extract import (
+        extract_pages_routed,
+    )
+
+    # format-routed plan: heavy-per-byte formats (~3% of bytes) salted,
+    # html/text on the zero-shuffle split (BENCH.md "Per-format compute
+    # cost"); expected ≈ the split headline since the shuffle slice is tiny
+    times["extract_pages_routed"] = round(
+        _timed(
+            lambda: extract_pages_routed(
+                pages, salt_partitions=int(CPUS) * 4
+            )
+        ),
+        3,
     )
 
     # -- registry queries at the driver's sf dir -----------------------------

@@ -9,7 +9,7 @@ a real two-implementation check.
 
 Row mix per FIXTURES.md §1 (extended round 2): ~60% HTML, ~13% PDF, ~8%
 plain text, ~5% DOCX + ~5% XLSX (real PK-zip containers), ~4% binary
-image (decodable PBM/PNG/GIF + noise payloads on the error/media path),
+image (decodable PBM/PNG/GIF/JPEG + noise payloads on the error path),
 ~3% empty/null payload (error path), ~2%
 oversized (≥1 MB, skew path). Host
 distribution is Zipf-like (host0 ≈ 30% of urls) to exercise salting (T4).
@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 5  # v5: + decodable GIFs (real LZW, interlace mix)
+CORPUS_VERSION = 6  # v6: + decodable JPEGs (baseline gray, real Huffman+DCT)
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -530,8 +530,9 @@ _IMAGE_MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a"]
 
 
 def _make_image(rng: random.Random) -> tuple[bytes, str, int]:
-    """Opaque binary image payload: magic + noise. The core routes these to
-    error rows (media path owns decoding), so expected text is empty."""
+    """Opaque binary image payload: magic + noise. The real decoders
+    reject the garbage bodies, so these are error rows (expected text
+    empty) — the corpus's corrupt-image slice."""
     magic = rng.choice(_IMAGE_MAGICS)
     body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
     return magic + body, "", 0
@@ -589,6 +590,21 @@ def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:
     return payload, "\n".join(lines), n_lines
 
 
+def _make_jpeg(rng: random.Random) -> tuple[bytes, str, int]:
+    """Readable REAL JPEG (v6): text rendered into a baseline sequential
+    grayscale JPEG (quant=1, Annex-K Huffman tables) — payloads any
+    standard JPEG reader also decodes. Expected text is the generator's
+    own line list (decode side stays independently checked, as with
+    PBM/PNG/GIF)."""
+    from .oracle import render_jpeg
+
+    n_lines = rng.randint(1, 3)
+    lines = [
+        _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
+    ]
+    return render_jpeg(lines), "\n".join(lines), n_lines
+
+
 # ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
@@ -627,10 +643,12 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             kind = "xlsx"
         elif r < 0.972:
             kind = "pbm"
-        elif r < 0.981:
+        elif r < 0.980:
             kind = "png"
-        elif r < 0.990:
+        elif r < 0.988:
             kind = "gif"
+        elif r < 0.995:
+            kind = "jpeg"
         else:
             kind = "image"
 
@@ -668,6 +686,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             noisy = exp_s
         elif kind == "gif":
             payload, exp_s, n_blocks = _make_gif(rng)
+            expected, fmt = exp_s.encode("utf-8"), "image"
+            noisy = exp_s
+        elif kind == "jpeg":
+            payload, exp_s, n_blocks = _make_jpeg(rng)
             expected, fmt = exp_s.encode("utf-8"), "image"
             noisy = exp_s
         elif kind == "image":

@@ -4,12 +4,12 @@ Images/audio/video ride the same input-table shape as HTML/PDF pages —
 a ``payload BINARY`` column with magic-byte sniffing (the reference's OCR
 path treats images as opaque bytes too, src/parsers/ocr_parser.py:59-62).
 The Spark-side plumbing (schemas, Arrow batch shape, per-partition decoder
-pool) is real and tested. PNG and GIF decode FOR REAL via the stdlib codecs
-in oracle.py; the remaining codec steps (jpeg, audio, video) are STUBBED
-because the sandbox has no image/audio libraries — ``decode_image_stub``
-produces a deterministic fake "decode" and a clearly-marked
-NotImplementedError hook shows where pillow/ffmpeg would plug in on a real
-cluster.
+pool) is real and tested. PNG, GIF, and JPEG decode FOR REAL via the stdlib
+codecs in oracle.py; the remaining codec steps (resize resampling, audio,
+video) are STUBBED because the sandbox has no image/audio libraries —
+``decode_image_stub`` produces a deterministic fake "decode" and a
+clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
+plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -46,10 +46,11 @@ def sniff_media(payload: bytes | None) -> str:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode and return (w, h). PNG and GIF decode FOR REAL via the
-    stdlib codecs in oracle.py (v4 retired the S8 stub for PNG, v5 for
-    GIF); JPEG remains a REAL-CLUSTER HOOK (pillow/libvips) — baseline
-    JPEG (Huffman+DCT) is outside the deterministic-stdlib contract."""
+    """Decode and return (w, h). PNG, GIF, and JPEG all decode FOR REAL
+    via the stdlib codecs in oracle.py (v4 retired the S8 stub for PNG,
+    v5 for GIF, v6 for JPEG — jpeg_dims reads geometry from any SOFn
+    header, so color/progressive JPEGs the full pixel decoder refuses
+    still report real dimensions here)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from ..oracle import png_decode_gray8
 
@@ -60,26 +61,35 @@ def decode_image(payload: bytes) -> tuple[int, int]:
 
         w, h, _ = gif_decode_gray(payload)
         return w, h
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..oracle import jpeg_dims
+
+        return jpeg_dims(payload)
     raise NotImplementedError(
-        "jpeg codec not available in this environment"
+        "image codec for this container not available in this environment"
     )
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode for the REMAINING stubbed codec
-    (jpeg): dimensions derived from a content digest — stable across
-    runs/executors, exercising the full Arrow round-trip."""
+    """Deterministic fake decode for containers with no stdlib codec
+    (e.g. webp/tiff carried as octet-stream): dimensions derived from a
+    content digest — stable across runs/executors, exercising the full
+    Arrow round-trip."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
 def _dims_of(p: bytes | None) -> tuple[int, int]:
-    """Real dims for decodable PNGs/GIFs, digest-stub dims for the
-    stubbed codec, (0, 0) for null/corrupt payloads — never an exception
-    (the error-as-data rule)."""
+    """Real dims for decodable PNGs/GIFs/JPEGs, digest-stub dims for
+    unknown containers, (0, 0) for null/corrupt payloads — never an
+    exception (the error-as-data rule)."""
     if p is None:
         return 0, 0
-    if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:4] == b"GIF8":
+    if (
+        p[:8] == b"\x89PNG\r\n\x1a\n"
+        or p[:4] == b"GIF8"
+        or p[:3] == b"\xff\xd8\xff"
+    ):
         try:
             return decode_image(p)
         except Exception:  # noqa: BLE001 — corrupt container, dims unknown

@@ -24,6 +24,7 @@ Everything is pure-Python stdlib and deterministic.
 from __future__ import annotations
 
 import io
+import math
 import re
 import zipfile
 import zlib
@@ -1009,8 +1010,8 @@ def render_pbm(lines: list[str]) -> bytes:
 # (None/Sub/Up/Average/Paeth) unfiltered per the PNG spec. Retires the PNG
 # half of the S8 stub (round-3 VERDICT "Next round" #2; reference extracts
 # image content via EasyOCR/TrOCR, src/parsers/ocr_parser.py:59-217): decoded
-# pixels feed the same _classify_glyph_grid tail as P4 bitmaps. JPEG
-# remains on the media/error path; GIF gets its own real LZW codec below.
+# pixels feed the same _classify_glyph_grid tail as P4 bitmaps. GIF and
+# JPEG get their own real stdlib codecs below.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -1194,9 +1195,7 @@ def render_png(lines: list[str], filter_types: list[int] | None = None) -> bytes
 # reorder, palette→luminance. Retires the GIF half of the S8 stub (the PNG
 # half fell in v4; reference extracts image content via EasyOCR/TrOCR,
 # src/parsers/ocr_parser.py:59-217): decoded pixels feed the same
-# _classify_glyph_grid tail as P4 bitmaps and PNGs. JPEG stays on the media
-# path — baseline JPEG needs Huffman+DCT, out of the deterministic-stdlib
-# contract for now.
+# _classify_glyph_grid tail as P4 bitmaps and PNGs.
 # ---------------------------------------------------------------------------
 
 
@@ -1462,6 +1461,441 @@ def render_gif(
 
 
 # ---------------------------------------------------------------------------
+# JPEG: a REAL stdlib-only baseline-sequential grayscale codec — segment
+# walk, DQT/DHT/SOF0/SOS parse, canonical Huffman decode with FF-stuffing,
+# dequantize, zigzag, separable 8x8 IDCT. Retires the LAST image half of the
+# S8 stub (PBM fell in r3, PNG/GIF in r4; reference extracts image content
+# via EasyOCR/TrOCR, src/parsers/ocr_parser.py:59-217): decoded pixels feed
+# the same _classify_glyph_grid tail as the other rasters. The encoder
+# (render half of the contract) writes near-lossless quant=1 files any
+# standard JPEG reader also decodes; color/progressive/subsampled files
+# raise with the unsupported parameter named (error-as-data upstream), and
+# jpeg_dims still reads geometry from any SOFn header for the media path.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# standard Annex-K luminance Huffman tables (ITU T.81 Tables K.3/K.5)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# orthonormal DCT-II basis: A[u][x]; FDCT = A·blk·Aᵀ, IDCT = Aᵀ·coef·A
+_DCT_A = tuple(
+    tuple(
+        (math.sqrt(0.125) if u == 0 else 0.5)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    )
+    for u in range(8)
+)
+_DCT_AT = tuple(tuple(_DCT_A[u][x] for u in range(8)) for x in range(8))
+
+
+def _dct2d(blk, basis):
+    """basis @ blk @ basisᵀ for an 8×8 list-of-rows (pass _DCT_A for the
+    forward transform, _DCT_AT for the inverse)."""
+    tmp = [
+        [sum(basis[u][x] * blk[x][y] for x in range(8)) for y in range(8)]
+        for u in range(8)
+    ]
+    return [
+        [sum(tmp[u][y] * basis[v][y] for y in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(encode {val: (code, len)}, decode {len: {code: val}}) from the
+    DHT-style BITS/HUFFVAL canonical-code description (T.81 C.2)."""
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[int, dict[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        dec_ln: dict[int, int] = {}
+        for _ in range(bits[ln - 1]):
+            v = vals[k]
+            enc[v] = (code, ln)
+            dec_ln[code] = v
+            code += 1
+            k += 1
+        dec[ln] = dec_ln
+        code <<= 1
+    return enc, dec
+
+
+def _jpeg_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode_gray8(px, w: int, h: int) -> bytes:
+    """Baseline sequential grayscale JPEG: all-ones quant table
+    (near-lossless — roundtrip error ≤1 LSB), standard Annex-K luminance
+    Huffman tables, edge pixels replicated to the 8×8 grid."""
+    pw = (w + 7) // 8 * 8
+    ph = (h + 7) // 8 * 8
+    img = [
+        [float(px[min(y, h - 1)][min(x, w - 1)]) - 128.0 for x in range(pw)]
+        for y in range(ph)
+    ]
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = [img[by + y][bx : bx + 8] for y in range(8)]
+            coef = _dct2d(blk, _DCT_A)
+            flat = [coef[i // 8][i % 8] for i in range(64)]
+            zz = [
+                int(
+                    flat[_JPEG_ZIGZAG[i]]
+                    + (0.5 if flat[_JPEG_ZIGZAG[i]] >= 0 else -0.5)
+                )
+                for i in range(64)
+            ]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = _jpeg_cat(diff)
+            code, ln = dc_enc[cat]
+            put(code, ln)
+            if cat:
+                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for i in range(1, 64):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    put(code, ln)
+                    run -= 16
+                cat = _jpeg_cat(v)
+                code, ln = ac_enc[(run << 4) | cat]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                code, ln = ac_enc[0x00]  # EOB
+                put(code, ln)
+    if nbits:
+        pad = 8 - nbits
+        put((1 << pad) - 1, pad)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xC0,
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def render_jpeg(lines: list[str]) -> bytes:
+    """Render text lines into a REAL baseline grayscale JPEG (ink=0x00 on
+    0xFF background) — the generator half of the JPEG contract."""
+    w, h, ink = _render_ink_pixels(lines)
+    px = [[255] * w for _ in range(h)]
+    for x, y in ink:
+        px[y][x] = 0
+    return jpeg_encode_gray8(px, w, h)
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded scan, honoring 0xFF00
+    byte stuffing; any other marker inside the scan is a named error."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.d):
+                    raise ValueError("JPEG entropy data truncated at FF")
+                m = self.d[self.pos]
+                if m == 0x00:
+                    self.pos += 1
+                elif m == 0xD9:
+                    raise ValueError("JPEG scan ended early (EOI)")
+                else:
+                    raise ValueError(
+                        f"unsupported JPEG marker 0xFF{m:02X} in scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff(br: _JpegBits, dec) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        tab = dec.get(ln)
+        if tab is not None and code in tab:
+            return tab[code]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    # T.81 F.2.2.1 EXTEND: map a cat-bit magnitude to its signed value
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def jpeg_segments(payload: bytes):
+    """Yield (marker, body) for each JPEG segment up to and including SOS
+    (whose body excludes the entropy-coded data); the final yield is
+    ('scan_start', offset-of-entropy-data)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (no SOS)")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG ended before scan data")
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        if ln < 2 or pos + ln > n:
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        yield marker, body
+        if marker == 0xDA:
+            yield "scan_start", pos
+            return
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(w, h) from any SOFn header — works for color/progressive JPEGs the
+    full decoder refuses (the media metadata path needs only geometry)."""
+    for marker, body in jpeg_segments(payload):
+        if marker == "scan_start":
+            break
+        if isinstance(marker, int) and marker in _JPEG_SOF_MARKERS:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            return w, h
+    raise ValueError("JPEG has no SOF header")
+
+
+def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
+    """(w, h, pixels row-major) for a baseline sequential single-component
+    8-bit JPEG; anything else raises with the unsupported parameter named
+    (error-as-data upstream, same contract as PNG/GIF)."""
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    w = h = 0
+    comp_q = dc_id = ac_id = None
+    scan_at = None
+    for marker, body in jpeg_segments(payload):
+        if marker == "scan_start":
+            scan_at = body
+            break
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant table)")
+                tab = list(body[i + 1 : i + 65])
+                if len(tab) != 64:
+                    raise ValueError("truncated JPEG quant table")
+                qt[tq] = tab
+                i += 65
+        elif marker in _JPEG_SOF_MARKERS and marker != 0xC0:
+            raise ValueError(
+                f"unsupported JPEG (SOF 0x{marker:02X}); decoder covers "
+                "baseline sequential (SOF0)"
+            )
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("unsupported JPEG (precision != 8)")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError(
+                    f"unsupported JPEG ({body[5]} components); decoder "
+                    "covers single-component grayscale"
+                )
+            if body[7] != 0x11:
+                raise ValueError("unsupported JPEG (subsampled component)")
+            comp_q = body[8]
+            if w <= 0 or h <= 0 or w * h > 64_000_000:
+                raise ValueError(
+                    "JPEG geometry invalid or over the decode bound"
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv or len(bits) != 16:
+                    raise ValueError("truncated JPEG Huffman table")
+                _, dec = _jpeg_canonical_codes(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("unsupported JPEG (restart intervals)")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("unsupported JPEG (multi-component scan)")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+    if (
+        scan_at is None
+        or not w
+        or comp_q not in qt
+        or dc_id not in huff_dc
+        or ac_id not in huff_ac
+    ):
+        raise ValueError("JPEG scan started before SOF/DQT/DHT")
+    q = qt[comp_q]
+    br = _JpegBits(payload, scan_at)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h)
+    prev_dc = 0
+    dcd, acd = huff_dc[dc_id], huff_ac[ac_id]
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = [0.0] * 64
+            cat = _jpeg_huff(br, dcd)
+            prev_dc += _jpeg_extend(br.bits(cat), cat) if cat else 0
+            zz[0] = prev_dc * q[0]
+            i = 1
+            while i < 64:
+                rs = _jpeg_huff(br, acd)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        i += 16
+                        continue
+                    break  # EOB
+                i += r
+                if i > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[i] = _jpeg_extend(br.bits(s), s) * q[i]
+                i += 1
+            coef = [[0.0] * 8 for _ in range(8)]
+            for i in range(64):
+                coef[_JPEG_ZIGZAG[i] // 8][_JPEG_ZIGZAG[i] % 8] = zz[i]
+            blk = _dct2d(coef, _DCT_AT)
+            for y in range(min(8, h - by * 8)):
+                row = blk[y]
+                o = (by * 8 + y) * w + bx * 8
+                for x in range(min(8, w - bx * 8)):
+                    v = int(row[x] + 128.5)
+                    out[o + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return w, h, out
+
+
+def extract_jpeg(payload: bytes) -> tuple[bytes, int]:
+    """JPEG → text via the shared raster pipeline: real segment/Huffman/
+    IDCT decode, threshold at mid-gray (ink = dark), then the same 6×8
+    glyph classification as P4/PNG/GIF rasters."""
+    w, h, lum = jpeg_decode_gray8(payload)
+
+    def px(x: int, y: int) -> int:
+        return 1 if lum[y * w + x] < 128 else 0
+
+    return _classify_glyph_grid(px, w, h)
+
+
+# ---------------------------------------------------------------------------
 # Office containers: real DOCX/XLSX parsing via stdlib zipfile + ElementTree
 # (reference parses these with python-docx / pandas.read_excel —
 # src/parsers/word_parser.py:30-60, src/parsers/excel_parser.py:30-49; here
@@ -1667,24 +2101,17 @@ def extract(payload: bytes | None, profile: str = "default") -> Extracted:
                 return Extracted(
                     fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
                 )
-        if sub == "gif":
-            # REAL decode path (S8 stub retired for GIF too): LZW +
-            # palette→luminance + glyph classify; animations / corrupt
-            # files surface as error rows.
-            try:
-                text, n_blocks = extract_gif(payload)  # type: ignore[arg-type]
-                return Extracted(fmt, text, n_blocks, True)
-            except Exception as exc:  # noqa: BLE001 — error path is data
-                return Extracted(
-                    fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
-                )
-        # jpeg: no stdlib decoder; the multimodal media path
-        # (multimodal/media.py) owns it. Error-as-data, never garbage
-        # text passthrough.
-        return Extracted(
-            fmt, b"", 0, False,
-            f"image payload ({sub}): route to media path",
-        )
+        # gif/jpeg: REAL decode paths too (S8 image stub fully retired —
+        # GIF via LZW + palette→luminance, JPEG via Huffman + IDCT); color/
+        # progressive/animated/corrupt files surface as error rows.
+        decoder = extract_gif if sub == "gif" else extract_jpeg
+        try:
+            text, n_blocks = decoder(payload)  # type: ignore[arg-type]
+            return Extracted(fmt, text, n_blocks, True)
+        except Exception as exc:  # noqa: BLE001 — error path is data
+            return Extracted(
+                fmt, b"", 0, False, f"{type(exc).__name__}: {exc}"
+            )
     try:
         enc: str | None = None
         if fmt == FORMAT_ZIP:

@@ -2165,10 +2165,11 @@ def warehouse_compact_q(spark, sf_dir):
     )
 
 
-@q("multimodal_meta")  # rows-only: stubbed codec, deterministic fake decode
+@q("multimodal_meta")  # rows-only: non-image payloads take the digest-stub
 def multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata via a pandas-UDF
-    decoder pool (codec stubbed; see multimodal/media.py)."""
+    decoder pool (PNG/GIF/JPEG dims decode for real; these text payloads
+    take the deterministic digest stub — see multimodal/media.py)."""
     from ..multimodal import media_metadata
 
     d = _t(spark, sf_dir, "documents").select(

@@ -36,12 +36,12 @@ def test_spark_extraction_byte_identical(spark, corpus_dir, corpus_rows):
             assert g["ok"], row.url
         if row.format == "image":
             if row.text_expected:
-                # v4 readable PNGs decode for real (ok rows; bytes already
-                # matched above)
+                # readable PNG/GIF/JPEG rasters decode for real (ok rows;
+                # bytes already matched above)
                 assert g["ok"], row.url
             else:
-                # noise images are error rows: jpeg/gif route to the media
-                # path, corrupt PNG surfaces its decode error
+                # noise images are error rows: every raster decoder
+                # surfaces its own decode error
                 assert not g["ok"] and g["error"], row.url
 
 

@@ -289,17 +289,17 @@ def test_unsupported_zip_and_corrupt_zip_are_error_rows():
     assert corrupt.format == "zip" and not corrupt.ok and corrupt.text == b""
 
 
-def test_image_routes_to_media_path():
-    # jpeg: no stdlib decoder — media path owns it
-    e = oracle.extract(b"\xff\xd8\xff\xe0\x01\x02\x03")
-    assert e.format == "image" and not e.ok and e.text == b""
-    assert "jpeg" in e.error and "media path" in e.error
-    # png/gif: REAL decode paths (v4/v5) — garbage after the magic is a
-    # decode error row, never an exception or silent passthrough
-    for garbage in (b"\x89PNG\r\n\x1a\n\x01\x02\x03", b"GIF89a" + bytes(40)):
+def test_corrupt_images_are_decode_error_rows():
+    # png/gif/jpeg: ALL real decode paths (v4/v5/v6) — garbage after the
+    # magic is a decode error row, never an exception or silent passthrough
+    for garbage in (
+        b"\x89PNG\r\n\x1a\n\x01\x02\x03",
+        b"GIF89a" + bytes(40),
+        b"\xff\xd8\xff\xe0\x01\x02\x03",
+    ):
         e = oracle.extract(garbage)
         assert e.format == "image" and not e.ok and e.text == b""
-        assert "media path" not in e.error  # it went through the decoder
+        assert "media path" not in (e.error or "")  # went through a decoder
 
 
 def test_gif_roundtrip_all_variants():
@@ -460,3 +460,64 @@ def test_png_render_decode_roundtrip_and_errors():
     # decoder accepts geometry checks before touching pixel data
     with __import__("pytest").raises(ValueError):
         png_decode_gray8(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_render_decode_roundtrip_and_errors():
+    """The v6 JPEG codec (retires the last image half of S8): baseline
+    grayscale encode → segment/Huffman/IDCT decode recovers the text
+    byte-identically; gray-ramp pixel roundtrip is within 1 LSB of the
+    quant=1 contract; unsupported shapes are named error rows; every
+    truncation of a real payload is an error ROW, never an exception."""
+    from multi_format_document_extractor_spark.oracle import (
+        extract_jpeg,
+        jpeg_decode_gray8,
+        jpeg_dims,
+        jpeg_encode_gray8,
+        render_jpeg,
+    )
+
+    lines = ["QUICK BROWN FOX", "JUMPS OVER", "A"]
+    j = render_jpeg(lines)
+    assert j[:3] == b"\xff\xd8\xff" and j[-2:] == b"\xff\xd9"
+    t, n = extract_jpeg(j)
+    assert t == b"QUICK BROWN FOX\nJUMPS OVER\nA" and n == 3
+    # full dispatch: format 'image', ok, no encoding column
+    r = oracle.extract(render_jpeg(["DENSITY LAYOUT"]))
+    assert r.format == "image" and r.ok and r.encoding is None
+    assert r.text == b"DENSITY LAYOUT" and r.n_blocks == 1
+    # near-lossless pixel contract on non-glyph content (gradients hit
+    # every AC path: runs, ZRL, EOB, byte stuffing)
+    w, h = 21, 13
+    img = [[(x * 7 + y * 11) % 256 for x in range(w)] for y in range(h)]
+    data = jpeg_encode_gray8(img, w, h)
+    w2, h2, pix = jpeg_decode_gray8(data)
+    assert (w2, h2) == (w, h) == jpeg_dims(data)
+    assert max(
+        abs(pix[y * w + x] - img[y][x]) for y in range(h) for x in range(w)
+    ) <= 1
+    # unsupported shapes are named: progressive SOF2 and 3-component SOF0
+    body = bytearray(j)
+    sof_at = bytes(body).find(b"\xff\xc0")
+    body[sof_at + 1] = 0xC2
+    e = oracle.extract(bytes(body))
+    assert not e.ok and "SOF 0xC2" in e.error
+    body = bytearray(j)
+    body[sof_at + 9] = 3  # component count byte of SOF0
+    e = oracle.extract(bytes(body))
+    assert not e.ok and "3 components" in e.error
+    # jpeg_dims still reads geometry from the refused progressive file
+    prog = bytearray(j)
+    prog[sof_at + 1] = 0xC2
+    assert jpeg_dims(bytes(prog)) == jpeg_dims(j)
+    # truncation fuzz: error rows all the way down
+    for cut in range(0, len(j), 7):
+        e = oracle.extract(j[:cut])
+        assert isinstance(e.ok, bool)
+        if cut >= 3:
+            assert e.format == "image" and not e.ok
+    # a flipped entropy byte never escapes as an exception
+    for flip_at in range(len(j) - 40, len(j) - 2):
+        bad = bytearray(j)
+        bad[flip_at] ^= 0x55
+        e = oracle.extract(bytes(bad))
+        assert isinstance(e.ok, bool)
