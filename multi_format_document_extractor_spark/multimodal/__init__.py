@@ -1,4 +1,5 @@
 from .media import (  # noqa: F401
+    audio_metadata,
     decode_image_stub,
     extract_features,
     media_metadata,

@@ -5,8 +5,10 @@ a ``payload BINARY`` column with magic-byte sniffing (the reference's OCR
 path treats images as opaque bytes too, src/parsers/ocr_parser.py:59-62).
 The Spark-side plumbing (schemas, Arrow batch shape, per-partition decoder
 pool) is real and tested. PNG, GIF, and JPEG decode FOR REAL via the stdlib
-codecs in oracle.py; the remaining codec steps (resize resampling, audio,
-video) are STUBBED because the sandbox has no image/audio libraries —
+codecs in oracle.py, and resize is a REAL fixed-point bilinear resample
+over those decoded rasters (PNG re-encode on the way out). The remaining
+codec steps (video frame decode; containers with no stdlib codec like
+webp/tiff) are STUBBED because the sandbox has no image/video libraries —
 ``decode_image_stub`` produces a deterministic fake "decode" and a
 clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
 plug in on a real cluster.
@@ -32,8 +34,10 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
-    b"RIFF": "audio/wav",
 }
+
+# RIFF is a container family — the form type at offset 8 picks the member
+_RIFF_FORMS = {b"WAVE": "audio/wav", b"AVI ": "video/avi", b"WEBP": "image/webp"}
 
 
 def sniff_media(payload: bytes | None) -> str:
@@ -42,6 +46,8 @@ def sniff_media(payload: bytes | None) -> str:
     for magic, mt in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return mt
+    if payload[:4] == b"RIFF":
+        return _RIFF_FORMS.get(payload[8:12], "application/octet-stream")
     return "application/octet-stream"
 
 
@@ -134,14 +140,72 @@ FRAMES_DDL = "doc_id long, frame_idx int, ts_ms long, frame_payload binary"
 FEATURES_DDL = "doc_id long, embedding array<float>"
 
 
+def decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """Full-pixel decode dispatch: (w, h, row-major gray8 buffer) for the
+    three REAL stdlib codecs (PNG/GIF/JPEG); raises for anything else —
+    callers on the error-as-data path catch."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..oracle import png_decode_gray8
+
+        return png_decode_gray8(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..oracle import gif_decode_gray
+
+        return gif_decode_gray(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..oracle import jpeg_decode_gray8
+
+        return jpeg_decode_gray8(payload)
+    raise NotImplementedError(
+        "image codec for this container not available in this environment"
+    )
+
+
+def resample_gray8(px, w: int, h: int, ow: int, oh: int) -> bytearray:
+    """REAL bilinear resample in 8.8 fixed point (pure integer math, so
+    bit-reproducible across executors/platforms — no float rounding in
+    the data path). Half-pixel-center convention (src = (dst+0.5)*scale
+    - 0.5, clamped), the same mapping pillow/OpenCV use for bilinear."""
+    if ow <= 0 or oh <= 0:
+        raise ValueError("target geometry must be positive")
+    out = bytearray(ow * oh)
+    # per-axis fixed-point source coordinates, precomputed once
+    xs = []
+    for ox in range(ow):
+        s = ((2 * ox + 1) * w * 128) // ow - 128  # (ox+.5)*w/ow-.5 in 1/256
+        s = 0 if s < 0 else min(s, (w - 1) * 256)
+        xs.append((s >> 8, s & 255))
+    for oy in range(oh):
+        s = ((2 * oy + 1) * h * 128) // oh - 128
+        s = 0 if s < 0 else min(s, (h - 1) * 256)
+        y0, fy = s >> 8, s & 255
+        r0 = y0 * w
+        r1 = min(y0 + 1, h - 1) * w
+        orow = oy * ow
+        for ox, (x0, fx) in enumerate(xs):
+            x1 = min(x0 + 1, w - 1)
+            top = px[r0 + x0] * (256 - fx) + px[r0 + x1] * fx
+            bot = px[r1 + x0] * (256 - fx) + px[r1 + x1] * fx
+            out[orow + ox] = (top * (256 - fy) + bot * fy + 32768) >> 16
+    return out
+
+
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    """REAL-CLUSTER HOOK: pillow/libvips resample to (w, h)."""
-    raise NotImplementedError("image codec not available in this environment")
+    """REAL resample to (w, h) for the decodable containers: full pixel
+    decode (PNG/GIF/JPEG stdlib codecs) → fixed-point bilinear → PNG gray8
+    re-encode (the canonical resized-output container, lossless whatever
+    the input was). Raises for containers with no stdlib codec — the
+    DataFrame op below catches and falls back per the error-as-data rule."""
+    from ..oracle import png_encode_gray8
+
+    sw, sh, px = decode_gray(payload)
+    return png_encode_gray8(resample_gray8(px, sw, sh, w, h), w, h)
 
 
 def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
-    # deterministic fake: content digest keyed by target dims — output bytes
-    # differ per (payload, w, h) exactly like a real resample would
+    # deterministic fake for containers with no stdlib codec (webp/tiff
+    # carried as octet-stream): content digest keyed by target dims —
+    # output bytes differ per (payload, w, h) like a real resample would
     seed = hashlib.sha256(payload + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
     return seed.digest()
 
@@ -149,20 +213,128 @@ def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
 def resize_images(df: DataFrame, w: int, h: int) -> DataFrame:
     """df(doc_id, payload) → resized payloads, one mapInPandas stage.
     1:1 row mapping; the binary column stays binary through Arrow (never
-    coerced to str — the byte-identity hazard of SURVEY.md §7)."""
+    coerced to str — the byte-identity hazard of SURVEY.md §7). Decodable
+    containers get the REAL bilinear resample (PNG output); unknown
+    containers take the digest stub; null/corrupt payloads → null."""
+
+    def one(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        try:
+            return resize_image(p, w, h)
+        except NotImplementedError:
+            return _resize_stub(p, w, h)
+        except Exception:  # noqa: BLE001 — corrupt container
+            return None
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             out = pdf[["doc_id"]].copy()
             out["width"] = w
             out["height"] = h
-            out["payload"] = [
-                _resize_stub(p, w, h) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            out["payload"] = [one(p) for p in pdf["payload"]]
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(batches, schema=RESIZED_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL stdlib WAV support — header parse via the `wave` module plus
+# integer-exact PCM features (peak / RMS via math.isqrt — no float in the
+# data path). 8-bit unsigned and 16-bit signed PCM, mono or multi-channel.
+# Non-WAV containers (mp3/ogg/flac) stay on the digest stub below; corrupt
+# WAVs are error-as-data (null feature columns).
+# ---------------------------------------------------------------------------
+
+AUDIO_META_DDL = (
+    "doc_id long, media_type string, n_bytes long, sample_rate int, "
+    "channels int, sample_width int, n_frames long, duration_ms long, "
+    "peak int, rms int"
+)
+
+
+def render_wav(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Interleaved 16-bit signed PCM → a REAL RIFF/WAVE payload (stdlib
+    `wave` writer) — the generator half of the WAV contract, so tests and
+    parser share one container definition."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_features(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """(sample_rate, channels, sample_width, n_frames, duration_ms, peak,
+    rms) for a PCM WAV. Integer-exact: peak = max |centered sample|, rms =
+    isqrt(mean square). Raises for non-WAV / compressed / >16-bit payloads
+    (error-as-data upstream, same contract as the image codecs)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate, ch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        n_frames = wf.getnframes()
+        if width not in (1, 2):
+            raise ValueError(f"unsupported WAV sample width {width}")
+        frames = wf.readframes(n_frames)
+    n = len(frames) // width
+    if width == 1:
+        vals = [b - 128 for b in frames[:n]]
+    else:
+        vals = struct.unpack(f"<{n}h", frames[: n * 2])
+    peak = max((abs(v) for v in vals), default=0)
+    rms = math.isqrt(sum(v * v for v in vals) // n) if n else 0
+    duration_ms = n_frames * 1000 // rate if rate else 0
+    return rate, ch, width, n_frames, duration_ms, peak, rms
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload BINARY) → typed audio metadata via one
+    mapInPandas stage (the audio analog of media_metadata). WAVs parse
+    for REAL; other containers carry null feature columns with the
+    sniffed media_type preserved."""
+
+    def feats(p: bytes | None):
+        if p is None:
+            return (None,) * 7
+        try:
+            return wav_features(p)
+        except Exception:  # noqa: BLE001 — non-WAV or corrupt container
+            return (None,) * 7
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = list(pdf["payload"])
+            rows = [feats(p) for p in payloads]
+            out = pdf[["doc_id"]].copy()
+            out["media_type"] = [sniff_media(p) for p in payloads]
+            out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
+            for i, col in enumerate(
+                (
+                    "sample_rate",
+                    "channels",
+                    "sample_width",
+                    "n_frames",
+                    "duration_ms",
+                    "peak",
+                    "rms",
+                )
+            ):
+                out[col] = [r[i] for r in rows]
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, schema=AUDIO_META_DDL
+    )
 
 
 def sample_frames_real(payload: bytes, every_ms: int):

@@ -1142,6 +1142,19 @@ def render_png(lines: list[str], filter_types: list[int] | None = None) -> bytes
     recon = bytearray(b"\xff" * (w * h))
     for x, y in ink:
         recon[y * w + x] = 0
+    return png_encode_gray8(recon, w, h, filter_types)
+
+
+def png_encode_gray8(
+    px, w: int, h: int, filter_types: list[int] | None = None
+) -> bytes:
+    """Row-major 8-bit grayscale pixels → a REAL PNG any standard reader
+    decodes (the pixel-level encoder half; render_png layers text on top).
+    Also the canonical output container for resized rasters
+    (multimodal/media.resize_image re-encodes through here)."""
+    if w <= 0 or h <= 0 or len(px) != w * h:
+        raise ValueError("pixel buffer does not match geometry")
+    recon = px
     fts = filter_types or [0]
     raw = bytearray()
     for y in range(h):

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schemas, Arrow batch shapes, exploded row counts,
-and determinism across runs — the codec itself is stubbed (no image/audio
-libs in this sandbox), the Spark side is real."""
+and determinism across runs. Image decode (PNG/GIF/JPEG), bilinear resize,
+and WAV audio features are REAL stdlib paths; video frame decode and
+no-stdlib-codec containers stay on the deterministic stubs."""
 
 from __future__ import annotations
 
@@ -112,3 +113,181 @@ def test_stub_matches_plain_python(spark):
             continue
         p = hashlib.sha256(str(r.doc_id).encode()).digest() * 3
         assert (r.width, r.height) == decode_image_stub(p)
+
+
+# ---------------------------------------------------------------------------
+# REAL resize: fixed-point bilinear over the stdlib-decoded rasters
+# ---------------------------------------------------------------------------
+
+
+def test_resample_bilinear_invariants():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        resample_gray8,
+    )
+
+    # constant regions are exact under the integer weights (Σw = 65536)
+    flat = bytearray([77] * (9 * 7))
+    for ow, oh in ((3, 2), (9, 7), (20, 15)):
+        assert set(resample_gray8(flat, 9, 7, ow, oh)) == {77}
+    # identity geometry reproduces the buffer byte-for-byte
+    grad = bytearray((x * 11 + y * 3) % 256 for y in range(7) for x in range(9))
+    assert resample_gray8(grad, 9, 7, 9, 7) == grad
+    # a 2x2 checkerboard upscaled 4x: corners keep their source values
+    # (half-pixel centers clamp at the edge), midline blends toward mid-gray
+    cb = bytearray([0, 255, 255, 0])
+    up = resample_gray8(cb, 2, 2, 8, 8)
+    assert up[0] == 0 and up[7] == 255 and up[56] == 255 and up[63] == 0
+    mid = up[3 * 8 + 3 : 3 * 8 + 5]
+    assert all(60 < v < 200 for v in mid)
+    # value range is always preserved (no fixed-point overflow)
+    assert all(0 <= v <= 255 for v in up)
+    import pytest
+
+    with pytest.raises(ValueError):
+        resample_gray8(flat, 9, 7, 0, 5)
+
+
+def test_resize_image_real_all_containers():
+    """Every decodable container resizes for REAL: decode → bilinear →
+    PNG re-encode; background stays exactly 0xFF (constant-region
+    exactness), ink survives, geometry is the target's."""
+    from multi_format_document_extractor_spark.multimodal.media import (
+        resize_image,
+    )
+    from multi_format_document_extractor_spark.oracle import (
+        png_decode_gray8,
+        render_gif,
+        render_jpeg,
+        render_png,
+    )
+
+    for payload in (
+        render_png(["HELLO SPARK"]),
+        render_gif(["HELLO SPARK"]),
+        render_jpeg(["HELLO SPARK"]),
+    ):
+        out = resize_image(payload, 132, 32)
+        w, h, px = png_decode_gray8(out)
+        assert (w, h) == (132, 32)
+        # background survives (JPEG quant=1 is within 1 LSB of 0xFF) and
+        # so does ink — glyphs render from (0,0), so corners may be ink
+        assert max(px) >= 254
+        assert min(px) < 100
+    # determinism across calls
+    p = render_png(["AB"])
+    assert resize_image(p, 50, 20) == resize_image(p, 50, 20)
+
+
+def test_resize_images_mixed_containers(spark):
+    from multi_format_document_extractor_spark.multimodal.media import (
+        _resize_stub,
+    )
+    from multi_format_document_extractor_spark.oracle import (
+        png_decode_gray8,
+        render_jpeg,
+        render_png,
+    )
+
+    png, jpg = render_png(["REAL PATH"]), render_jpeg(["REAL TOO"])
+    opaque = hashlib.sha256(b"x").digest() * 3
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(0, png), (1, jpg), (2, opaque), (3, corrupt), (4, None)],
+        "doc_id long, payload binary",
+    )
+    by_id = {r.doc_id: r for r in resize_images(df, 64, 24).collect()}
+    for i in (0, 1):  # real containers → real PNG output at target dims
+        w, h, _ = png_decode_gray8(bytes(by_id[i].payload))
+        assert (w, h) == (64, 24)
+    assert bytes(by_id[2].payload) == _resize_stub(opaque, 64, 24)
+    assert by_id[3].payload is None  # corrupt container → error-as-data
+    assert by_id[4].payload is None
+
+
+# ---------------------------------------------------------------------------
+# REAL audio: stdlib WAV parse + integer-exact PCM features
+# ---------------------------------------------------------------------------
+
+
+def test_wav_features_exact():
+    import math
+
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_wav,
+        wav_features,
+    )
+
+    samples = [0, 1000, -1000, 2000, -2000, 30000, -30000, 0]
+    wav = render_wav(samples, sample_rate=8000)
+    rate, ch, width, n_frames, dur, peak, rms = wav_features(wav)
+    assert (rate, ch, width, n_frames) == (8000, 1, 2, 8)
+    assert dur == 8 * 1000 // 8000
+    assert peak == 30000
+    assert rms == math.isqrt(sum(s * s for s in samples) // len(samples))
+    # stereo: frames = samples // channels, features span both channels
+    st = render_wav(samples, sample_rate=44100, channels=2)
+    rate2, ch2, _, nf2, dur2, peak2, _ = wav_features(st)
+    assert (rate2, ch2, nf2) == (44100, 2, 4)
+    assert dur2 == 4 * 1000 // 44100 and peak2 == 30000
+    # 8-bit unsigned path: values centered at 128
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(1000)
+        wf.writeframes(bytes([128, 255, 0, 128]))
+    rate3, _, width3, _, _, peak3, rms3 = wav_features(buf.getvalue())
+    assert (rate3, width3, peak3) == (1000, 1, 128)
+    assert rms3 == math.isqrt((0 + 127 * 127 + 128 * 128 + 0) // 4)
+    # corrupt / non-WAV payloads raise (error-as-data upstream)
+    import pytest
+
+    for bad in (b"ID3\x04garbage", wav[:20], b"RIFF1234WAVE"):
+        with pytest.raises(Exception):
+            wav_features(bad)
+
+
+def test_audio_metadata_spark(spark):
+    from multi_format_document_extractor_spark.multimodal import (
+        audio_metadata,
+    )
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_wav,
+        wav_features,
+    )
+
+    wav = render_wav(list(range(-500, 500, 10)), sample_rate=16000)
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"ID3\x04not-a-wav"), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = audio_metadata(df)
+    assert [f.name for f in out.schema] == [
+        "doc_id", "media_type", "n_bytes", "sample_rate", "channels",
+        "sample_width", "n_frames", "duration_ms", "peak", "rms",
+    ]
+    by_id = {r.doc_id: r for r in out.collect()}
+    rate, ch, width, nf, dur, peak, rms = wav_features(wav)
+    got = by_id[0]
+    assert (
+        got.media_type, got.sample_rate, got.channels, got.sample_width,
+        got.n_frames, got.duration_ms, got.peak, got.rms,
+    ) == ("audio/wav", rate, ch, width, nf, dur, peak, rms)
+    assert by_id[1].sample_rate is None and by_id[1].n_bytes == 13
+    assert by_id[2].media_type == "unknown" and by_id[2].rms is None
+
+
+def test_sniff_media_riff_forms():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_wav,
+        sniff_media,
+    )
+
+    assert sniff_media(render_wav([0, 1], 8000)) == "audio/wav"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00AVI LIST") == "video/avi"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00????") == "application/octet-stream"
+    assert sniff_media(b"RIFF") == "application/octet-stream"
