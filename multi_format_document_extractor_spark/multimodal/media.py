@@ -5,10 +5,12 @@ a ``payload BINARY`` column with magic-byte sniffing (the reference's OCR
 path treats images as opaque bytes too, src/parsers/ocr_parser.py:59-62).
 The Spark-side plumbing (schemas, Arrow batch shape, per-partition decoder
 pool) is real and tested. PNG, GIF, and JPEG decode FOR REAL via the stdlib
-codecs in oracle.py, and resize is a REAL fixed-point bilinear resample
-over those decoded rasters (PNG re-encode on the way out). The remaining
-codec steps (video frame decode; containers with no stdlib codec like
-webp/tiff) are STUBBED because the sandbox has no image/video libraries —
+codecs in oracle.py, resize is a REAL fixed-point bilinear resample over
+those decoded rasters (PNG re-encode on the way out), WAV audio parses for
+real, and animated-GIF frame sampling is REAL (GCE timeline decode +
+partial-rect compositing). The remaining codec steps (mp4/webm video;
+containers with no stdlib codec like webp/tiff) are STUBBED because the
+sandbox has no image/video libraries —
 ``decode_image_stub`` produces a deterministic fake "decode" and a
 clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
 plug in on a real cluster.
@@ -337,16 +339,59 @@ def audio_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames_real(payload: bytes, every_ms: int):
-    """REAL-CLUSTER HOOK: ffmpeg/pyav keyframe sampling."""
-    raise NotImplementedError("video codec not available in this environment")
+def sample_frames_real(payload: bytes, every_ms: int, max_frames: int = 8):
+    """REAL frame sampling for animated GIFs: decode the frame timeline
+    (GCE delays, partial-rect compositing), then sample the visible frame
+    at t = 0, every_ms, 2*every_ms, … over the animation's duration,
+    capped at max_frames — the fps-sampling semantics ffmpeg's fps filter
+    uses. Returns [(ts_ms, png_gray8_payload), ...]. Raises for non-GIF
+    containers (ffmpeg/pyav would own mp4/webm on a real cluster)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "video codec for this container not available in this environment"
+        )
+    from ..oracle import gif_decode_frames, png_encode_gray8
+
+    w, h, frames = gif_decode_frames(payload, max_frames=max_frames * 4)
+    # timeline: frame k is visible from start_k = Σ delays before it
+    starts = []
+    t = 0
+    for delay_ms, _px in frames:
+        starts.append(t)
+        t += delay_ms
+    total = t
+    out = []
+    k = 0
+    for i in range(max_frames):
+        ts = i * every_ms
+        if i > 0 and ts >= max(total, 1):
+            break
+        while k + 1 < len(frames) and starts[k + 1] <= ts:
+            k += 1
+        out.append((ts, png_encode_gray8(frames[k][1], w, h)))
+    return out
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
     """df(doc_id, payload) → one row PER SAMPLED FRAME (UDTF-shaped fan-out
-    inside mapInPandas; output cardinality = Σ min(max_frames, dur/every_ms)).
-    Frame count derives deterministically from the payload digest so tests
-    can assert exact exploded row counts."""
+    inside mapInPandas). GIF payloads sample for REAL (timeline decode →
+    PNG frame payloads); other containers keep the deterministic digest
+    fake (count = 1 + digest[2] % max_frames) so tests can assert exact
+    exploded row counts; corrupt GIFs contribute zero rows
+    (error-as-data)."""
+
+    def one(p: bytes):
+        try:
+            return sample_frames_real(p, every_ms, max_frames)
+        except NotImplementedError:
+            h = hashlib.sha256(p).digest()
+            n = 1 + h[2] % max_frames  # fake "duration" → frame count
+            return [
+                (i * every_ms, hashlib.sha256(p + i.to_bytes(4, "big")).digest())
+                for i in range(n)
+            ]
+        except Exception:  # noqa: BLE001 — corrupt container
+            return []
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd_  # worker-side import
@@ -356,13 +401,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if p is None:
                     continue
-                h = hashlib.sha256(p).digest()
-                n = 1 + h[2] % max_frames  # fake "duration" → frame count
-                for i in range(n):
+                for i, (ts, fp) in enumerate(one(p)):
                     ids.append(doc_id)
                     idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(hashlib.sha256(p + i.to_bytes(4, "big")).digest())
+                    tss.append(ts)
+                    frames.append(fp)
             yield pd_.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_payload": frames}
             )

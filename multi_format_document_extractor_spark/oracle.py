@@ -1370,6 +1370,129 @@ def gif_decode_gray(payload: bytes) -> tuple[int, int, bytearray]:
     raise ValueError("GIF contains no image data")
 
 
+def gif_decode_frames(
+    payload: bytes, max_frames: int = 64
+) -> tuple[int, int, list[tuple[int, bytearray]]]:
+    """(w, h, [(delay_ms, composited luminance frame), ...]) for an
+    animated (or single-frame) GIF87a/89a — the REAL multi-frame codec
+    behind the video-ish frame-sampling path. Handles Graphic Control
+    Extension delays + transparency, partial-rect frames composited onto
+    the logical screen, and disposal methods 0/1 (leave) and 2 (restore
+    to background); disposal 3 (restore-previous) raises by name.
+    Decoding stops after ``max_frames`` (bounded work per payload).
+    The single-image extraction contract (gif_decode_gray) is separate
+    and unchanged — this decoder serves the media path."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("GIF geometry invalid or over the decode bound")
+    pos = 13
+    global_ct: bytes | None = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        global_ct = payload[pos : pos + 3 * n_colors]
+        if len(global_ct) < 3 * n_colors:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n_colors
+
+    def lum_of(ct: bytes, i: int) -> int:
+        return (ct[3 * i] * 299 + ct[3 * i + 1] * 587 + ct[3 * i + 2] * 114) // 1000
+
+    bg_lum = 255
+    if global_ct is not None and bg_index < len(global_ct) // 3:
+        bg_lum = lum_of(global_ct, bg_index)
+    canvas = bytearray([bg_lum]) * (w * h)
+    frames: list[tuple[int, bytearray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control Ext
+                disposal = (data[0] >> 2) & 0x07
+                if disposal == 3:
+                    raise ValueError(
+                        "unsupported GIF disposal 3 (restore-previous)"
+                    )
+                delay_ms = int.from_bytes(data[1:3], "little") * 10
+                transparent = data[3] if data[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+            raise ValueError("GIF frame rect outside the logical screen")
+        ct = global_ct
+        if ipacked & 0x80:
+            n_colors = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n_colors]
+            if len(ct) < 3 * n_colors:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n_colors
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF before LZW data")
+        min_code = payload[pos]
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"GIF LZW min code size {min_code} invalid")
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(data, min_code, iw * ih)
+        n_ct = len(ct) // 3
+        rows: list[int]
+        if ipacked & 0x40:
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, ih, step))
+        else:
+            rows = list(range(ih))
+        for src_y, dst_y in enumerate(rows):
+            base = (top + dst_y) * w + left
+            srow = src_y * iw
+            for x in range(iw):
+                i = idx[srow + x]
+                if i >= n_ct:
+                    raise ValueError("GIF pixel index outside color table")
+                if i != transparent:
+                    canvas[base + x] = lum_of(ct, i)
+        frames.append((delay_ms, bytearray(canvas)))
+        if len(frames) >= max_frames:
+            break
+        if disposal == 2:  # restore the frame's rect to background
+            for dy in range(ih):
+                base = (top + dy) * w + left
+                for x in range(iw):
+                    canvas[base + x] = bg_lum
+        delay_ms, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, frames
+
+
 def extract_gif(payload: bytes) -> tuple[bytes, int]:
     """GIF → text via the shared raster pipeline: real LZW decode,
     threshold at mid-gray (ink = dark), then the same 6×8 glyph
@@ -1470,6 +1593,56 @@ def render_gif(
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def render_gif_animated(
+    frames_lines: list[list[str]],
+    delays_ms: list[int] | None = None,
+    partial_after_first: bool = False,
+) -> bytes:
+    """Render one text raster PER FRAME into a REAL animated GIF89a —
+    the generator half of the multi-frame contract. Every frame carries
+    a Graphic Control Extension with its delay (rounded to the wire's
+    centisecond grain). ``partial_after_first`` writes frames 2..n as
+    partial rects covering only their own text's bounding box (offset
+    compositing path); otherwise every frame is full-screen. Files any
+    standard GIF player also animates."""
+    if not frames_lines:
+        raise ValueError("animation needs at least one frame")
+    rasters = [_render_ink_pixels(lines) for lines in frames_lines]
+    w = max(r[0] for r in rasters)
+    h = max(r[1] for r in rasters)
+    delays = delays_ms or [100] * len(rasters)
+    if len(delays) != len(rasters):
+        raise ValueError("delays_ms length must match frames")
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])
+    out += b"\xff\xff\xff\x00\x00\x00"  # palette: 0 white bg, 1 black ink
+    min_code = 2
+    for fi, (fw, fh, ink) in enumerate(rasters):
+        cs = max(0, delays[fi] // 10)
+        out += b"\x21\xf9\x04\x00" + cs.to_bytes(2, "little") + b"\x00\x00"
+        if partial_after_first and fi > 0:
+            left, top, iw, ih = 0, 0, fw, fh  # frame's own bbox as the rect
+        else:
+            left, top, iw, ih = 0, 0, w, h
+        idx = bytearray(iw * ih)
+        for x, y in ink:
+            if x < iw and y < ih:
+                idx[y * iw + x] = 1
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+        out += b"\x00" + bytes([min_code])
+        data = _gif_lzw_encode(bytes(idx), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

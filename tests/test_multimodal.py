@@ -1,7 +1,8 @@
 """Multimodal plumbing: schemas, Arrow batch shapes, exploded row counts,
 and determinism across runs. Image decode (PNG/GIF/JPEG), bilinear resize,
-and WAV audio features are REAL stdlib paths; video frame decode and
-no-stdlib-codec containers stay on the deterministic stubs."""
+WAV audio features, and animated-GIF frame sampling are REAL stdlib paths;
+mp4/webm video and no-stdlib-codec containers stay on the deterministic
+stubs."""
 
 from __future__ import annotations
 
@@ -291,3 +292,89 @@ def test_sniff_media_riff_forms():
     assert sniff_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
     assert sniff_media(b"RIFF\x00\x00\x00\x00????") == "application/octet-stream"
     assert sniff_media(b"RIFF") == "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# REAL animated-GIF frame sampling: GCE timeline + compositing
+# ---------------------------------------------------------------------------
+
+
+def test_gif_decode_frames_timeline_and_compositing():
+    import pytest
+
+    from multi_format_document_extractor_spark.oracle import (
+        gif_decode_frames,
+        render_gif,
+        render_gif_animated,
+    )
+
+    # three full-screen frames with distinct delays
+    gif = render_gif_animated(
+        [["AAA"], ["BBB"], ["CCC"]], delays_ms=[100, 250, 50]
+    )
+    w, h, frames = gif_decode_frames(gif)
+    assert (w, h) == (18, 8) and len(frames) == 3
+    assert [d for d, _ in frames] == [100, 250, 50]
+    # frames differ (different glyphs), same geometry
+    assert frames[0][1] != frames[1][1] != frames[2][1]
+    assert all(len(px) == w * h for _, px in frames)
+    # a single-frame render_gif file decodes as a 1-frame animation
+    w1, h1, single = gif_decode_frames(render_gif(["SOLO"]))
+    assert len(single) == 1 and single[0][0] == 0
+    # partial frames composite onto the running canvas: frame 2's rect is
+    # its own bbox, so pixels right of it keep frame 1's content
+    wide = render_gif_animated(
+        [["WIDE FIRST"], ["X"]], delays_ms=[100, 100], partial_after_first=True
+    )
+    w2, h2, comp = gif_decode_frames(wide)
+    assert len(comp) == 2
+    # column beyond "X"'s 6px rect is unchanged from frame 1
+    tail0 = [comp[0][1][y * w2 + x] for y in range(h2) for x in range(12, w2)]
+    tail1 = [comp[1][1][y * w2 + x] for y in range(h2) for x in range(12, w2)]
+    assert tail0 == tail1
+    # but the X region did change
+    head0 = [comp[0][1][y * w2 + x] for y in range(h2) for x in range(6)]
+    head1 = [comp[1][1][y * w2 + x] for y in range(h2) for x in range(6)]
+    assert head0 != head1
+    # max_frames bounds the decode
+    assert len(gif_decode_frames(gif, max_frames=2)[2]) == 2
+    # corrupt payloads raise (error-as-data upstream)
+    with pytest.raises(Exception):
+        gif_decode_frames(b"GIF89a" + bytes(30))
+
+
+def test_sample_frames_real_gif(spark):
+    from multi_format_document_extractor_spark.multimodal.media import (
+        sample_frames_real,
+    )
+    from multi_format_document_extractor_spark.oracle import (
+        png_decode_gray8,
+        render_gif_animated,
+    )
+
+    gif = render_gif_animated(
+        [["ONE"], ["TWO"], ["SIX"]], delays_ms=[500, 500, 500]
+    )
+    # plain-python semantics: ticks at 0/400/800/1200, visible frame tracks
+    # the timeline (starts 0/500/1000), total 1500ms
+    out = sample_frames_real(gif, every_ms=400, max_frames=8)
+    assert [ts for ts, _ in out] == [0, 400, 800, 1200]
+    f0 = png_decode_gray8(out[0][1])
+    assert f0[:2] == (18, 8)
+    assert out[0][1] == out[1][1]  # both ticks inside frame 0's window
+    assert out[2][1] != out[0][1]  # tick 800 sees frame 1
+    # Spark path: GIF rows take the real path, opaque rows keep the fake
+    opaque = hashlib.sha256(b"v").digest() * 3
+    df = spark.createDataFrame(
+        [(0, gif), (1, opaque), (2, b"GIF89a" + bytes(30)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_ms=400, max_frames=8).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert len(by_id[0]) == 4
+    assert bytes(by_id[0][0].frame_payload)[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(by_id[1]) == 1 + hashlib.sha256(opaque).digest()[2] % 8
+    assert 2 not in by_id  # corrupt GIF → zero rows, no exception
+    assert 3 not in by_id
