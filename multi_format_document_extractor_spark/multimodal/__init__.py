@@ -5,4 +5,5 @@ from .media import (  # noqa: F401
     media_metadata,
     resize_images,
     sample_frames,
+    synth_wav_roundtrip,
 )

@@ -339,6 +339,52 @@ def audio_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_ROUNDTRIP_DDL = (
+    "doc_id long, n_frames long, duration_ms long, peak int, rms int"
+)
+
+
+def synth_wav_roundtrip(df: DataFrame) -> DataFrame:
+    """df(doc_id, text) → render a REAL RIFF/WAVE payload per document
+    (printable-ASCII codepoints centered at 'O' → 16-bit PCM at 8 kHz,
+    sample = (ord(ch) - 79) * 256) and parse it straight back with
+    wav_features — one mapInPandas stage whose integer-exact features a
+    SQL oracle can recompute from the text alone, proving the WAV
+    writer/parser round-trip on corpus-scale data (the audio analog of
+    the image codec T1 fixtures). Documents with no printable chars
+    yield no row: there is nothing to encode."""
+
+    def one(doc_id: int, text: str | None):
+        if text is None:
+            return None
+        samples = [(ord(ch) - 79) * 256 for ch in text if 32 <= ord(ch) <= 126]
+        if not samples:
+            return None
+        _rate, _ch, _w, nf, dur, peak, rms = wav_features(
+            render_wav(samples, 8000)
+        )
+        return (doc_id, nf, dur, peak, rms)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd_  # worker-side import
+
+        for pdf in it:
+            rows = [
+                r
+                for r in (
+                    one(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                )
+                if r is not None
+            ]
+            yield pd_.DataFrame(
+                rows, columns=["doc_id", "n_frames", "duration_ms", "peak", "rms"]
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        batches, schema=AUDIO_ROUNDTRIP_DDL
+    )
+
+
 def sample_frames_real(payload: bytes, every_ms: int, max_frames: int = 8):
     """REAL frame sampling for animated GIFs: decode the frame timeline
     (GCE delays, partial-rect compositing), then sample the visible frame

@@ -1927,3 +1927,56 @@ def extract_enriched(spark, sf_dir):
         "n_tokens_bpe",
         "content_key",
     )
+
+
+# =========================================================================
+# Audio round-trip: REAL WAV render + parse, SQL-recomputable features
+# =========================================================================
+
+_AUDIO_SQL = """
+    WITH chars AS (
+      SELECT doc_id, ord(c) AS b
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+            FROM documents)
+      WHERE ord(c) BETWEEN 32 AND 126
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(abs(b - 79)) AS BIGINT) AS pk,
+             SUM(CAST(b - 79 AS BIGINT) * CAST(b - 79 AS BIGINT)) AS ss
+      FROM chars GROUP BY doc_id
+    ), pw AS (
+      SELECT doc_id, n, pk, (ss * 65536) // n AS p FROM agg
+    ), r0 AS (
+      SELECT doc_id, n, pk, p,
+             CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) AS r FROM pw
+    ), fixed AS (
+      SELECT doc_id, n, pk, p,
+             CASE WHEN (r + 1) * (r + 1) <= p THEN r + 1
+                  WHEN r * r > p THEN r - 1
+                  ELSE r END AS r
+      FROM r0
+    )
+    SELECT doc_id,
+           n AS n_frames,
+           (n * 1000) // 8000 AS duration_ms,
+           CAST(pk * 256 AS INT) AS peak,
+           CAST(r AS INT) AS rms
+    FROM fixed
+"""
+
+
+@q("audio_roundtrip", _AUDIO_SQL)
+def audio_roundtrip(spark, sf_dir):
+    """Audio container round-trip (multimodal/media.py synth_wav_roundtrip):
+    every document's printable-ASCII text is rendered as a REAL 16-bit PCM
+    RIFF/WAVE (stdlib `wave` writer) and immediately re-parsed by the
+    engine's WAV parser inside one mapInPandas stage; the emitted
+    integer-exact features (frame count, duration, peak, isqrt RMS) are
+    recomputed independently by the DuckDB oracle from the text alone —
+    so a hash match proves both halves of the WAV contract byte-for-byte
+    (reference OCR/media path: src/parsers/ocr_parser.py treats media as
+    payload + typed features)."""
+    from ..multimodal import synth_wav_roundtrip
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return synth_wav_roundtrip(d)

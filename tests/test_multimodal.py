@@ -378,3 +378,31 @@ def test_sample_frames_real_gif(spark):
     assert len(by_id[1]) == 1 + hashlib.sha256(opaque).digest()[2] % 8
     assert 2 not in by_id  # corrupt GIF → zero rows, no exception
     assert 3 not in by_id
+
+
+def test_synth_wav_roundtrip_edges(spark):
+    """Null text and no-printable-chars docs yield no row; a normal doc's
+    features equal a hand computation through the REAL render+parse."""
+    import math
+
+    from multi_format_document_extractor_spark.multimodal import (
+        synth_wav_roundtrip,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello"),
+            (2, None),
+            (3, "\n\t\x1b"),  # nothing printable → no samples → no row
+            (4, "O"),  # single 'O' sample = 0 → peak 0, rms 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in synth_wav_roundtrip(df).collect()}
+    assert set(rows) == {1, 4}
+    samples = [(ord(c) - 79) * 256 for c in "Hello"]
+    assert rows[1]["n_frames"] == 5
+    assert rows[1]["duration_ms"] == 5 * 1000 // 8000
+    assert rows[1]["peak"] == max(abs(s) for s in samples)
+    assert rows[1]["rms"] == math.isqrt(sum(s * s for s in samples) // 5)
+    assert (rows[4]["peak"], rows[4]["rms"]) == (0, 0)
