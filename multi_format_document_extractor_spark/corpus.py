@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 6  # v6: + decodable JPEGs (baseline gray, real Huffman+DCT)
+CORPUS_VERSION = 7  # v7: PDFs use the real text-op vocabulary (Tm/rel-Td/TD/'/TJ)
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -156,7 +156,7 @@ def _make_html(rng: random.Random, oversized: bool = False) -> tuple[bytes, str,
 
 
 # ---------------------------------------------------------------------------
-# PDF pages (constrained subset co-designed with oracle.extract_pdf)
+# PDF pages (real container + real text-op vocabulary; oracle.extract_pdf)
 # ---------------------------------------------------------------------------
 
 
@@ -169,6 +169,7 @@ def _build_pdf(
     flate: bool = False,
     indirect_length: bool = False,
     permute: random.Random | None = None,
+    objstm: bool = False,
 ) -> bytes:
     """Assemble a minimal multi-page PDF. Corpus v4 exercises the
     real-subset container features the parser supports (VERDICT r3 #1):
@@ -180,7 +181,13 @@ def _build_pdf(
     object at the END of the file (how incremental writers emit it);
     ``permute`` shuffles the PHYSICAL object order so file order is NOT
     page order — only the xref table + /Kids structure walk reads these
-    correctly (a raw stream scan gets the page order wrong)."""
+    correctly (a raw stream scan gets the page order wrong);
+    ``objstm`` emits the PDF 1.5 container — the whole page TREE
+    (catalog/pages/page dicts) packs into one Flate-compressed
+    ``/Type /ObjStm`` object stream and the cross-reference becomes a
+    binary ``/Type /XRef`` STREAM with /W-packed type-1/type-2 rows (no
+    ``trailer`` keyword) — the layout modern writers produce, readable
+    only by a parser that walks both."""
     n = len(page_streams)
     objs: list[tuple[int, bytes]] = []  # (obj_num, body)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
@@ -217,6 +224,65 @@ def _build_pdf(
                 + b"\nendstream",
             )
         )
+    if objstm:
+        tree_nums = {1, 2} | {3 + 2 * i for i in range(n)}
+        tree = [(num, body) for num, body in objs if num in tree_nums]
+        direct = [(num, body) for num, body in objs if num not in tree_nums]
+        s_num = max(num for num, _ in objs) + 1
+        x_num = s_num + 1
+        # object stream: header pairs, then bodies newline-joined
+        offs: list[tuple[int, int]] = []
+        cur = 0
+        for num, body in tree:
+            offs.append((num, cur))
+            cur += len(body) + 1
+        header = (" ".join(f"{a} {b}" for a, b in offs) + "\n").encode()
+        data = header + b"\n".join(body for _, body in tree)
+        zdata = zlib.compress(data)
+        direct.append(
+            (
+                s_num,
+                (
+                    f"<< /Type /ObjStm /N {len(tree)} /First {len(header)} "
+                    f"/Filter /FlateDecode /Length {len(zdata)} >>\nstream\n"
+                ).encode()
+                + zdata
+                + b"\nendstream",
+            )
+        )
+        if permute is not None:
+            permute.shuffle(direct)
+        out = bytearray(b"%PDF-1.5\n")
+        offsets: dict[int, int] = {}
+        for num, obj in direct:
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+        xref_pos = len(out)
+        tree_index = {num: i for i, (num, _) in enumerate(tree)}
+        rows = bytearray()
+        for num in range(x_num + 1):
+            if num == x_num:
+                typ, f2, f3 = 1, xref_pos, 0
+            elif num in offsets:
+                typ, f2, f3 = 1, offsets[num], 0
+            elif num in tree_index:
+                typ, f2, f3 = 2, s_num, tree_index[num]
+            else:
+                typ, f2, f3 = 0, 0, 65535 if num == 0 else 0
+            rows += (
+                typ.to_bytes(1, "big")
+                + f2.to_bytes(4, "big")
+                + f3.to_bytes(2, "big")
+            )
+        zrows = zlib.compress(bytes(rows))
+        out += (
+            f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
+            f"/Root 1 0 R /Filter /FlateDecode /Length {len(zrows)} >>"
+            "\nstream\n"
+        ).encode()
+        out += zrows + b"\nendstream\nendobj\n"
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
     if permute is not None:
         permute.shuffle(objs)
     out = bytearray(b"%PDF-1.4\n")
@@ -236,8 +302,16 @@ def _build_pdf(
 
 
 def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
-    """1- or 2-column layout, 1-2 pages; text ops are emitted interleaved
-    across columns so reading-order reconstruction is actually exercised."""
+    """1- or 2-column layout, 1-2 pages; text ops use the REAL op
+    vocabulary (v7, matching oracle._pdf_text_spans): per-op moves mix
+    absolute ``Tm`` with spec-correct RELATIVE ``Td`` deltas, shows mix
+    plain ``Tj`` with kerned ``TJ`` arrays (split mid-line — the kern is
+    sub-glyph spacing, so extraction must concatenate), and ~35% of
+    single-column pages typeset as the classic ``Td``/``TD``-leading/
+    ``'`` chain reportlab-style generators emit. Two-column ops are
+    interleaved across columns (stream order is NOT reading order), so
+    reading-order reconstruction AND relative-move state tracking are
+    both exercised."""
     n_pages = rng.randint(1, 2)
     two_col = rng.random() < 0.5
     page_streams: list[bytes] = []
@@ -254,13 +328,39 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                     line += " (note) \\slash"  # escape-handling edge case
                 cols[c].append((x, y, line))
                 y -= 16.0
-        # interleave ops across columns (round-robin) — stream order is NOT
-        # reading order
+
+        def show_op(line: str) -> bytes:
+            if len(line) > 2 and rng.random() < 0.3:
+                cut = rng.randint(1, len(line) - 1)
+                kern = -rng.randint(5, 60)
+                return (
+                    f"[({_pdf_escape(line[:cut])}) {kern} "
+                    f"({_pdf_escape(line[cut:])})] TJ"
+                ).encode()
+            return f"({_pdf_escape(line)}) Tj".encode()
+
         ops: list[bytes] = [b"BT /F1 12 Tf"]
-        for i in range(n_lines):
-            for c in range(len(col_x)):
-                x, y, line = cols[c][i]
-                ops.append(f"{x:g} {y:g} Td ({_pdf_escape(line)}) Tj".encode())
+        if not two_col and rng.random() < 0.35:
+            # TD-leading + ' chain: real single-column typography
+            x0, y0, first = cols[0][0]
+            ops.append(f"{x0:g} {y0:g} Td".encode())
+            ops.append(show_op(first))
+            if n_lines > 1:
+                ops.append(b"0 -16 TD")
+                ops.append(show_op(cols[0][1][2]))
+                for _x, _y, line in cols[0][2:]:
+                    ops.append(f"({_pdf_escape(line)}) '".encode())
+        else:
+            lx, ly = 0.0, 0.0
+            for i in range(n_lines):
+                for c in range(len(col_x)):
+                    x, y, line = cols[c][i]
+                    if rng.random() < 0.5:
+                        ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+                    else:
+                        ops.append(f"{x - lx:g} {y - ly:g} Td".encode())
+                    lx, ly = x, y
+                    ops.append(show_op(line))
         ops.append(b"ET")
         page_streams.append(b"\n".join(ops))
         page_texts.append(
@@ -274,8 +374,15 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     flate = rng.random() < 0.55
     indirect = flate and rng.random() < 0.4
     permute = rng if rng.random() < 0.5 else None
+    # ~25% emit the PDF 1.5 container (page tree in an ObjStm, binary
+    # /XRef stream) — only the 1.5-aware walk reads those page-ordered
+    objstm_mode = rng.random() < 0.25
     payload = _build_pdf(
-        page_streams, flate=flate, indirect_length=indirect, permute=permute
+        page_streams,
+        flate=flate,
+        indirect_length=indirect,
+        permute=permute,
+        objstm=objstm_mode,
     )
     return payload, "\n\n".join(page_texts), n_pages
 

@@ -511,17 +511,139 @@ def html_block_spans(
 # STRUCTURE (trailer /Root → catalog /Pages → /Kids → per-page /Contents,
 # cross-checked against the xref table when present) rather than file order,
 # falling back to a raw stream scan for non-conforming payloads. Text ops
-# remain the absolute-Td/Tj subset (reference parses arbitrary PDFs via
-# pdfplumber, src/parsers/pdf_parser.py:30-59; the sandbox has none, so the
-# tokenizer half stays co-designed with corpus.py while the CONTAINER half —
-# objects, xref, Flate, page tree — now follows the real PDF spec).
+# are the REAL state machine since round 4 (_pdf_text_spans: Tm
+# translation, RELATIVE Td per spec, TD/TL leading, T*, Tj/'/TJ with kern
+# concatenation) — the op vocabulary reportlab-class generators emit
+# (reference parses arbitrary PDFs via pdfplumber,
+# src/parsers/pdf_parser.py:30-59; remaining subset boundary: no Tm
+# scale/rotation, no font-metric spacing, no CMap/ToUnicode re-mapping).
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_TEXTOP_RE = re.compile(
-    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*\(((?:\\.|[^()\\])*)\)\s*Tj", re.DOTALL
-)
 _PDF_ESCAPES = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")", b"\\n": b"\n"}
+
+# Content-stream token scanner for the REAL text-op state machine (round-4
+# upgrade of the absolute-Td/Tj dialect): strings, numbers, array
+# delimiters, names, and the text operators the machine interprets —
+# Tm (set text matrix; subset reads the e/f translation), Td (RELATIVE
+# line move, per spec), TD (Td + set leading), TL (set leading), T*
+# (next line), Tj / ' / " / TJ (show ops; TJ concatenates its array's string
+# elements — numeric kerns are sub-glyph spacing, not word breaks).
+# Unmatched operators (Tc, Tw, Tz, …) simply never fire; every matched
+# operator pops its operands from the END of the stack and clears it, so
+# stray operands from unhandled ops cannot corrupt the next operator.
+_PDF_TOK_RE = re.compile(
+    rb"\((?:\\.|[^()\\])*\)"  # literal string (with escapes)
+    rb"|-?\.?\d[\d.]*"  # number
+    rb"|\[|\]"  # array delimiters
+    rb"|T\*|Tj|TJ|Td|TD|Tm|TL|Tf|Tc|Tw|Tz|Ts|Tr|BT|ET|'|\""
+    rb"|/[^\s/\[\]()<>]+"  # name
+)
+
+_PDF_NUM_OPS = {
+    b"Tm": 6,
+    b"Td": 2,
+    b"TD": 2,
+    b"TL": 1,
+}
+
+
+def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
+    """Interpret a page content stream with the real PDF text state
+    machine (ISO 32000 §9.4): returns (x, y, text) spans where (x, y) is
+    the text-line origin. Consecutive show ops with no intervening line
+    move continue the SAME line, so they merge into one span — the
+    line-assembly behavior a real extractor (pdfplumber/pdftotext)
+    produces. Subset boundary: Tm's scale/rotation components are
+    ignored (translation only), and TJ kern offsets never insert
+    spaces."""
+    spans: list[tuple[float, float, str]] = []
+    stack: list = []
+    arr: list | None = None
+    in_text = False
+    lx = ly = 0.0
+    leading = 0.0
+    cont = False  # True iff the last event was a show with no move since
+
+    def nums(k: int) -> list[float] | None:
+        vals = [v for v in stack[-k:] if isinstance(v, float)]
+        return vals if len(vals) == k else None
+
+    def emit(txt: str) -> None:
+        nonlocal cont
+        if cont and spans:
+            x0, y0, prev = spans[-1]
+            spans[-1] = (x0, y0, prev + txt)
+        else:
+            spans.append((lx, ly, txt))
+        cont = True
+
+    for m in _PDF_TOK_RE.finditer(stream):
+        tok = m.group(0)
+        c = tok[:1]
+        if tok == b"[":
+            arr = []
+            continue
+        if tok == b"]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        if c == b"(":
+            val = _unescape_pdf_string(tok[1:-1])
+            (stack if arr is None else arr).append(val)
+            continue
+        if c == b"/" :
+            stack.append(tok)
+            continue
+        if c in b"-.0123456789":
+            (stack if arr is None else arr).append(float(tok))
+            continue
+        # --- operator ---
+        if tok == b"BT":
+            in_text, lx, ly, leading = True, 0.0, 0.0, 0.0
+            cont = False
+        elif tok == b"ET":
+            in_text = False
+            cont = False
+        elif in_text:
+            if tok == b"Tm":
+                v = nums(6)
+                if v is not None:
+                    lx, ly = v[4], v[5]
+                cont = False
+            elif tok in (b"Td", b"TD"):
+                v = nums(2)
+                if v is not None:
+                    if tok == b"TD":
+                        leading = -v[1]
+                    lx, ly = lx + v[0], ly + v[1]
+                cont = False
+            elif tok == b"TL":
+                v = nums(1)
+                if v is not None:
+                    leading = v[0]
+            elif tok == b"T*":
+                ly -= leading
+                cont = False
+            elif tok == b"Tj":
+                if stack and isinstance(stack[-1], str):
+                    emit(stack[-1])
+            elif tok in (b"'", b'"'):
+                # " is (aw ac string "): spacing operands ignored, same
+                # next-line-then-show motion as '
+                if stack and isinstance(stack[-1], str):
+                    ly -= leading
+                    cont = False
+                    emit(stack[-1])
+            elif tok == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    txt = "".join(
+                        e for e in stack[-1] if isinstance(e, str)
+                    )
+                    if txt:
+                        emit(txt)
+        stack.clear()
+    return spans
 
 COLUMN_GAP_PT = 150.0  # x-gap that separates layout columns
 
@@ -599,10 +721,15 @@ def _pdf_xref_objects(
     """Object map via the cross-reference table — the spec path a real
     reader takes (``startxref`` → table offset → per-object offsets), so
     only REFERENCED objects are parsed and file layout/order never
-    matters. Every in-use entry's offset must land exactly on its own
-    object header; any inconsistency (no table, truncated entries,
-    offset drift) returns None and the caller rebuilds by linear scan —
-    the same recovery real readers perform on damaged files."""
+    matters. Handles both the classic ``xref`` table and the PDF 1.5
+    binary cross-reference STREAM (``/Type /XRef``, /W-packed rows,
+    type-2 entries resolved through object streams). Every in-use
+    entry's offset must land exactly on its own object header; any
+    inconsistency (no table, truncated entries, offset drift, a type-2
+    entry whose ObjStm does not yield the object) returns None and the
+    caller rebuilds by linear scan — the same recovery real readers
+    perform on damaged files. Boundary: no /Prev chains (incrementally
+    updated files take the scan path)."""
     sx = payload.rfind(b"startxref")
     if sx < 0:
         return None
@@ -611,7 +738,7 @@ def _pdf_xref_objects(
         return None
     pos = int(m.group(1))
     if payload[pos : pos + 4] != b"xref":
-        return None
+        return _pdf_xref_stream_objects(payload, pos)
     pos += 4
     m = re.match(rb"\r\n|\r|\n", payload[pos:])
     if m is not None:
@@ -643,12 +770,114 @@ def _pdf_xref_objects(
     return objs
 
 
+def _pdf_xref_stream_objects(
+    payload: bytes, pos: int
+) -> dict[int, tuple[bytes, bytes | None]] | None:
+    """PDF 1.5 cross-reference stream at ``pos``: a ``/Type /XRef``
+    stream object whose decoded bytes are /W-packed binary rows — per
+    /Index subsection, each row is (type, field2, field3) with type 1 =
+    direct object at offset field2 and type 2 = object #field3-in-ObjStm
+    #field2 (type 0 = free). The trailer dict lives in the stream's own
+    dictionary (/Root is found by the caller's whole-file search). Any
+    malformation returns None → linear-scan rebuild."""
+    hm = _OBJ_HEAD_RE.match(payload, pos)
+    if hm is None:
+        return None
+    int_objs = _pdf_int_objs(payload)
+    head, stream, _ = _pdf_parse_obj_at(payload, hm, int_objs)
+    if b"/XRef" not in head or stream is None:
+        return None
+    try:
+        data = _pdf_decode_stream(head, stream)
+    except Exception:  # noqa: BLE001 — corrupt xref stream
+        return None
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head)
+    size_m = re.search(rb"/Size\s+(\d+)", head)
+    if wm is None or size_m is None:
+        return None
+    wa, wb, wc = (int(wm.group(i)) for i in (1, 2, 3))
+    row_w = wa + wb + wc
+    if row_w == 0:
+        return None
+    index_m = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if index_m is not None:
+        ints = [int(x) for x in index_m.group(1).split()]
+        subsections = list(zip(ints[0::2], ints[1::2]))
+    else:
+        subsections = [(0, int(size_m.group(1)))]
+    offsets: dict[int, int] = {}
+    in_objstm: dict[int, int] = {}
+    p = 0
+    for start, count in subsections:
+        for i in range(count):
+            row = data[p : p + row_w]
+            if len(row) < row_w:
+                return None
+            p += row_w
+            typ = int.from_bytes(row[:wa], "big") if wa else 1
+            f2 = int.from_bytes(row[wa : wa + wb], "big")
+            # third field (gen / index-in-stream) is not needed: the
+            # ObjStm header pairs carry each member's number anyway
+            num = start + i
+            if typ == 1:
+                offsets[num] = f2
+            elif typ == 2:
+                in_objstm[num] = f2
+    if not offsets:
+        return None
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, off in offsets.items():
+        om = _OBJ_HEAD_RE.match(payload, off)
+        if om is None or int(om.group(1)) != num:
+            return None  # stale/wrong offset: fall back to the scan
+        h, s, _ = _pdf_parse_obj_at(payload, om, int_objs)
+        objs[num] = (h, s)
+    if in_objstm:
+        _pdf_expand_objstms(objs)
+        if any(num not in objs for num in in_objstm):
+            return None  # an ObjStm failed to yield its object
+    return objs
+
+
+def _pdf_expand_objstms(
+    objs: dict[int, tuple[bytes, bytes | None]],
+) -> dict[int, tuple[bytes, bytes | None]]:
+    """Expand PDF 1.5 object streams in place: every ``/Type /ObjStm``
+    stream decodes to ``N`` (objnum, offset) header pairs followed by the
+    packed object bodies at ``/First`` + offset — real writers put the
+    whole page tree in one. Registered via setdefault so a direct
+    definition wins; a corrupt ObjStm is skipped (callers fall back to
+    whatever structure the remaining objects support)."""
+    for _num, (head, stream) in list(objs.items()):
+        if b"/ObjStm" not in head or stream is None:
+            continue
+        try:
+            data = _pdf_decode_stream(head, stream)
+            n_m = re.search(rb"/N\s+(\d+)", head)
+            f_m = re.search(rb"/First\s+(\d+)", head)
+            if n_m is None or f_m is None:
+                continue
+            count, first = int(n_m.group(1)), int(f_m.group(1))
+            ints = [int(x) for x in data[:first].split()]
+            pairs = list(zip(ints[0::2], ints[1::2]))[:count]
+            for i, (onum, off) in enumerate(pairs):
+                end = (
+                    first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+                )
+                objs.setdefault(onum, (data[first + off : end].strip(), None))
+        except Exception:  # noqa: BLE001 — corrupt container member
+            continue
+    return objs
+
+
 def _pdf_scan_objects(
     payload: bytes,
 ) -> dict[int, tuple[bytes, bytes | None]]:
     """Object map by linear ``obj…endobj`` walk (xref-rebuild fallback):
     the pointer moves past each stream by its declared length, so fake
-    headers inside compressed stream bytes are never visited."""
+    headers inside compressed stream bytes are never visited. Object
+    streams found by the walk are expanded, so a 1.5 file with no (or a
+    damaged) cross-reference still resolves its page tree."""
     int_objs = _pdf_int_objs(payload)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     pos = 0
@@ -659,7 +888,7 @@ def _pdf_scan_objects(
             break
         head, stream, pos = _pdf_parse_obj_at(payload, m, int_objs)
         objs.setdefault(int(m.group(1)), (head, stream))
-    return objs
+    return _pdf_expand_objstms(objs)
 
 
 def _pdf_decode_stream(head: bytes, data: bytes) -> bytes:
@@ -765,10 +994,7 @@ def pdf_layout_boxes(
         page_streams = _STREAM_RE.findall(payload)
     page_idx = 0
     for stream in page_streams:
-        spans: list[tuple[float, float, str]] = []
-        # Td operands in our subset are absolute per-BT positions.
-        for xs, ys, txt in _TEXTOP_RE.findall(stream):
-            spans.append((float(xs), float(ys), _unescape_pdf_string(txt)))
+        spans = _pdf_text_spans(stream)
         if not spans:
             if structured:
                 page_idx += 1  # a real page, just with no text boxes

@@ -67,6 +67,7 @@ def _corpus(n: int, seed: int) -> str:
 def child(cores: int) -> None:
     from multi_format_document_extractor_spark.operators.extract import (
         extract_pages,
+        extract_pages_routed,
     )
     from multi_format_document_extractor_spark.session import get_spark
     from multi_format_document_extractor_spark.sources.pages import read_pages
@@ -82,12 +83,20 @@ def child(cores: int) -> None:
     # Warm every worker: wide UDF stage over all cores.
     run(extract_pages(pages.limit(32 * cores), salt_partitions=cores * 2))
 
+    # Three plans: split (zero shuffle), routed (heavy-format slice only
+    # takes the salt shuffle — the robust default since corpus v6 made
+    # image/PDF decode ~100x per-byte), salted (everything shuffles).
+    plans = (
+        ("split", lambda: extract_pages(pages)),
+        ("routed", lambda: extract_pages_routed(pages, salt_partitions=cores * 4)),
+        ("salted", lambda: extract_pages(pages, salt_partitions=cores * 4)),
+    )
     result = {"cores": cores, "docs": N_DOCS}
-    for label, salt in (("split", None), ("salted", cores * 4)):
+    for label, plan in plans:
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.time()
-            run(extract_pages(pages, salt_partitions=salt))
+            run(plan())
             best = min(best, time.time() - t0)
         result[f"wall_sec_{label}"] = round(best, 3)
         result[f"docs_per_sec_{label}"] = round(N_DOCS / best, 1)
@@ -113,7 +122,7 @@ def parent() -> None:
             if prev is None:
                 results[cores] = res
             else:  # best-per-level across rounds
-                for label in ("split", "salted"):
+                for label in ("split", "routed", "salted"):
                     if res[f"wall_sec_{label}"] < prev[f"wall_sec_{label}"]:
                         prev[f"wall_sec_{label}"] = res[f"wall_sec_{label}"]
                         prev[f"docs_per_sec_{label}"] = res[
@@ -123,7 +132,7 @@ def parent() -> None:
 
     n, n4 = LEVELS
     effs = {}
-    for label in ("split", "salted"):
+    for label in ("split", "routed", "salted"):
         thr_n = results[n][f"docs_per_sec_{label}"]
         thr_4n = results[n4][f"docs_per_sec_{label}"]
         effs[label] = round((thr_4n / thr_n) / (n4 / n), 3)
@@ -139,7 +148,10 @@ def parent() -> None:
 
     rows = "\n".join(
         f"| local[{c}] ({t}) | {results[c]['wall_sec_split']} | "
-        f"{results[c]['docs_per_sec_split']} | {results[c]['wall_sec_salted']} | "
+        f"{results[c]['docs_per_sec_split']} | "
+        f"{results[c]['wall_sec_routed']} | "
+        f"{results[c]['docs_per_sec_routed']} | "
+        f"{results[c]['wall_sec_salted']} | "
         f"{results[c]['docs_per_sec_salted']} |"
         for c, t in ((n, "N"), (n4, "4N"))
     )
@@ -148,15 +160,20 @@ def parent() -> None:
         f"""# BENCH — extraction throughput & scaling (measured)
 
 Job: magic-byte sniff → `mapInPandas` extraction (HTML boilerplate removal /
-PDF layout parse / CSV table parse / P4 bitmap glyph decode / DOCX+XLSX zip
-parse / text passthrough, all with the utf-8→latin-1 encoding chain) → noop
-sink, in both balancing modes:
-**split** (default: byte-ranged scan splits, zero shuffle — the production
-path at 100 TB) and **salted** (`repartition(4×cores, pmod(xxhash64(url),
-4096))` — the skew-adversarial path, paying a full-payload shuffle).
-Input: deterministic synthetic Common-Crawl corpus v3, {N_DOCS:,} pages
-(~60% HTML / 13% PDF / 5% text / 3% CSV / 10% DOCX+XLSX zips / 2% readable
-P4 bitmaps / 2% opaque image / 3% error-path / 2% oversized ≥1 MB;
+real-subset PDF parse (Flate/xref) / CSV table parse / PNG+GIF+JPEG+P4
+raster decode → glyph classify / DOCX+XLSX zip parse / text passthrough,
+all with the utf-8→latin-1 encoding chain) → noop sink, in three
+balancing modes:
+**split** (byte-ranged scan splits, zero shuffle),
+**routed** (heavy ~100x-per-byte formats — image/pbm/pdf — take a salted
+repartition, light formats keep the zero-shuffle split; the robust
+default since the v5/v6 real decoders widened per-byte cost ~115x), and
+**salted** (`repartition(4×cores, pmod(xxhash64(url), 4096))` —
+everything shuffles, the skew-adversarial extreme).
+Input: deterministic synthetic Common-Crawl corpus v6, {N_DOCS:,} pages
+(~60% HTML / 13% PDF incl. Flate-compressed / 5% text / 3% CSV / 10%
+DOCX+XLSX zips / ~6% readable PNG+GIF+JPEG+P4 rasters / 3% error-path /
+2% oversized ≥1 MB;
 Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
 state (workers warm, package imported) — one-time per-executor startup
 excluded, as it amortizes on any real job. Levels alternate across
@@ -167,13 +184,13 @@ N=4 vs 4N=16 on a 32-hw-core box: local[32] would pin 32 JVM task threads
 + 32 Python workers + GC/shuffle threads on 32 cores and measure machine
 oversubscription, not job scaling; at 4/16 both levels have headroom.
 
-| parallelism | split wall (s) | split docs/sec | salted wall (s) | salted docs/sec |
-|---|---|---|---|---|
+| parallelism | split wall (s) | split docs/sec | routed wall (s) | routed docs/sec | salted wall (s) | salted docs/sec |
+|---|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency (N → 4N) = (thr_4N / thr_N) / 4:
-split = {effs['split']:.3f}, salted = {effs['salted']:.3f}**
-(north-rule target ≥ 0.8).
+split = {effs['split']:.3f}, routed = {effs['routed']:.3f},
+salted = {effs['salted']:.3f}** (north-rule target ≥ 0.8).
 
 Run: `python scripts/scaling_bench.py` (env `SPARK_GRAFT_SCALE_DOCS`
 overrides corpus size). Per-round driver numbers: see `BENCH_r*.json`

@@ -43,18 +43,45 @@ def test_html_edge_cases():
 def test_pdf_two_column_reading_order():
     from multi_format_document_extractor_spark.corpus import _build_pdf
 
+    # Real op semantics: Tm sets the absolute line origin, Td moves
+    # RELATIVE to the current one — mixed here across column hops.
     stream = (
         b"BT /F1 12 Tf\n"
-        b"320 720 Td (right top) Tj\n"
-        b"50 720 Td (left top) Tj\n"
-        b"50 704 Td (left bottom) Tj\n"
-        b"320 704 Td (right bottom) Tj\n"
+        b"1 0 0 1 320 720 Tm (right top) Tj\n"
+        b"-270 0 Td (left top) Tj\n"
+        b"0 -16 Td (left bottom) Tj\n"
+        b"1 0 0 1 320 704 Tm (right bottom) Tj\n"
         b"ET"
     )
     payload = _build_pdf([stream])
     t, n_pages = oracle.extract_pdf(payload)
     assert n_pages == 1
     assert t == b"left top\nleft bottom\nright top\nright bottom"
+
+
+def test_pdf_real_text_op_vocabulary():
+    """The round-4 state machine: TD sets leading and moves, ' advances
+    a line before showing, TJ concatenates across kerns (sub-glyph
+    spacing — never a word break), consecutive shows with no move
+    continue the same line, and unknown operators' operands (Tc/Tw/Tz)
+    must not corrupt the next operator's."""
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    stream = (
+        b"BT /F1 12 Tf 0.2 Tc 100 Tz\n"
+        b"50 720 Td [(Hel) -30 (lo)] TJ ( world) Tj\n"
+        b"0 -16 TD (second) Tj\n"
+        b"(third) '\n"
+        b'0.5 1.5 (fourth) "\n'
+        b"ET"
+    )
+    t, n_pages = oracle.extract_pdf(_build_pdf([stream]))
+    assert n_pages == 1
+    assert t == b"Hello world\nsecond\nthird\nfourth"
+    # geometry: the '/" lines really advanced by the TD leading
+    boxes = oracle.pdf_layout_boxes(_build_pdf([stream]))
+    ys = [y for _pg, _x, y, _c, _o, _t in boxes]
+    assert ys == [720.0, 704.0, 688.0, 672.0]
 
 
 def test_pdf_flate_xref_container_features():
@@ -93,12 +120,12 @@ def test_pdf_permuted_layout_differs_from_file_order():
     for seed in range(20):
         p = _build_pdf([s1, s2], permute=random.Random(seed))
         file_order_texts = [
-            m.group(3)
-            for m in oracle._TEXTOP_RE.finditer(
+            t
+            for _x, _y, t in oracle._pdf_text_spans(
                 b"\n".join(oracle._STREAM_RE.findall(p))
             )
         ]
-        if file_order_texts and file_order_texts[0] == b"PAGE TWO":
+        if file_order_texts and file_order_texts[0] == "PAGE TWO":
             break
     else:
         raise AssertionError("no permutation flipped the file order")
@@ -521,3 +548,75 @@ def test_jpeg_render_decode_roundtrip_and_errors():
         bad[flip_at] ^= 0x55
         e = oracle.extract(bytes(bad))
         assert isinstance(e.ok, bool)
+
+
+def test_pdf15_objstm_xref_stream_container():
+    """PDF 1.5 container (round 4b): the page tree packs into a
+    Flate-compressed /Type /ObjStm and the cross-reference is a binary
+    /Type /XRef stream with /W-packed type-1/type-2 rows — under every
+    flate/indirect/permutation combination the structure walk must
+    produce document page order, and the xref-STREAM path (not the scan
+    fallback) must be the one that resolves it."""
+    import random
+
+    from multi_format_document_extractor_spark import oracle
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    s1 = b"BT /F1 12 Tf\n50 720 Td (PAGE ONE) Tj\nET"
+    s2 = b"BT /F1 12 Tf\n50 720 Td (PAGE TWO) Tj\nET"
+    for flate in (False, True):
+        for ind in (False, True):
+            for seed in (None, 3, 99):
+                perm = random.Random(seed) if seed else None
+                p = _build_pdf(
+                    [s1, s2],
+                    flate=flate,
+                    indirect_length=ind,
+                    permute=perm,
+                    objstm=True,
+                )
+                assert oracle._pdf_xref_objects(p) is not None, (
+                    flate, ind, seed,
+                )
+                t, n_pages = oracle.extract_pdf(p)
+                assert n_pages == 2, (flate, ind, seed)
+                assert t == b"PAGE ONE\n\nPAGE TWO", (flate, ind, seed, t)
+
+
+def test_pdf15_scan_fallback_expands_objstm():
+    """A 1.5 file whose startxref pointer is destroyed must still read in
+    page order: the linear rebuild scan finds the ObjStm object itself
+    and expands it, so the /Kids walk keeps working."""
+    import random
+
+    from multi_format_document_extractor_spark import oracle
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    s1 = b"BT /F1 12 Tf\n50 720 Td (PAGE ONE) Tj\nET"
+    s2 = b"BT /F1 12 Tf\n50 720 Td (PAGE TWO) Tj\nET"
+    for seed in range(8):
+        p = _build_pdf(
+            [s1, s2], flate=True, permute=random.Random(seed), objstm=True
+        )
+        bad = p.replace(b"startxref", b"% gone\nstartxre_", 1)
+        assert oracle._pdf_xref_objects(bad) is None
+        t, n_pages = oracle.extract_pdf(bad)
+        assert n_pages == 2 and t == b"PAGE ONE\n\nPAGE TWO", seed
+
+
+def test_pdf15_corrupt_objstm_never_raises():
+    """A 1.5 file whose ObjStm bytes are corrupt must stay error-as-data
+    at worst (extract() returns a row, never an exception)."""
+    import re as re_
+    import random
+
+    from multi_format_document_extractor_spark import oracle
+    from multi_format_document_extractor_spark.corpus import _build_pdf
+
+    p = _build_pdf(
+        [b"BT 50 720 Td (x) Tj ET"], permute=random.Random(5), objstm=True
+    )
+    mz = re_.search(rb"/Type /ObjStm[^>]*>>\nstream\n", p)
+    bad = p[: mz.end()] + b"\xff\xfe" + p[mz.end() + 2 :]
+    r = oracle.extract(bad)
+    assert r.format == "pdf"  # row produced, no crash
