@@ -27,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import re
 import os
 import subprocess
 import sys
@@ -156,74 +157,29 @@ def parent() -> None:
         for c, t in ((n, "N"), (n4, "4N"))
     )
     bench_md = REPO / "BENCH.md"
-    bench_md.write_text(
-        f"""# BENCH — extraction throughput & scaling (measured)
+    # Replace ONLY the marker-delimited measured block; BENCH.md carries
+    # hand-written history/analysis sections that a full rewrite would
+    # clobber (it did once — see CLAUDE.md "Benchmarking on this box").
+    from multi_format_document_extractor_spark.corpus import CORPUS_VERSION
 
-Job: magic-byte sniff → `mapInPandas` extraction (HTML boilerplate removal /
-real-subset PDF parse (Flate/xref) / CSV table parse / PNG+GIF+JPEG+P4
-raster decode → glyph classify / DOCX+XLSX zip parse / text passthrough,
-all with the utf-8→latin-1 encoding chain) → noop sink, in three
-balancing modes:
-**split** (byte-ranged scan splits, zero shuffle),
-**routed** (heavy ~100x-per-byte formats — image/pbm/pdf — take a salted
-repartition, light formats keep the zero-shuffle split; the robust
-default since the v5/v6 real decoders widened per-byte cost ~115x), and
-**salted** (`repartition(4×cores, pmod(xxhash64(url), 4096))` —
-everything shuffles, the skew-adversarial extreme).
-Input: deterministic synthetic Common-Crawl corpus v6, {N_DOCS:,} pages
-(~60% HTML / 13% PDF incl. Flate-compressed / 5% text / 3% CSV / 10%
-DOCX+XLSX zips / ~6% readable PNG+GIF+JPEG+P4 rasters / 3% error-path /
-2% oversized ≥1 MB;
-Zipf host skew — one host owns ~30% of urls). Fresh JVM per level; steady
-state (workers warm, package imported) — one-time per-executor startup
-excluded, as it amortizes on any real job. Levels alternate across
-{ROUNDS} rounds x {REPEATS} timed runs; best per level (see script header for
-why interleaving matters on this shared microVM host).
-
-N=4 vs 4N=16 on a 32-hw-core box: local[32] would pin 32 JVM task threads
-+ 32 Python workers + GC/shuffle threads on 32 cores and measure machine
-oversubscription, not job scaling; at 4/16 both levels have headroom.
+    block = f"""<!-- scaling:begin -->
+Latest run: corpus v{CORPUS_VERSION}, {N_DOCS:,} pages, {ROUNDS} rounds x {REPEATS} timed runs,
+best per level.
 
 | parallelism | split wall (s) | split docs/sec | routed wall (s) | routed docs/sec | salted wall (s) | salted docs/sec |
 |---|---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency (N → 4N) = (thr_4N / thr_N) / 4:
-split = {effs['split']:.3f}, routed = {effs['routed']:.3f},
-salted = {effs['salted']:.3f}** (north-rule target ≥ 0.8).
-
-Run: `python scripts/scaling_bench.py` (env `SPARK_GRAFT_SCALE_DOCS`
-overrides corpus size). Per-round driver numbers: see `BENCH_r*.json`
-(`bench.py`, sf0.1 registry queries + extraction throughput).
-
-## Reading the salted number honestly
-
-The **split** path is the production default and the one the north rule's
-≥0.8 target applies to; it carries zero shuffle, so its efficiency is the
-job's real scaling behavior. The **salted** path exists as the documented
-skew-adversarial alternative (host-sorted layout, compute-heavy parsers)
-and pays a full-payload shuffle by construction. Its sub-0.8 efficiency on
-this box is a measurement artifact of single-machine benchmarking, with a
-real kernel of Amdahl: after the round-2 parser speedup (3.4× faster
-single-thread extraction) the salted path's runtime is shuffle-dominated,
-and on ONE machine all parallelism levels share a single memory/disk
-subsystem — the shuffle hardware does not grow 4× when the core count
-does, which is exactly what a real 4N-executor cluster adds. Salting is
-the right mode only when per-document compute dwarfs per-byte shuffle
-cost (heavyweight ML parsers — the reference's AI path); the measured
-crossover and the full tradeoff live in `operators/extract.py`.
-
-A "selective salting" variant (shuffle only rows above a size threshold)
-was considered and rejected: the fixed input schema (url, warc_ts, html,
-text, lang) has no stored size column, so the split requires a second
-full scan of the payload column, and on heavy-tailed web corpora the
-oversized tail owns most of the BYTES anyway (here: 2% of docs ≥1 MB ≈
-85% of corpus bytes) — the two extra costs cancel the shuffle savings.
-Compute-class skew is instead bounded by the measured <2× per-byte cost
-variance across formats plus the `max_bytes` truncation cap for atomic
-giant rows.
-"""
-    )
+**Scaling efficiency (N \u2192 4N) = (thr_4N / thr_N) / 4:
+split = {effs["split"]:.3f}, routed = {effs["routed"]:.3f},
+salted = {effs["salted"]:.3f}** (north-rule target \u2265 0.8).
+<!-- scaling:end -->"""
+    old = bench_md.read_text()
+    pat = re.compile(r"<!-- scaling:begin -->.*?<!-- scaling:end -->", re.S)
+    if pat.search(old):
+        bench_md.write_text(pat.sub(lambda _m: block, old, count=1))
+    else:
+        bench_md.write_text(old.rstrip() + "\n\n" + block + "\n")
     print(f"wrote {bench_md}")
 
 
