@@ -18,6 +18,7 @@ All randomness flows from one seed.
 
 from __future__ import annotations
 
+import base64
 import io
 import random
 import zipfile
@@ -30,7 +31,9 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 7  # v7: PDFs use the real text-op vocabulary (Tm/rel-Td/TD/'/TJ)
+CORPUS_VERSION = 8  # v8: PDF streams use the full standard filter set
+# (LZW/AHx/A85/RL + chains), predictor-packed xref streams, hex-string
+# and octal-escape show operands
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -164,12 +167,123 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+# --- PDF stream-filter ENCODERS (corpus v8) --------------------------------
+# Each is the exact inverse of the oracle's decoder (oracle.py §7.4 filter
+# chain); the pairing is validated by roundtrip + hand-derived-vector
+# pytest, not by sharing code, so it stays a two-implementation check.
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZW with EarlyChange=1 (ISO 32000 §7.4.4): 9→12-bit codes,
+    CLEAR emitted up front and again when the table nears 4095."""
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange=1: widen one code early, mirroring the decoder's
+        # len(table) >= (1 << width) - 1 rule (decoder appends one entry
+        # later than the encoder, hence the +1 offset here)
+        if width < 12 and next_code >= (1 << width):
+            width += 1
+        if next_code >= 4093:  # table nearly full: reset like real writers
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])  # the unmatched byte carries into the new phrase
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    return base64.a85encode(data) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Greedy /RunLengthDecode inverse: repeat runs ≥3 become (257-n,
+    byte); everything else accumulates into ≤128-byte literal runs."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit = bytearray()
+
+    def flush_lit() -> None:
+        p = 0
+        while p < len(lit):
+            chunk = lit[p : p + 128]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            p += 128
+        lit.clear()
+
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_lit()
+            out.append(257 - run)
+            out.append(data[i])
+        else:
+            lit += data[i:j]
+        i = j
+    flush_lit()
+    out.append(128)
+    return bytes(out)
+
+
+# name → (encoder, /Filter dict fragment); "a85+flate" stores
+# a85encode(deflate(raw)) so the decoder's in-order chain
+# [/ASCII85Decode /FlateDecode] inverts it
+_PDF_STREAM_FILTERS: dict[str, tuple] = {
+    "flate": (zlib.compress, b"/FlateDecode"),
+    "lzw": (_lzw_encode, b"/LZWDecode"),
+    "ahx": (_asciihex_encode, b"/ASCIIHexDecode"),
+    "a85": (_ascii85_encode, b"/ASCII85Decode"),
+    "rl": (_runlength_encode, b"/RunLengthDecode"),
+    "a85+flate": (
+        lambda d: _ascii85_encode(zlib.compress(d)),
+        b"[/ASCII85Decode /FlateDecode]",
+    ),
+}
+
+
 def _build_pdf(
     page_streams: list[bytes],
     flate: bool = False,
     indirect_length: bool = False,
     permute: random.Random | None = None,
     objstm: bool = False,
+    stream_filter: str | None = None,
+    xref_predictor: bool = False,
 ) -> bytes:
     """Assemble a minimal multi-page PDF. Corpus v4 exercises the
     real-subset container features the parser supports (VERDICT r3 #1):
@@ -187,7 +301,16 @@ def _build_pdf(
     ``/Type /ObjStm`` object stream and the cross-reference becomes a
     binary ``/Type /XRef`` STREAM with /W-packed type-1/type-2 rows (no
     ``trailer`` keyword) — the layout modern writers produce, readable
-    only by a parser that walks both."""
+    only by a parser that walks both.
+
+    Corpus v8 additions: ``stream_filter`` picks the content-stream
+    encoding from ``_PDF_STREAM_FILTERS`` (the five standard filters
+    plus an ``a85+flate`` chain; supersedes the legacy ``flate`` flag),
+    and ``xref_predictor`` packs the /XRef stream rows with the PNG Up
+    predictor (``/DecodeParms << /Predictor 12 /Columns 7 >>``) — the
+    layout reportlab-class writers actually emit."""
+    if stream_filter is None and flate:
+        stream_filter = "flate"
     n = len(page_streams)
     objs: list[tuple[int, bytes]] = []  # (obj_num, body)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
@@ -208,8 +331,12 @@ def _build_pdf(
                 ).encode(),
             )
         )
-        data = zlib.compress(stream) if flate else stream
-        filt = b" /Filter /FlateDecode" if flate else b""
+        if stream_filter is not None:
+            enc, name = _PDF_STREAM_FILTERS[stream_filter]
+            data = enc(stream)
+            filt = b" /Filter " + name
+        else:
+            data, filt = stream, b""
         if indirect_length:
             length = f"{next_int_obj} 0 R".encode()
             objs.append((next_int_obj, str(len(data)).encode()))
@@ -274,10 +401,24 @@ def _build_pdf(
                 + f2.to_bytes(4, "big")
                 + f3.to_bytes(2, "big")
             )
-        zrows = zlib.compress(bytes(rows))
+        if xref_predictor:
+            # PNG Up predictor over the 7-byte rows, tagged per row —
+            # what reportlab-class writers emit on xref streams
+            pred = bytearray()
+            prev = bytes(7)
+            for r in range(0, len(rows), 7):
+                row = bytes(rows[r : r + 7])
+                pred.append(2)
+                pred += bytes((row[i] - prev[i]) & 0xFF for i in range(7))
+                prev = row
+            zrows = zlib.compress(bytes(pred))
+            parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+        else:
+            zrows = zlib.compress(bytes(rows))
+            parms = ""
         out += (
             f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
-            f"/Root 1 0 R /Filter /FlateDecode /Length {len(zrows)} >>"
+            f"/Root 1 0 R /Filter /FlateDecode{parms} /Length {len(zrows)} >>"
             "\nstream\n"
         ).encode()
         out += zrows + b"\nendstream\nendobj\n"
@@ -330,12 +471,24 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                 y -= 16.0
 
         def show_op(line: str) -> bytes:
-            if len(line) > 2 and rng.random() < 0.3:
+            r = rng.random()
+            if len(line) > 2 and r < 0.3:
                 cut = rng.randint(1, len(line) - 1)
                 kern = -rng.randint(5, 60)
+                if rng.random() < 0.25:  # hex-string half inside TJ (v8)
+                    return (
+                        f"[<{line[:cut].encode('utf-8').hex()}> {kern} "
+                        f"({_pdf_escape(line[cut:])})] TJ"
+                    ).encode()
                 return (
                     f"[({_pdf_escape(line[:cut])}) {kern} "
                     f"({_pdf_escape(line[cut:])})] TJ"
+                ).encode()
+            if r < 0.45:  # hex-string operand (v8)
+                return f"<{line.encode('utf-8').hex()}> Tj".encode()
+            if r < 0.55:  # octal escapes: \040 decodes back to space (v8)
+                return (
+                    "(" + _pdf_escape(line).replace(" ", "\\040") + ") Tj"
                 ).encode()
             return f"({_pdf_escape(line)}) Tj".encode()
 
@@ -366,23 +519,30 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
         page_texts.append(
             "\n".join("\n".join(t for _, _, t in col) for col in cols)
         )
-    # v4 container-feature mix: ~55% Flate-compressed streams (of which
-    # ~40% carry indirect /Length refs), and half of ALL pdfs get a
-    # permuted physical object layout — those are only readable through
-    # the xref + /Kids structure walk, so the walk is load-bearing, not
-    # decorative
-    flate = rng.random() < 0.55
-    indirect = flate and rng.random() < 0.4
+    # v8 filter mix: ~30% raw streams, ~25% Flate, and the remaining
+    # ~45% spread across LZW / ASCII85 / ASCIIHex / RunLength and the
+    # [/ASCII85Decode /FlateDecode] chain — every standard filter is
+    # load-bearing in the fixture corpus. ~40% of encoded streams carry
+    # indirect /Length refs; half of ALL pdfs get a permuted physical
+    # object layout (readable only through the xref + /Kids walk)
+    stream_filter = rng.choices(
+        [None, "flate", "lzw", "a85", "ahx", "rl", "a85+flate"],
+        weights=[30, 25, 12, 9, 8, 8, 8],
+    )[0]
+    indirect = stream_filter is not None and rng.random() < 0.4
     permute = rng if rng.random() < 0.5 else None
     # ~25% emit the PDF 1.5 container (page tree in an ObjStm, binary
-    # /XRef stream) — only the 1.5-aware walk reads those page-ordered
+    # /XRef stream) — only the 1.5-aware walk reads those page-ordered;
+    # half of those pack the xref rows with the PNG Up predictor
     objstm_mode = rng.random() < 0.25
+    xref_pred = objstm_mode and rng.random() < 0.5
     payload = _build_pdf(
         page_streams,
-        flate=flate,
         indirect_length=indirect,
         permute=permute,
         objstm=objstm_mode,
+        stream_filter=stream_filter,
+        xref_predictor=xref_pred,
     )
     return payload, "\n\n".join(page_texts), n_pages
 

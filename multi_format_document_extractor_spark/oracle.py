@@ -23,6 +23,7 @@ Everything is pure-Python stdlib and deterministic.
 
 from __future__ import annotations
 
+import base64
 import io
 import math
 import re
@@ -506,8 +507,10 @@ def html_block_spans(
 
 # ---------------------------------------------------------------------------
 # PDF layout parse — the real-world subset (round-3 VERDICT "Next round" #1):
-# obj/endobj walk honoring stream /Length (direct or indirect), /FlateDecode
-# content streams inflated with stdlib zlib, page order from the document
+# obj/endobj walk honoring stream /Length (direct or indirect), the full
+# standard filter chain (/FlateDecode via stdlib zlib, /LZWDecode with
+# EarlyChange, /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode, chained
+# filter arrays, PNG/TIFF /Predictor — ISO 32000 §7.4), page order from the document
 # STRUCTURE (trailer /Root → catalog /Pages → /Kids → per-page /Contents,
 # cross-checked against the xref table when present) rather than file order,
 # falling back to a raw stream scan for non-conforming payloads. Text ops
@@ -516,11 +519,11 @@ def html_block_spans(
 # concatenation) — the op vocabulary reportlab-class generators emit
 # (reference parses arbitrary PDFs via pdfplumber,
 # src/parsers/pdf_parser.py:30-59; remaining subset boundary: no Tm
-# scale/rotation, no font-metric spacing, no CMap/ToUnicode re-mapping).
+# scale/rotation, no font-metric spacing, no CMap/ToUnicode re-mapping;
+# strings cover literal escapes incl. octal + hex strings, round 4).
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_PDF_ESCAPES = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")", b"\\n": b"\n"}
 
 # Content-stream token scanner for the REAL text-op state machine (round-4
 # upgrade of the absolute-Td/Tj dialect): strings, numbers, array
@@ -534,6 +537,8 @@ _PDF_ESCAPES = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")", b"\\n": b"\n"}
 # stray operands from unhandled ops cannot corrupt the next operator.
 _PDF_TOK_RE = re.compile(
     rb"\((?:\\.|[^()\\])*\)"  # literal string (with escapes)
+    rb"|<[0-9A-Fa-f \t\r\n]*>"  # hex string (never matches << dicts:
+    # after the opening <, a second < fails the hex class immediately)
     rb"|-?\.?\d[\d.]*"  # number
     rb"|\[|\]"  # array delimiters
     rb"|T\*|Tj|TJ|Td|TD|Tm|TL|Tf|Tc|Tw|Tz|Ts|Tr|BT|ET|'|\""
@@ -590,6 +595,12 @@ def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
             continue
         if c == b"(":
             val = _unescape_pdf_string(tok[1:-1])
+            (stack if arr is None else arr).append(val)
+            continue
+        if c == b"<":
+            # hex string: same byte semantics as a literal string
+            # (ISO 32000 §7.3.4.3 — whitespace ignored, odd digit padded)
+            val = _asciihex_decode(tok[1:]).decode("utf-8", errors="replace")
             (stack if arr is None else arr).append(val)
             continue
         if c == b"/" :
@@ -891,10 +902,219 @@ def _pdf_scan_objects(
     return _pdf_expand_objstms(objs)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF LZW (ISO 32000 §7.4.4): variable-width codes starting at
+    9 bits, CLEAR=256 resets the table, EOD=257 ends the stream; with
+    the default EarlyChange=1 the code width bumps one code EARLY (at
+    table sizes 511/1023/2047 instead of 512/1024/2048). Distinct from
+    GIF's LZW (no per-stream minimum code size, MSB-first bit packing)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW stream starts with a table code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            out += entry
+            prev = entry
+            if width < 12 and len(table) >= (1 << width) - early_change:
+                width += 1
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode: hex pairs, whitespace ignored, ``>`` terminates,
+    an odd trailing digit is padded with 0 (ISO 32000 §7.4.2)."""
+    end = data.find(b">")
+    hx = re.sub(rb"\s+", b"", data[: end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode: base-85 groups with the ``z`` zero-group shortcut,
+    terminated by ``~>`` (ISO 32000 §7.4.3); stdlib base64.a85decode
+    implements exactly this alphabet."""
+    s = re.sub(rb"\s+", b"", data)
+    if s.endswith(b"~>"):
+        s = s[:-2]
+    return base64.a85decode(s)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (ISO 32000 §7.4.5): length byte 0-127 copies the
+    next length+1 bytes literally; 129-255 repeats the next byte
+    257-length times; 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + 2 + ln > n:
+                raise ValueError("truncated RunLength literal run")
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength repeat run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _unpredict(
+    data: bytes, predictor: int, colors: int, bpc: int, columns: int
+) -> bytes:
+    """Undo a /Predictor on decompressed stream bytes (ISO 32000
+    §7.4.4.4): 2 = TIFF horizontal differencing (8-bit components only),
+    10-15 = PNG row filters — each row carries its own filter-type byte,
+    so all five PNG filters share one path regardless of the declared
+    predictor number. Real writers put Predictor 12 (PNG Up) on xref
+    streams; this is what makes those files readable."""
+    if predictor <= 1:
+        return data
+    if bpc != 8:
+        raise ValueError(f"unsupported predictor BitsPerComponent {bpc}")
+    bpp = colors  # bytes per pixel at 8 bits/component
+    stride = columns * colors
+    if predictor == 2:
+        out = bytearray(data)
+        for r in range(0, len(out) - stride + 1, stride):
+            for x in range(bpp, stride):
+                out[r + x] = (out[r + x] + out[r + x - bpp]) & 0xFF
+        return bytes(out)
+    if 10 <= predictor <= 15:
+        if len(data) % (stride + 1):
+            raise ValueError("PNG-predicted data not a whole row count")
+        h = len(data) // (stride + 1)
+        out = bytearray(stride * h)
+        for y in range(h):
+            ftype = data[y * (stride + 1)]
+            row = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            o = y * stride
+            po = o - stride
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[po + x] if y else 0
+                c = out[po + x - bpp] if (x >= bpp and y) else 0
+                if ftype == 0:
+                    v = row[x]
+                elif ftype == 1:
+                    v = row[x] + a
+                elif ftype == 2:
+                    v = row[x] + b
+                elif ftype == 3:
+                    v = row[x] + (a + b) // 2
+                elif ftype == 4:
+                    v = row[x] + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"PNG predictor filter {ftype} invalid")
+                out[o + x] = v & 0xFF
+        return bytes(out)
+    raise ValueError(f"unsupported /Predictor {predictor}")
+
+
+def _pdf_filters(head: bytes) -> list[bytes]:
+    """The stream's /Filter entry as an ordered name list (a bare name or
+    an array of names; absent → empty)."""
+    fm = re.search(rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])", head)
+    if fm is None:
+        return []
+    v = fm.group(1)
+    if v.startswith(b"["):
+        return re.findall(rb"/([A-Za-z0-9]+)", v)
+    return [v[1:]]
+
+
+def _pdf_decode_parms(head: bytes, n_filters: int) -> list[dict[bytes, int]]:
+    """Per-filter /DecodeParms dicts (integer entries only — Predictor /
+    Colors / BitsPerComponent / Columns / EarlyChange are all ints). A
+    single dict applies to the first filter; an array maps positionally
+    with ``null`` → {}; absent → all {}."""
+    out: list[dict[bytes, int]] = [{} for _ in range(n_filters)]
+    pm = re.search(rb"/DecodeParms\s*(<<.*?>>|\[.*?\]|null)", head, re.DOTALL)
+    if pm is None:
+        return out
+    v = pm.group(1)
+
+    def flat(d: bytes) -> dict[bytes, int]:
+        return {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(rb"/([A-Za-z0-9]+)\s+(-?\d+)", d)
+        }
+
+    if v.startswith(b"<<"):
+        if n_filters:
+            out[0] = flat(v)
+        return out
+    if v == b"null":
+        return out
+    for i, m in enumerate(re.finditer(rb"<<.*?>>|null", v, re.DOTALL)):
+        if i >= n_filters:
+            break
+        if m.group(0) != b"null":
+            out[i] = flat(m.group(0))
+    return out
+
+
 def _pdf_decode_stream(head: bytes, data: bytes) -> bytes:
-    """Apply the stream's filter chain (subset: /FlateDecode or none)."""
-    if b"/FlateDecode" in head:
-        return zlib.decompress(data)
+    """Apply the stream's full /Filter chain in order (ISO 32000 §7.4):
+    FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, honoring per-filter /DecodeParms (Predictor et al.
+    for Flate/LZW, EarlyChange for LZW). An unrecognized filter raises —
+    the error-as-data path upstream records it, same contract as a
+    corrupt Flate stream today."""
+    filters = _pdf_filters(head)
+    parms = _pdf_decode_parms(head, len(filters))
+    for name, dp in zip(filters, parms):
+        if name in (b"FlateDecode", b"Fl"):
+            data = zlib.decompress(data)
+        elif name in (b"LZWDecode", b"LZW"):
+            data = _lzw_decode(data, dp.get(b"EarlyChange", 1))
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            data = _asciihex_decode(data)
+        elif name in (b"ASCII85Decode", b"A85"):
+            data = _ascii85_decode(data)
+        elif name in (b"RunLengthDecode", b"RL"):
+            data = _runlength_decode(data)
+        else:
+            raise ValueError(f"unsupported PDF filter /{name.decode()}")
+        if name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            pred = dp.get(b"Predictor", 1)
+            if pred > 1:
+                data = _unpredict(
+                    data,
+                    pred,
+                    dp.get(b"Colors", 1),
+                    dp.get(b"BitsPerComponent", 8),
+                    dp.get(b"Columns", 1),
+                )
     return data
 
 
@@ -965,10 +1185,51 @@ def _pdf_page_contents(payload: bytes) -> list[bytes] | None:
     return out
 
 
+_PDF_ESC_CHARS = {
+    0x6E: 0x0A,  # \n
+    0x72: 0x0D,  # \r
+    0x74: 0x09,  # \t
+    0x62: 0x08,  # \b
+    0x66: 0x0C,  # \f
+}
+
+
 def _unescape_pdf_string(raw: bytes) -> str:
-    out = raw
-    for esc, rep in _PDF_ESCAPES.items():
-        out = out.replace(esc, rep)
+    """Literal-string escapes per ISO 32000 §7.3.4.2, scanned left to
+    right (a replace chain mis-handles runs like ``\\\\n``): the named
+    escapes, 1-3 digit octal codes, backslash-EOL line continuation, and
+    the spec rule that a backslash before any other character is simply
+    dropped (which is exactly what ``\\(`` / ``\\)`` / ``\\\\`` need)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b != 0x5C:  # backslash
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break  # trailing lone backslash: dropped
+        c = raw[i]
+        if c in _PDF_ESC_CHARS:
+            out.append(_PDF_ESC_CHARS[c])
+            i += 1
+        elif c in (0x0A, 0x0D):  # \<EOL>: line continuation, emits nothing
+            i += 1
+            if c == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        elif 0x30 <= c <= 0x37:  # 1-3 octal digits
+            val = 0
+            j = i
+            while j < n and j < i + 3 and 0x30 <= raw[j] <= 0x37:
+                val = val * 8 + (raw[j] - 0x30)
+                j += 1
+            out.append(val & 0xFF)
+            i = j
+        else:  # backslash dropped, character kept (covers \\ \( \) too)
+            out.append(c)
+            i += 1
     return out.decode("utf-8", errors="replace")
 
 
