@@ -33,7 +33,8 @@ import pyarrow.parquet as pq
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
 CORPUS_VERSION = 8  # v8: PDF streams use the full standard filter set
 # (LZW/AHx/A85/RL + chains), predictor-packed xref streams, hex-string
-# and octal-escape show operands
+# and octal-escape show operands, and ~18% CID subset fonts whose
+# 2-byte Identity-H codes are readable only via the /ToUnicode CMap
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -276,6 +277,62 @@ _PDF_STREAM_FILTERS: dict[str, tuple] = {
 }
 
 
+def _tounicode_cmap(charmap: dict[str, int], rng: random.Random) -> bytes:
+    """ToUnicode CMap stream body for a code→char map (2-byte codes):
+    consecutive code runs whose unicode also increments become scalar
+    ``bfrange`` entries, other consecutive runs the array form, and a
+    deterministic-random share stays as ``bfchar`` singletons — so all
+    three CMap mapping syntaxes are load-bearing in the corpus."""
+    pairs = sorted((code, ch) for ch, code in charmap.items())
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in pairs:
+        if runs and code == runs[-1][-1][0] + 1 and len(runs[-1]) < 64:
+            runs[-1].append((code, ch))
+        else:
+            runs.append([(code, ch)])
+    bfchar: list[bytes] = []
+    bfrange: list[bytes] = []
+    for run in runs:
+        if len(run) == 1 or rng.random() < 0.25:
+            bfchar.extend(
+                b"<%04X> <%s>"
+                % (code, ch.encode("utf-16-be").hex().upper().encode())
+                for code, ch in run
+            )
+            continue
+        lo, hi = run[0][0], run[-1][0]
+        ords = [ord(ch) for _, ch in run]
+        if ords == list(range(ords[0], ords[0] + len(run))):
+            bfrange.append(
+                b"<%04X> <%04X> <%s>"
+                % (lo, hi, run[0][1].encode("utf-16-be").hex().upper().encode())
+            )
+        else:
+            dsts = b" ".join(
+                b"<%s>" % ch.encode("utf-16-be").hex().upper().encode()
+                for _, ch in run
+            )
+            bfrange.append(b"<%04X> <%04X> [%s]" % (lo, hi, dsts))
+    parts = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if bfchar:
+        parts.append(b"%d beginbfchar" % len(bfchar))
+        parts.extend(bfchar)
+        parts.append(b"endbfchar")
+    if bfrange:
+        parts.append(b"%d beginbfrange" % len(bfrange))
+        parts.extend(bfrange)
+        parts.append(b"endbfrange")
+    parts += [b"endcmap", b"end", b"end"]
+    return b"\n".join(parts)
+
+
 def _build_pdf(
     page_streams: list[bytes],
     flate: bool = False,
@@ -284,6 +341,8 @@ def _build_pdf(
     objstm: bool = False,
     stream_filter: str | None = None,
     xref_predictor: bool = False,
+    cid_font: tuple[str, bytes] | None = None,
+    indirect_resources: bool = False,
 ) -> bytes:
     """Assemble a minimal multi-page PDF. Corpus v4 exercises the
     real-subset container features the parser supports (VERDICT r3 #1):
@@ -308,7 +367,14 @@ def _build_pdf(
     plus an ``a85+flate`` chain; supersedes the legacy ``flate`` flag),
     and ``xref_predictor`` packs the /XRef stream rows with the PNG Up
     predictor (``/DecodeParms << /Predictor 12 /Columns 7 >>``) — the
-    layout reportlab-class writers actually emit."""
+    layout reportlab-class writers actually emit.
+
+    ``cid_font`` = (resource name, ToUnicode CMap stream body): adds an
+    Identity-H ``/Type0`` font object whose 2-byte show codes are only
+    readable through the referenced /ToUnicode CMap — the
+    subset-embedded-font layout real writers emit, where codes are NOT
+    character values. ``indirect_resources`` stores the page /Resources
+    dict as its own indirect object instead of inline."""
     if stream_filter is None and flate:
         stream_filter = "flate"
     n = len(page_streams)
@@ -319,15 +385,52 @@ def _build_pdf(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
     )
     next_int_obj = 3 + 2 * n
+    font_frag = (
+        "/Font << /F1 "
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    if cid_font is not None:
+        fname, cmap_body = cid_font
+        font_num, cmap_num = next_int_obj, next_int_obj + 1
+        next_int_obj += 2
+        objs.append(
+            (
+                font_num,
+                (
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Fake"
+                    f" /Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        if stream_filter is not None:
+            enc, name = _PDF_STREAM_FILTERS[stream_filter]
+            cdata = enc(cmap_body)
+            cfilt = b" /Filter " + name
+        else:
+            cdata, cfilt = cmap_body, b""
+        objs.append(
+            (
+                cmap_num,
+                b"<< /Length " + str(len(cdata)).encode() + cfilt
+                + b" >>\nstream\n" + cdata + b"\nendstream",
+            )
+        )
+        font_frag += f" /{fname} {font_num} 0 R"
+    font_frag += " >>"
+    if indirect_resources:
+        res_num = next_int_obj
+        next_int_obj += 1
+        objs.append((res_num, f"<< {font_frag} >>".encode()))
+        res_frag = f"/Resources {res_num} 0 R"
+    else:
+        res_frag = f"/Resources << {font_frag} >>"
     for i, stream in enumerate(page_streams):
         objs.append(
             (
                 3 + 2 * i,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                    f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
-                    f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-                    f" >> >> >>"
+                    f"/Contents {4 + 2 * i} 0 R {res_frag} >>"
                 ).encode(),
             )
         )
@@ -452,9 +555,23 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     ``'`` chain reportlab-style generators emit. Two-column ops are
     interleaved across columns (stream order is NOT reading order), so
     reading-order reconstruction AND relative-move state tracking are
-    both exercised."""
+    both exercised.
+
+    ~18% of PDFs carry a CID subset font (v8): most of their lines show
+    as 2-byte Identity-H glyph codes under ``/F2`` — readable only
+    through the /ToUnicode CMap (codes start at 0x0100, so raw decode
+    yields garbage) — with ``/F1`` literal lines interleaved to exercise
+    per-show font switching."""
     n_pages = rng.randint(1, 2)
     two_col = rng.random() < 0.5
+    cid = rng.random() < 0.18
+    charmap: dict[str, int] = {}
+
+    def cid_codes(s: str) -> str:
+        return "".join(
+            f"{charmap.setdefault(ch, 0x0100 + len(charmap)):04x}" for ch in s
+        )
+
     page_streams: list[bytes] = []
     page_texts: list[str] = []
     for _ in range(n_pages):
@@ -471,26 +588,41 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                 y -= 16.0
 
         def show_op(line: str) -> bytes:
+            if cid and rng.random() < 0.7:
+                # CID line: explicit Tf, 2-byte glyph codes; ~30% split
+                # into a kerned TJ at a code boundary
+                if len(line) > 2 and rng.random() < 0.3:
+                    cut = rng.randint(1, len(line) - 1)
+                    kern = -rng.randint(5, 60)
+                    return (
+                        f"/F2 12 Tf [<{cid_codes(line[:cut])}> {kern} "
+                        f"<{cid_codes(line[cut:])}>] TJ"
+                    ).encode()
+                return f"/F2 12 Tf <{cid_codes(line)}> Tj".encode()
+            prefix = "/F1 12 Tf " if cid else ""
             r = rng.random()
             if len(line) > 2 and r < 0.3:
                 cut = rng.randint(1, len(line) - 1)
                 kern = -rng.randint(5, 60)
                 if rng.random() < 0.25:  # hex-string half inside TJ (v8)
                     return (
-                        f"[<{line[:cut].encode('utf-8').hex()}> {kern} "
-                        f"({_pdf_escape(line[cut:])})] TJ"
+                        f"{prefix}[<{line[:cut].encode('utf-8').hex()}> "
+                        f"{kern} ({_pdf_escape(line[cut:])})] TJ"
                     ).encode()
                 return (
-                    f"[({_pdf_escape(line[:cut])}) {kern} "
+                    f"{prefix}[({_pdf_escape(line[:cut])}) {kern} "
                     f"({_pdf_escape(line[cut:])})] TJ"
                 ).encode()
             if r < 0.45:  # hex-string operand (v8)
-                return f"<{line.encode('utf-8').hex()}> Tj".encode()
+                return f"{prefix}<{line.encode('utf-8').hex()}> Tj".encode()
             if r < 0.55:  # octal escapes: \040 decodes back to space (v8)
                 return (
-                    "(" + _pdf_escape(line).replace(" ", "\\040") + ") Tj"
+                    prefix
+                    + "("
+                    + _pdf_escape(line).replace(" ", "\\040")
+                    + ") Tj"
                 ).encode()
-            return f"({_pdf_escape(line)}) Tj".encode()
+            return f"{prefix}({_pdf_escape(line)}) Tj".encode()
 
         ops: list[bytes] = [b"BT /F1 12 Tf"]
         if not two_col and rng.random() < 0.35:
@@ -501,8 +633,13 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
             if n_lines > 1:
                 ops.append(b"0 -16 TD")
                 ops.append(show_op(cols[0][1][2]))
+                # the ' chain shows literals: reset to the simple font in
+                # case a CID show_op left /F2 active (Tf persists)
+                chain_prefix = "/F1 12 Tf " if cid else ""
                 for _x, _y, line in cols[0][2:]:
-                    ops.append(f"({_pdf_escape(line)}) '".encode())
+                    ops.append(
+                        f"{chain_prefix}({_pdf_escape(line)}) '".encode()
+                    )
         else:
             lx, ly = 0.0, 0.0
             for i in range(n_lines):
@@ -536,6 +673,9 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     # half of those pack the xref rows with the PNG Up predictor
     objstm_mode = rng.random() < 0.25
     xref_pred = objstm_mode and rng.random() < 0.5
+    cid_font = (
+        ("F2", _tounicode_cmap(charmap, rng)) if cid and charmap else None
+    )
     payload = _build_pdf(
         page_streams,
         indirect_length=indirect,
@@ -543,6 +683,8 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
         objstm=objstm_mode,
         stream_filter=stream_filter,
         xref_predictor=xref_pred,
+        cid_font=cid_font,
+        indirect_resources=cid_font is not None and rng.random() < 0.3,
     )
     return payload, "\n\n".join(page_texts), n_pages
 

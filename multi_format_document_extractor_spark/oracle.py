@@ -519,8 +519,10 @@ def html_block_spans(
 # concatenation) — the op vocabulary reportlab-class generators emit
 # (reference parses arbitrary PDFs via pdfplumber,
 # src/parsers/pdf_parser.py:30-59; remaining subset boundary: no Tm
-# scale/rotation, no font-metric spacing, no CMap/ToUnicode re-mapping;
-# strings cover literal escapes incl. octal + hex strings, round 4).
+# scale/rotation, no font-metric spacing; strings cover literal escapes
+# incl. octal + hex strings, and show ops remap through each font's
+# /ToUnicode CMap — bfchar/bfrange, Identity-H 2-byte codes — so
+# subset-embedded fonts read correctly, round 4).
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
@@ -553,15 +555,47 @@ _PDF_NUM_OPS = {
 }
 
 
-def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
+class _PdfStr(bytes):
+    """String operand (literal or hex) kept as RAW bytes on the operand
+    stack so show ops can decode them through the current font's
+    ToUnicode CMap; the subclass keeps it distinguishable from name
+    tokens, which are plain ``bytes``."""
+
+
+def _decode_show(raw: bytes, font: tuple[int, dict[int, str]] | None) -> str:
+    """Show-operand bytes → text. Without a CMap font the bytes are the
+    text (utf-8, lenient — the simple-font contract the corpus and the
+    reference's reportlab-class fixtures share). With one, the bytes are
+    fixed-width glyph CODES remapped through the font's ToUnicode CMap —
+    the only correct reading for subset-embedded (Identity-H) fonts,
+    where the codes are NOT character values. Unmapped codes and a
+    trailing partial code become U+FFFD, the same lenient-decode stance
+    as everywhere else in this module."""
+    if font is None:
+        return raw.decode("utf-8", errors="replace")
+    nbytes, mapping = font
+    out: list[str] = []
+    for i in range(0, len(raw) - nbytes + 1, nbytes):
+        code = int.from_bytes(raw[i : i + nbytes], "big")
+        out.append(mapping.get(code, "�"))
+    if len(raw) % nbytes:
+        out.append("�")
+    return "".join(out)
+
+
+def _pdf_text_spans(
+    stream: bytes, fonts: dict | None = None
+) -> list[tuple[float, float, str]]:
     """Interpret a page content stream with the real PDF text state
     machine (ISO 32000 §9.4): returns (x, y, text) spans where (x, y) is
     the text-line origin. Consecutive show ops with no intervening line
     move continue the SAME line, so they merge into one span — the
     line-assembly behavior a real extractor (pdfplumber/pdftotext)
-    produces. Subset boundary: Tm's scale/rotation components are
-    ignored (translation only), and TJ kern offsets never insert
-    spaces."""
+    produces. ``fonts`` maps resource names to ToUnicode CMaps (see
+    ``_pdf_page_fonts``); ``Tf`` switches the active font, and show
+    operands decode through it (``_decode_show``). Subset boundary: Tm's
+    scale/rotation components are ignored (translation only), and TJ
+    kern offsets never insert spaces."""
     spans: list[tuple[float, float, str]] = []
     stack: list = []
     arr: list | None = None
@@ -569,6 +603,8 @@ def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
     lx = ly = 0.0
     leading = 0.0
     cont = False  # True iff the last event was a show with no move since
+    cur_font: tuple[int, dict[int, str]] | None = None
+    last_name: bytes | None = None
 
     def nums(k: int) -> list[float] | None:
         vals = [v for v in stack[-k:] if isinstance(v, float)]
@@ -594,16 +630,17 @@ def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
             arr = None
             continue
         if c == b"(":
-            val = _unescape_pdf_string(tok[1:-1])
+            val = _PdfStr(_unescape_pdf_bytes(tok[1:-1]))
             (stack if arr is None else arr).append(val)
             continue
         if c == b"<":
             # hex string: same byte semantics as a literal string
             # (ISO 32000 §7.3.4.3 — whitespace ignored, odd digit padded)
-            val = _asciihex_decode(tok[1:]).decode("utf-8", errors="replace")
+            val = _PdfStr(_asciihex_decode(tok[1:]))
             (stack if arr is None else arr).append(val)
             continue
         if c == b"/" :
+            last_name = tok
             stack.append(tok)
             continue
         if c in b"-.0123456789":
@@ -613,6 +650,10 @@ def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
         if tok == b"BT":
             in_text, lx, ly, leading = True, 0.0, 0.0, 0.0
             cont = False
+        elif tok == b"Tf":
+            # font selection is graphics state: it persists across BT/ET
+            if fonts is not None and last_name is not None:
+                cur_font = fonts.get(last_name)
         elif tok == b"ET":
             in_text = False
             cont = False
@@ -637,19 +678,21 @@ def _pdf_text_spans(stream: bytes) -> list[tuple[float, float, str]]:
                 ly -= leading
                 cont = False
             elif tok == b"Tj":
-                if stack and isinstance(stack[-1], str):
-                    emit(stack[-1])
+                if stack and isinstance(stack[-1], _PdfStr):
+                    emit(_decode_show(stack[-1], cur_font))
             elif tok in (b"'", b'"'):
                 # " is (aw ac string "): spacing operands ignored, same
                 # next-line-then-show motion as '
-                if stack and isinstance(stack[-1], str):
+                if stack and isinstance(stack[-1], _PdfStr):
                     ly -= leading
                     cont = False
-                    emit(stack[-1])
+                    emit(_decode_show(stack[-1], cur_font))
             elif tok == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     txt = "".join(
-                        e for e in stack[-1] if isinstance(e, str)
+                        _decode_show(e, cur_font)
+                        for e in stack[-1]
+                        if isinstance(e, _PdfStr)
                     )
                     if txt:
                         emit(txt)
@@ -1118,13 +1161,129 @@ def _pdf_decode_stream(head: bytes, data: bytes) -> bytes:
     return data
 
 
-def _pdf_page_contents(payload: bytes) -> list[bytes] | None:
-    """Decoded content-stream bytes per page, in DOCUMENT order (trailer
-    /Root → /Pages → /Kids, recursing through nested page-tree nodes,
-    then each page's /Contents ref or ref-array) — the page order a real
-    reader renders, independent of where objects sit in the file. None
-    when the payload has no parsable structure (caller falls back to the
-    raw stream scan). Objects come from the xref table when it is
+def _pdf_balanced_dict(b: bytes, open_idx: int) -> bytes:
+    """Inner bytes of the ``<< … >>`` dict whose opening ``<<`` starts at
+    ``open_idx``, counting nested dict delimiters (a non-greedy regex
+    stops at the FIRST ``>>``, which breaks on inline nested font
+    dicts). An unterminated dict returns what is there."""
+    depth = 0
+    i = open_idx
+    n = len(b)
+    while i < n - 1:
+        pair = b[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            if depth == 0:
+                return b[open_idx + 2 : i]
+            i += 2
+        else:
+            i += 1
+    return b[open_idx + 2 :]
+
+
+_MAX_BFRANGE = 1 << 16  # hostile-CMap guard: one range can't exceed 64k codes
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap (Adobe CMap syntax, ISO 32000 §9.10.3): code byte
+    width from the first codespacerange bound (2 when absent —
+    Identity-H's), mappings from every ``bfchar`` (code → UTF-16BE
+    string) and ``bfrange`` block (both the incrementing <lo> <hi> <dst>
+    form and the explicit array form)."""
+    nbytes = 2
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if m is not None:
+        nbytes = max(1, len(m.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for blk in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", blk.group(1)
+        ):
+            mapping[int(src, 16)] = bytes.fromhex(dst.decode()).decode(
+                "utf-16-be", errors="replace"
+            )
+    for blk in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for lo, hi, rest in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            blk.group(1),
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i >= _MAX_BFRANGE:
+                raise ValueError("bfrange span beyond the 64k code space")
+            if rest.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rest)
+                for k, d in enumerate(dsts):
+                    if lo_i + k > hi_i:
+                        break
+                    mapping[lo_i + k] = bytes.fromhex(d.decode()).decode(
+                        "utf-16-be", errors="replace"
+                    )
+            else:
+                d0 = bytes.fromhex(rest[1:-1].decode())
+                base = int.from_bytes(d0, "big")
+                for k in range(hi_i - lo_i + 1):
+                    mapping[lo_i + k] = (
+                        (base + k)
+                        .to_bytes(len(d0), "big")
+                        .decode("utf-16-be", errors="replace")
+                    )
+    return nbytes, mapping
+
+
+def _pdf_page_fonts(
+    head: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Resolve the page's /Resources → /Font dict and build the ToUnicode
+    map for every font REFERENCED as an indirect object (inline font
+    dicts — simple Type1 like the corpus /F1 — carry no ToUnicode and
+    keep the raw-bytes reading). /Resources itself may be direct or an
+    indirect ref. A corrupt CMap skips that one font (its text falls
+    back to raw decoding) rather than failing the page."""
+    res = head
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
+    if rm is not None:
+        o = objs.get(int(rm.group(1)))
+        if o is None:
+            return {}
+        res = o[0]
+    fm = re.search(rb"/Font\s*<<", res)
+    if fm is None:
+        return {}
+    region = _pdf_balanced_dict(res, fm.end() - 2)
+    fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for m in re.finditer(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R", region):
+        fo = objs.get(int(m.group(2)))
+        if fo is None:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fo[0])
+        if tm is None:
+            continue
+        cm = objs.get(int(tm.group(1)))
+        if cm is None or cm[1] is None:
+            continue
+        try:
+            fonts[b"/" + m.group(1)] = _parse_tounicode(
+                _pdf_decode_stream(cm[0], cm[1])
+            )
+        except Exception:  # noqa: BLE001 — corrupt CMap: font reads raw
+            continue
+    return fonts
+
+
+def _pdf_page_contents(
+    payload: bytes,
+) -> list[tuple[bytes, dict[bytes, tuple[int, dict[int, str]]]]] | None:
+    """Per page, in DOCUMENT order: (decoded content-stream bytes, font
+    map from ``_pdf_page_fonts``). Order comes from the structure walk
+    (trailer /Root → /Pages → /Kids, recursing through nested page-tree
+    nodes, then each page's /Contents ref or ref-array) — the page order
+    a real reader renders, independent of where objects sit in the file.
+    None when the payload has no parsable structure (caller falls back
+    to the raw stream scan). Objects come from the xref table when it is
     present and consistent, else from the linear rebuild scan."""
     objs = _pdf_xref_objects(payload)
     if objs is None:
@@ -1165,11 +1324,12 @@ def _pdf_page_contents(payload: bytes) -> list[bytes] | None:
     walk(int(pages_m.group(1)))
     if not page_objs:
         return None
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict]] = []
     for head in page_objs:
+        fonts = _pdf_page_fonts(head, objs)
         cm = re.search(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[([^\]]*)\])", head)
         if cm is None:
-            out.append(b"")
+            out.append((b"", fonts))
             continue
         refs = (
             [int(cm.group(1))]
@@ -1181,7 +1341,7 @@ def _pdf_page_contents(payload: bytes) -> list[bytes] | None:
             o = objs.get(r)
             if o is not None and o[1] is not None:
                 parts.append(_pdf_decode_stream(o[0], o[1]))
-        out.append(b"\n".join(parts))
+        out.append((b"\n".join(parts), fonts))
     return out
 
 
@@ -1194,12 +1354,14 @@ _PDF_ESC_CHARS = {
 }
 
 
-def _unescape_pdf_string(raw: bytes) -> str:
+def _unescape_pdf_bytes(raw: bytes) -> bytes:
     """Literal-string escapes per ISO 32000 §7.3.4.2, scanned left to
     right (a replace chain mis-handles runs like ``\\\\n``): the named
     escapes, 1-3 digit octal codes, backslash-EOL line continuation, and
     the spec rule that a backslash before any other character is simply
-    dropped (which is exactly what ``\\(`` / ``\\)`` / ``\\\\`` need)."""
+    dropped (which is exactly what ``\\(`` / ``\\)`` / ``\\\\`` need).
+    Returns BYTES — with a CMap font the string is glyph codes, not
+    text, so decoding happens at show time (``_decode_show``)."""
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -1230,7 +1392,12 @@ def _unescape_pdf_string(raw: bytes) -> str:
         else:  # backslash dropped, character kept (covers \\ \( \) too)
             out.append(c)
             i += 1
-    return out.decode("utf-8", errors="replace")
+    return bytes(out)
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    """Simple-font reading of a literal string: unescape, then utf-8."""
+    return _unescape_pdf_bytes(raw).decode("utf-8", errors="replace")
 
 
 def pdf_layout_boxes(
@@ -1249,13 +1416,13 @@ def pdf_layout_boxes(
     payloads; a structured page with no text ops still ADVANCES the
     page index (its geometry is empty, not renumbered)."""
     out: list[tuple[int, float, float, int, int, str]] = []
-    page_streams = _pdf_page_contents(payload)
-    structured = page_streams is not None
-    if page_streams is None:
-        page_streams = _STREAM_RE.findall(payload)
+    pages = _pdf_page_contents(payload)
+    structured = pages is not None
+    if pages is None:  # raw scan: no structure, so no font resources
+        pages = [(s, {}) for s in _STREAM_RE.findall(payload)]
     page_idx = 0
-    for stream in page_streams:
-        spans = _pdf_text_spans(stream)
+    for stream, fonts in pages:
+        spans = _pdf_text_spans(stream, fonts)
         if not spans:
             if structured:
                 page_idx += 1  # a real page, just with no text boxes

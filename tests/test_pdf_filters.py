@@ -277,3 +277,99 @@ def test_predictor_xref_stream_is_load_bearing():
     broken = p.replace(b"/Predictor 12 /Columns 7", b"/Predictor 12 /Columns 6")
     t2, _ = oracle.extract_pdf(broken)  # falls back to the object scan
     assert t2 == _WANT
+
+
+# --------------------------------------------------------------------------
+# ToUnicode CMap / CID (Identity-H) fonts
+# --------------------------------------------------------------------------
+
+
+def test_parse_tounicode_all_three_syntaxes():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n"
+        b"2 beginbfchar\n<0101> <0048>\n<0102> <0065>\nendbfchar\n"
+        b"1 beginbfrange\n<0110> <0112> <006C>\nendbfrange\n"
+        b"1 beginbfrange\n<0120> <0122> [<0041> <00420043> <0044>]\n"
+        b"endbfrange\nendcmap"
+    )
+    nbytes, m = oracle._parse_tounicode(cmap)
+    assert nbytes == 2
+    assert m[0x0101] == "H" and m[0x0102] == "e"
+    # scalar bfrange increments the destination
+    assert (m[0x0110], m[0x0111], m[0x0112]) == ("l", "m", "n")
+    # array bfrange maps positionally; multi-unit UTF-16 destinations work
+    assert (m[0x0120], m[0x0121], m[0x0122]) == ("A", "BC", "D")
+    with pytest.raises(ValueError):  # hostile range span
+        oracle._parse_tounicode(
+            b"1 beginbfrange\n<0000> <FFFF0000> <0041>\nendbfrange"
+        )
+
+
+def test_decode_show_cid_semantics():
+    font = (2, {0x0101: "H", 0x0102: "i"})
+    assert oracle._decode_show(bytes.fromhex("01010102"), font) == "Hi"
+    assert oracle._decode_show(bytes.fromhex("0101FF"), font) == "H�"
+    assert oracle._decode_show(bytes.fromhex("9999"), font) == "�"
+    assert oracle._decode_show(b"plain", None) == "plain"
+
+
+def _cid_page():
+    """(stream, cmap, expected-text) with non-identity codes, so raw
+    decoding provably fails without the CMap."""
+    import random as _random
+
+    from multi_format_document_extractor_spark.corpus import _tounicode_cmap
+
+    text = "hello cid world"
+    charmap: dict[str, int] = {}
+    codes = "".join(
+        f"{charmap.setdefault(ch, 0x0100 + len(charmap)):04x}" for ch in text
+    )
+    stream = (
+        b"BT /F2 12 Tf\n1 0 0 1 50 720 Tm <" + codes.encode() + b"> Tj\n"
+        b"/F1 12 Tf 0 -16 Td (plain line) Tj\nET"
+    )
+    return stream, _tounicode_cmap(charmap, _random.Random(1)), text
+
+
+def test_cid_font_end_to_end_and_font_switching():
+    stream, cmap, text = _cid_page()
+    for filt in (None, "flate", "lzw"):
+        for objstm in (False, True):
+            for ind_res in (False, True):
+                p = _build_pdf(
+                    [stream],
+                    cid_font=("F2", cmap),
+                    stream_filter=filt,
+                    objstm=objstm,
+                    indirect_resources=ind_res,
+                )
+                t, n = oracle.extract_pdf(p)
+                assert t == f"{text}\nplain line".encode(), (
+                    filt,
+                    objstm,
+                    ind_res,
+                )
+    # the CMap is load-bearing: without fonts the codes are garbage
+    raw = oracle._pdf_text_spans(stream)
+    assert raw[0][2] != text
+
+
+def test_corrupt_cmap_falls_back_to_raw_reading():
+    stream, cmap, text = _cid_page()
+    p = _build_pdf([stream], cid_font=("F2", cmap), stream_filter="flate")
+    # corrupt the CMap stream's Flate body: that font silently reads raw
+    # (wrong text, right failure mode — no exception, page survives)
+    import re as _re
+
+    m = _re.search(rb"/ToUnicode \d+ 0 R", p)
+    assert m is not None
+    cm_head = p.find(b"begincmap") if b"begincmap" in p else -1
+    # flate-compressed cmap: find its stream via the font object's ref
+    num = int(m.group(0).split()[1])
+    om = _re.search(rb"(?m)^%d 0 obj" % num, p)
+    s0 = p.index(b"stream\n", om.start()) + len(b"stream\n")
+    broken = p[:s0] + b"\x00\x00\x00\x00" + p[s0 + 4 :]
+    t, n = oracle.extract_pdf(broken)
+    assert n == 1 and b"plain line" in t and text.encode() not in t
