@@ -30,9 +30,12 @@ import re
 import zipfile
 import zlib
 from dataclasses import dataclass, field
+from functools import lru_cache
 from html import unescape as _unescape
 from html.parser import HTMLParser
 from xml.etree import ElementTree as ET
+
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Format sniff (reference: src/config.py:32-67 maps extension → type; we map
@@ -715,7 +718,7 @@ _XREF_SUBSEC_RE = re.compile(rb"[ ]*(\d+)[ ]+(\d+)[ ]*(?:\r\n|\r|\n)")
 def _pdf_parse_obj_at(
     payload: bytes,
     head_match: "re.Match[bytes]",
-    int_objs: dict[int, int],
+    int_objs: "_LazyIntObjs",
 ) -> tuple[bytes, bytes | None, int]:
     """Parse one object whose ``N G obj`` header is ``head_match``:
     returns (body before any stream keyword, raw stream bytes or None,
@@ -759,14 +762,35 @@ def _pdf_parse_obj_at(
     return head, payload[data_start:end], (n if endobj < 0 else endobj + 6)
 
 
-def _pdf_int_objs(payload: bytes) -> dict[int, int]:
-    """Pre-pass over simple integer objects (``N G obj 42 endobj`` —
-    cannot contain binary, so a flat regex is safe) for indirect
-    /Length resolution."""
-    return {
-        int(m.group(1)): int(m.group(2))
-        for m in _INT_OBJ_RE.finditer(payload)
-    }
+class _LazyIntObjs:
+    """Deferred view of the simple integer objects (``N G obj 42
+    endobj`` — cannot contain binary, so a flat regex is safe), used for
+    indirect /Length resolution. The flat regex attempts a match at
+    every digit run in the file — including digits inside compressed
+    stream bytes — which made the eager pre-pass the single most
+    expensive step of the PDF walk while indirect /Length refs are rare;
+    building the map on first ``get`` keeps the common direct-/Length
+    file scan-free."""
+
+    __slots__ = ("_payload", "_map")
+
+    def __init__(self, payload: bytes) -> None:
+        self._payload = payload
+        self._map: dict[int, int] | None = None
+
+    def get(self, num: int) -> int | None:
+        if self._map is None:
+            self._map = {
+                int(m.group(1)): int(m.group(2))
+                for m in _INT_OBJ_RE.finditer(self._payload)
+            }
+        return self._map.get(num)
+
+
+def _pdf_int_objs(payload: bytes) -> _LazyIntObjs:
+    """Indirect-/Length resolver over the simple integer objects;
+    lazily built (see _LazyIntObjs)."""
+    return _LazyIntObjs(payload)
 
 
 def _pdf_xref_objects(
@@ -1362,6 +1386,8 @@ def _unescape_pdf_bytes(raw: bytes) -> bytes:
     dropped (which is exactly what ``\\(`` / ``\\)`` / ``\\\\`` need).
     Returns BYTES — with a CMap font the string is glyph codes, not
     text, so decoding happens at show time (``_decode_show``)."""
+    if 0x5C not in raw:  # no backslash: nothing to unescape
+        return raw
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -1586,42 +1612,68 @@ def _pbm_parse(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, raster
 
 
-def _classify_glyph_grid(px, w: int, h: int) -> tuple[bytes, int]:
+# 35-bit packed form of each FONT5X7 template (7 rows × 5 bits, row 0 in
+# the high bits) — the vectorized classifier's lookup key
+_GLYPH_PACKED = {
+    sum(rows[gy] << (5 * (6 - gy)) for gy in range(7)): ch
+    for ch, rows in FONT5X7.items()
+}
+_GLYPH_ROW_WEIGHTS = np.array([16, 8, 4, 2, 1], dtype=np.int64)
+_GLYPH_PACK_SHIFTS = np.array(
+    [1 << (5 * (6 - gy)) for gy in range(7)], dtype=np.int64
+)
+
+
+def _classify_glyph_grid(ink: "np.ndarray", w: int, h: int) -> tuple[bytes, int]:
     """Shared decode→segment→classify tail of the image-content path:
-    walk 6×8 cells of an ink-predicate raster ``px(x, y) -> 0/1`` and
-    match each against FONT5X7 (unknown bitmaps decode to '?'); lines of
-    glyphs become text lines, n_blocks = non-empty lines. Both raster
-    containers (P4 bitmaps, PNG) funnel here, so the OCR contract is one
-    definition."""
-    lines: list[str] = []
-    for row0 in range(0, h - GLYPH_H + 1, GLYPH_H):
-        chars: list[str] = []
-        for col0 in range(0, w - (GLYPH_W - 1) + 1, GLYPH_W):
-            rows = tuple(
-                sum(
-                    px(col0 + gx, row0 + gy) << (4 - gx)
-                    for gx in range(5)
-                )
-                for gy in range(7)
-            )
-            chars.append(_GLYPH_REV.get(rows, "?"))
-        lines.append("".join(chars).rstrip())
+    walk 6×8 cells of an ink raster (2-D 0/1 array, [y, x]) and match
+    each against FONT5X7 (unknown bitmaps decode to '?'); lines of
+    glyphs become text lines, n_blocks = non-empty lines. All raster
+    containers (P4 bitmaps, PNG, GIF, JPEG) funnel here, so the OCR
+    contract is one definition. Each cell packs to a 35-bit signature in
+    one vectorized pass; the per-cell work left in Python is a dict
+    lookup."""
+    nr = (h - GLYPH_H) // GLYPH_H + 1 if h >= GLYPH_H else 0
+    nc = (w - (GLYPH_W - 1)) // GLYPH_W + 1 if w >= GLYPH_W - 1 else 0
+    if not nr or not nc:
+        return b"", 0
+    ys = (np.arange(nr) * GLYPH_H)[:, None] + np.arange(7)
+    xs = (np.arange(nc) * GLYPH_W)[:, None] + np.arange(5)
+    cells = (
+        ink[np.ix_(ys.ravel(), xs.ravel())]
+        .reshape(nr, 7, nc, 5)
+        .transpose(0, 2, 1, 3)
+        .astype(np.int64)
+    )
+    keys = (cells @ _GLYPH_ROW_WEIGHTS) @ _GLYPH_PACK_SHIFTS  # (nr, nc)
+    get = _GLYPH_PACKED.get
+    lines = [
+        "".join([get(k, "?") for k in row.tolist()]).rstrip() for row in keys
+    ]
     while lines and not lines[-1]:
         lines.pop()
     n_blocks = sum(1 for ln in lines if ln)
     return "\n".join(lines).encode("utf-8"), n_blocks
 
 
+def _ink_from_gray(buf, w: int, h: int) -> "np.ndarray":
+    """Mid-gray threshold shared by the PNG/GIF/JPEG paths: ink = dark."""
+    return (np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w) < 128).astype(
+        np.uint8
+    )
+
+
 def extract_pbm(payload: bytes) -> tuple[bytes, int]:
     """Decode a P4 bitmap and classify 6×8 glyph cells against FONT5X7."""
     w, h, raster = _pbm_parse(payload)
     stride = (w + 7) // 8
-
-    def px(x: int, y: int) -> int:
-        b = raster[y * stride + (x >> 3)]
-        return (b >> (7 - (x & 7))) & 1
-
-    return _classify_glyph_grid(px, w, h)
+    ink = np.unpackbits(
+        np.frombuffer(bytes(raster[: stride * h]), dtype=np.uint8).reshape(
+            h, stride
+        ),
+        axis=1,
+    )[:, :w]
+    return _classify_glyph_grid(ink, w, h)
 
 
 def _render_ink_pixels(lines: list[str]) -> tuple[int, int, set[tuple[int, int]]]:
@@ -1776,11 +1828,7 @@ def extract_png(payload: bytes) -> tuple[bytes, int]:
     unfilter decode, threshold at mid-gray (ink = dark), then the same
     6×8 glyph classification as P4 bitmaps."""
     w, h, recon = png_decode_gray8(payload)
-
-    def px(x: int, y: int) -> int:
-        return 1 if recon[y * w + x] < 128 else 0
-
-    return _classify_glyph_grid(px, w, h)
+    return _classify_glyph_grid(_ink_from_gray(recon, w, h), w, h)
 
 
 _PNG_FILTERS = (0, 1, 2, 3, 4)
@@ -2152,11 +2200,7 @@ def extract_gif(payload: bytes) -> tuple[bytes, int]:
     threshold at mid-gray (ink = dark), then the same 6×8 glyph
     classification as P4 bitmaps and PNGs."""
     w, h, lum = gif_decode_gray(payload)
-
-    def px(x: int, y: int) -> int:
-        return 1 if lum[y * w + x] < 128 else 0
-
-    return _classify_glyph_grid(px, w, h)
+    return _classify_glyph_grid(_ink_from_gray(lum, w, h), w, h)
 
 
 def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
@@ -2358,6 +2402,8 @@ _DCT_A = tuple(
     for u in range(8)
 )
 _DCT_AT = tuple(tuple(_DCT_A[u][x] for u in range(8)) for x in range(8))
+_DCT_A_NP = np.asarray(_DCT_A, dtype=np.float64)
+_DCT_AT_NP = np.asarray(_DCT_AT, dtype=np.float64)
 
 
 def _dct2d(blk, basis):
@@ -2504,53 +2550,108 @@ def render_jpeg(lines: list[str]) -> bytes:
 
 
 class _JpegBits:
-    """MSB-first bit reader over the entropy-coded scan, honoring 0xFF00
-    byte stuffing; any other marker inside the scan is a named error."""
+    """MSB-first bit reader over the entropy-coded scan. The scan is
+    DESTUFFED once up front (0xFF00 → 0xFF, stop at any other marker or
+    at EOI), and the reason the destuff stopped is raised LAZILY — only
+    if decoding actually consumes bits past the buffered data — so a
+    marker sitting after the final block stays legal, exactly as the old
+    byte-at-a-time reader treated it."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.d = data
-        self.pos = pos
+        end_err = "JPEG entropy data truncated"
+        n = len(data)
+        # fast path: chop at the first 0xFF, then walk marker by marker
+        chunks: list[bytes] = []
+        while pos < n:
+            ff = data.find(b"\xff", pos)
+            if ff < 0:
+                chunks.append(data[pos:])
+                pos = n
+                break
+            chunks.append(data[pos:ff])
+            if ff + 1 >= n:
+                end_err = "JPEG entropy data truncated at FF"
+                pos = n
+                break
+            m = data[ff + 1]
+            if m == 0x00:
+                chunks.append(b"\xff")
+                pos = ff + 2
+            elif m == 0xD9:
+                end_err = "JPEG scan ended early (EOI)"
+                pos = n
+                break
+            else:
+                end_err = f"unsupported JPEG marker 0xFF{m:02X} in scan"
+                pos = n
+                break
+        self.buf = b"".join(chunks)
+        self.end_err = end_err
+        self.pos = 0  # next unread destuffed byte
         self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("JPEG entropy data truncated")
-            b = self.d[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.d):
-                    raise ValueError("JPEG entropy data truncated at FF")
-                m = self.d[self.pos]
-                if m == 0x00:
-                    self.pos += 1
-                elif m == 0xD9:
-                    raise ValueError("JPEG scan ended early (EOI)")
-                else:
-                    raise ValueError(
-                        f"unsupported JPEG marker 0xFF{m:02X} in scan"
-                    )
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        self.n = 0  # real (unconsumed) bits held in acc
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        buf = self.buf
+        while self.n < k:
+            if self.pos >= len(buf):
+                raise ValueError(self.end_err)
+            self.acc = (self.acc << 8) | buf[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
+    def huff(self, fast: list[int]) -> int:
+        """Decode one symbol via a 16-bit-peek table (``_jpeg_fast_table``
+        entries pack ``(code_len << 8) | value``; 0 = no code). Same
+        outcomes as the bit-by-bit canonical walk: a code fully contained
+        in the remaining real bits decodes; running dry mid-code raises
+        the scan's end reason; 16 real bits matching nothing is an
+        invalid code."""
+        buf = self.buf
+        while self.n < 16 and self.pos < len(buf):
+            self.acc = (self.acc << 8) | buf[self.pos]
+            self.pos += 1
+            self.n += 8
+        if self.n >= 16:
+            e = fast[(self.acc >> (self.n - 16)) & 0xFFFF]
+            if not e:
+                raise ValueError("invalid JPEG Huffman code")
+        else:
+            # tail: zero-pad the peek; prefix property means a match of
+            # length ≤ the real bits is genuine, anything else means the
+            # bit-at-a-time reader would have run dry mid-code
+            e = fast[(self.acc << (16 - self.n)) & 0xFFFF]
+            if not e or (e >> 8) > self.n:
+                raise ValueError(self.end_err)
+        ln = e >> 8
+        self.n -= ln
+        self.acc &= (1 << self.n) - 1
+        return e & 0xFF
 
-def _jpeg_huff(br: _JpegBits, dec) -> int:
+
+@lru_cache(maxsize=64)
+def _jpeg_fast_table(bits: tuple, vals: tuple) -> list[int]:
+    """65536-entry lookup for one DHT: entry at every 16-bit word whose
+    prefix is a codeword packs ``(code_len << 8) | value``; 0 elsewhere.
+    Cached per (BITS, HUFFVAL) so the standard tables build once per
+    process, not once per image."""
+    fast = np.zeros(65536, dtype=np.uint16)
     code = 0
+    k = 0
     for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        tab = dec.get(ln)
-        if tab is not None and code in tab:
-            return tab[code]
-    raise ValueError("invalid JPEG Huffman code")
+        for _ in range(bits[ln - 1]):
+            v = vals[k]
+            k += 1
+            if code < (1 << ln):  # overflowing (corrupt) codes never match
+                base = code << (16 - ln)
+                fast[base : base + (1 << (16 - ln))] = (ln << 8) | v
+            code += 1
+        code <<= 1
+    return fast.tolist()
 
 
 def _jpeg_extend(v: int, cat: int) -> int:
@@ -2667,8 +2768,8 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
                 vals = list(body[i + 17 : i + 17 + nv])
                 if len(vals) != nv or len(bits) != 16:
                     raise ValueError("truncated JPEG Huffman table")
-                _, dec = _jpeg_canonical_codes(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                fast = _jpeg_fast_table(tuple(bits), tuple(vals))
+                (huff_dc if tc == 0 else huff_ac)[th] = fast
                 i += 17 + nv
         elif marker == 0xDD:
             raise ValueError("unsupported JPEG (restart intervals)")
@@ -2687,40 +2788,57 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     q = qt[comp_q]
     br = _JpegBits(payload, scan_at)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    out = bytearray(w * h)
     prev_dc = 0
     dcd, acd = huff_dc[dc_id], huff_ac[ac_id]
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = [0.0] * 64
-            cat = _jpeg_huff(br, dcd)
-            prev_dc += _jpeg_extend(br.bits(cat), cat) if cat else 0
-            zz[0] = prev_dc * q[0]
-            i = 1
-            while i < 64:
-                rs = _jpeg_huff(br, acd)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        i += 16
-                        continue
-                    break  # EOB
-                i += r
-                if i > 63:
-                    raise ValueError("JPEG AC run past block end")
-                zz[i] = _jpeg_extend(br.bits(s), s) * q[i]
-                i += 1
-            coef = [[0.0] * 8 for _ in range(8)]
-            for i in range(64):
-                coef[_JPEG_ZIGZAG[i] // 8][_JPEG_ZIGZAG[i] % 8] = zz[i]
-            blk = _dct2d(coef, _DCT_AT)
-            for y in range(min(8, h - by * 8)):
-                row = blk[y]
-                o = (by * 8 + y) * w + bx * 8
-                for x in range(min(8, w - bx * 8)):
-                    v = int(row[x] + 128.5)
-                    out[o + x] = 0 if v < 0 else (255 if v > 255 else v)
-    return w, h, out
+    nblk = bw_ * bh_
+    # entropy decode is inherently sequential: collect the (rare) nonzero
+    # zigzag coefficients as sparse triples, then dequantize + de-zigzag +
+    # IDCT every block in one batched numpy pass instead of per-pixel loops
+    blk_idx: list[int] = []
+    coef_idx: list[int] = []
+    coef_val: list[int] = []
+    huff = br.huff
+    extend = _jpeg_extend
+    for bi in range(nblk):
+        cat = huff(dcd)
+        if cat:
+            prev_dc += extend(br.bits(cat), cat)
+        if prev_dc:
+            blk_idx.append(bi)
+            coef_idx.append(0)
+            coef_val.append(prev_dc)
+        i = 1
+        while i < 64:
+            rs = huff(acd)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("JPEG AC run past block end")
+            blk_idx.append(bi)
+            coef_idx.append(i)
+            coef_val.append(extend(br.bits(s), s))
+            i += 1
+    zz = np.zeros((nblk, 64), dtype=np.float64)
+    if blk_idx:
+        zz[blk_idx, coef_idx] = coef_val
+    zz *= np.asarray(q, dtype=np.float64)  # quant table is zigzag-ordered
+    nat = np.zeros_like(zz)
+    nat[:, list(_JPEG_ZIGZAG)] = zz  # natural-order coefficients
+    blocks = _DCT_AT_NP @ nat.reshape(nblk, 8, 8) @ _DCT_A_NP
+    px = np.floor(blocks + 128.5)  # == int(v + 128.5) inside the clamp
+    np.clip(px, 0.0, 255.0, out=px)
+    img = (
+        px.astype(np.uint8)
+        .reshape(bh_, bw_, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_ * 8, bw_ * 8)
+    )
+    return w, h, bytearray(np.ascontiguousarray(img[:h, :w]).tobytes())
 
 
 def extract_jpeg(payload: bytes) -> tuple[bytes, int]:
@@ -2728,11 +2846,7 @@ def extract_jpeg(payload: bytes) -> tuple[bytes, int]:
     IDCT decode, threshold at mid-gray (ink = dark), then the same 6×8
     glyph classification as P4/PNG/GIF rasters."""
     w, h, lum = jpeg_decode_gray8(payload)
-
-    def px(x: int, y: int) -> int:
-        return 1 if lum[y * w + x] < 128 else 0
-
-    return _classify_glyph_grid(px, w, h)
+    return _classify_glyph_grid(_ink_from_gray(lum, w, h), w, h)
 
 
 # ---------------------------------------------------------------------------
