@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 8  # v8: PDF streams use the full standard filter set
+CORPUS_VERSION = 9  # v9: CID fonts + word-space kerns in PDF TJ arrays
 # (LZW/AHx/A85/RL + chains), predictor-packed xref streams, hex-string
 # and octal-escape show operands, and ~18% CID subset fonts whose
 # 2-byte Identity-H codes are readable only via the /ToUnicode CMap
@@ -549,8 +549,9 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     """1- or 2-column layout, 1-2 pages; text ops use the REAL op
     vocabulary (v7, matching oracle._pdf_text_spans): per-op moves mix
     absolute ``Tm`` with spec-correct RELATIVE ``Td`` deltas, shows mix
-    plain ``Tj`` with kerned ``TJ`` arrays (split mid-line — the kern is
-    sub-glyph spacing, so extraction must concatenate), and ~35% of
+    plain ``Tj`` with kerned ``TJ`` arrays (split mid-line with small
+    kerns extraction must concatenate across, or — v9 — at a space
+    typeset as a wide kern gap extraction must re-insert), and ~35% of
     single-column pages typeset as the classic ``Td``/``TD``-leading/
     ``'`` chain reportlab-style generators emit. Two-column ops are
     interleaved across columns (stream order is NOT reading order), so
@@ -588,7 +589,18 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                 y -= 16.0
 
         def show_op(line: str) -> bytes:
+            spaces = [i for i, ch in enumerate(line) if ch == " "]
             if cid and rng.random() < 0.7:
+                if spaces and rng.random() < 0.3:
+                    # word-space kern (v9): the space is typeset as a
+                    # wide TJ gap, not a glyph — extraction re-inserts
+                    # it (oracle.PDF_WORD_KERN)
+                    i = rng.choice(spaces)
+                    kern = -rng.randint(160, 400)
+                    return (
+                        f"/F2 12 Tf [<{cid_codes(line[:i])}> {kern} "
+                        f"<{cid_codes(line[i + 1:])}>] TJ"
+                    ).encode()
                 # CID line: explicit Tf, 2-byte glyph codes; ~30% split
                 # into a kerned TJ at a code boundary
                 if len(line) > 2 and rng.random() < 0.3:
@@ -600,6 +612,14 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                     ).encode()
                 return f"/F2 12 Tf <{cid_codes(line)}> Tj".encode()
             prefix = "/F1 12 Tf " if cid else ""
+            if spaces and rng.random() < 0.2:
+                # word-space kern (v9), literal-string form
+                i = rng.choice(spaces)
+                kern = -rng.randint(160, 400)
+                return (
+                    f"{prefix}[({_pdf_escape(line[:i])}) {kern} "
+                    f"({_pdf_escape(line[i + 1:])})] TJ"
+                ).encode()
             r = rng.random()
             if len(line) > 2 and r < 0.3:
                 cut = rng.randint(1, len(line) - 1)

@@ -536,7 +536,8 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # Tm (set text matrix; subset reads the e/f translation), Td (RELATIVE
 # line move, per spec), TD (Td + set leading), TL (set leading), T*
 # (next line), Tj / ' / " / TJ (show ops; TJ concatenates its array's string
-# elements — numeric kerns are sub-glyph spacing, not word breaks).
+# elements — a numeric adjustment at or beyond PDF_WORD_KERN reads as an
+# inter-word space, smaller magnitudes are sub-glyph spacing).
 # Unmatched operators (Tc, Tw, Tz, …) simply never fire; every matched
 # operator pops its operands from the END of the stack and clears it, so
 # stray operands from unhandled ops cannot corrupt the next operator.
@@ -556,6 +557,14 @@ _PDF_NUM_OPS = {
     b"TD": 2,
     b"TL": 1,
 }
+
+# A TJ adjustment at or beyond this many thousandths of text space reads
+# as an inter-word gap and inserts one space — the word-break heuristic
+# every real extractor applies (pdftotext's word spacing detection,
+# pdfplumber's x-gap tolerance), held FIXED rather than font-metric-
+# scaled in this subset: ~-250/1000 em is a typical word space, while
+# genuine sub-glyph kerns sit around -10..-60.
+PDF_WORD_KERN = -150.0
 
 
 class _PdfStr(bytes):
@@ -596,9 +605,9 @@ def _pdf_text_spans(
     line-assembly behavior a real extractor (pdfplumber/pdftotext)
     produces. ``fonts`` maps resource names to ToUnicode CMaps (see
     ``_pdf_page_fonts``); ``Tf`` switches the active font, and show
-    operands decode through it (``_decode_show``). Subset boundary: Tm's
-    scale/rotation components are ignored (translation only), and TJ
-    kern offsets never insert spaces."""
+    operands decode through it (``_decode_show``). TJ adjustments at or
+    beyond ``PDF_WORD_KERN`` insert a word space. Subset boundary: Tm's
+    scale/rotation components are ignored (translation only)."""
     spans: list[tuple[float, float, str]] = []
     stack: list = []
     arr: list | None = None
@@ -692,11 +701,15 @@ def _pdf_text_spans(
                     emit(_decode_show(stack[-1], cur_font))
             elif tok == b"TJ":
                 if stack and isinstance(stack[-1], list):
-                    txt = "".join(
-                        _decode_show(e, cur_font)
-                        for e in stack[-1]
-                        if isinstance(e, _PdfStr)
-                    )
+                    parts: list[str] = []
+                    for e in stack[-1]:
+                        if isinstance(e, _PdfStr):
+                            parts.append(_decode_show(e, cur_font))
+                        elif isinstance(e, float) and e <= PDF_WORD_KERN:
+                            # a gap this wide is an inter-word space —
+                            # the pdftotext/pdfplumber word-break read
+                            parts.append(" ")
+                    txt = "".join(parts)
                     if txt:
                         emit(txt)
         stack.clear()

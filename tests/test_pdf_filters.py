@@ -373,3 +373,45 @@ def test_corrupt_cmap_falls_back_to_raw_reading():
     broken = p[:s0] + b"\x00\x00\x00\x00" + p[s0 + 4 :]
     t, n = oracle.extract_pdf(broken)
     assert n == 1 and b"plain line" in t and text.encode() not in t
+
+
+# --------------------------------------------------------------------------
+# TJ word-space kerns (PDF_WORD_KERN)
+# --------------------------------------------------------------------------
+
+
+def test_tj_word_kern_inserts_space_small_kern_does_not():
+    # wide gap = word space; narrow gap = sub-glyph kern (concatenate)
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 50 720 Tm"
+        b" [(hello) -200 (world)] TJ\n"
+        b"0 -16 Td [(con) -60 (catenated)] TJ\n"
+        b"0 -16 Td [(at) -150 (threshold)] TJ ET"
+    )
+    p = _build_pdf([stream], flate=True)
+    t, n = oracle.extract_pdf(p)
+    assert t == b"hello world\nconcatenated\nat threshold"
+
+
+def test_tj_word_kern_through_cid_font():
+    from multi_format_document_extractor_spark.corpus import _tounicode_cmap
+
+    text = "cid word gap"
+    charmap: dict[str, int] = {}
+
+    def codes(s: str) -> str:
+        return "".join(
+            f"{charmap.setdefault(ch, 0x0100 + len(charmap)):04x}" for ch in s
+        )
+
+    left, right = codes("cid"), codes("word gap")
+    stream = (
+        b"BT /F2 12 Tf 1 0 0 1 50 720 Tm [<" + left.encode() + b"> -300 <"
+        + right.encode() + b">] TJ ET"
+    )
+    p = _build_pdf(
+        [stream],
+        cid_font=("F2", _tounicode_cmap(charmap, random.Random(2))),
+    )
+    t, n = oracle.extract_pdf(p)
+    assert t == text.encode()
