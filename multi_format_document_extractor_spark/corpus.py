@@ -31,10 +31,13 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 9  # v9: CID fonts + word-space kerns in PDF TJ arrays
-# (LZW/AHx/A85/RL + chains), predictor-packed xref streams, hex-string
-# and octal-escape show operands, and ~18% CID subset fonts whose
-# 2-byte Identity-H codes are readable only via the /ToUnicode CMap
+CORPUS_VERSION = 10  # v10: COLOR rasters — ~55% of PNGs carry color
+# types 2/3/4/6 (truecolor / palette / gray+alpha / RGBA with
+# transparent backgrounds), ~60% of JPEGs are 3-component YCbCr at
+# 4:4:4 / 4:2:2 / 4:2:0 with optional DRI restart intervals. v9: CID
+# fonts + word-space kerns in PDF TJ arrays (LZW/AHx/A85/RL + chains),
+# predictor-packed xref streams, hex-string and octal-escape show
+# operands, ~18% CID subset fonts readable only via the /ToUnicode CMap
 
 _VOCAB = (
     "data spark table query scan filter join merge sort window agg group "
@@ -982,12 +985,15 @@ def _make_pbm(rng: random.Random) -> tuple[bytes, str, int]:
 
 
 def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
-    """Readable REAL PNG (v4): text rendered into an 8-bit grayscale PNG
-    whose scanlines cycle through a random mix of the five PNG filter
-    types, so every unfilter path (None/Sub/Up/Average/Paeth) is
+    """Readable REAL PNG (v4, color since v10): text rendered into an
+    8-bit PNG whose scanlines cycle through a random mix of the five PNG
+    filter types, so every unfilter path (None/Sub/Up/Average/Paeth) is
     exercised by corpus payloads any standard reader also decodes.
-    Expected text is the generator's own line list (decode side stays
-    independently checked, as with PBM)."""
+    ~55% of files carry a color layout — truecolor (2), palette (3),
+    gray+alpha (4) or RGBA (6), the alpha ones with TRANSPARENT
+    backgrounds that only real compositing reads as paper. Expected text
+    is the generator's own line list (decode side stays independently
+    checked, as with PBM)."""
     from .oracle import render_png
 
     n_lines = rng.randint(1, 3)
@@ -995,7 +1001,18 @@ def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
         _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
     ]
     fts = [rng.randint(0, 4) for _ in range(rng.randint(1, 6))]
-    return render_png(lines, fts), "\n".join(lines), n_lines
+    r = rng.random()
+    if r < 0.45:
+        ct = 0
+    elif r < 0.60:
+        ct = 2
+    elif r < 0.75:
+        ct = 3
+    elif r < 0.87:
+        ct = 4
+    else:
+        ct = 6
+    return render_png(lines, fts, color_type=ct), "\n".join(lines), n_lines
 
 
 def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:
@@ -1020,10 +1037,14 @@ def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:
 
 
 def _make_jpeg(rng: random.Random) -> tuple[bytes, str, int]:
-    """Readable REAL JPEG (v6): text rendered into a baseline sequential
-    grayscale JPEG (quant=1, Annex-K Huffman tables) — payloads any
-    standard JPEG reader also decodes. Expected text is the generator's
-    own line list (decode side stays independently checked, as with
+    """Readable REAL JPEG (v6, color since v10): text rendered into a
+    baseline sequential JPEG (quant=1, Annex-K Huffman tables) —
+    payloads any standard JPEG reader also decodes. ~60% of files are
+    3-component YCbCr color (the web's dominant JPEG shape): sampling
+    drawn from 4:4:4 / 4:2:2 / 4:2:0, chroma carrying a real checker
+    tint on the Annex-K chroma tables, and ~half with a DRI restart
+    interval + RST0-7 markers. Expected text is the generator's own line
+    list (decode side stays independently checked, as with
     PBM/PNG/GIF)."""
     from .oracle import render_jpeg
 
@@ -1031,7 +1052,13 @@ def _make_jpeg(rng: random.Random) -> tuple[bytes, str, int]:
     lines = [
         _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
     ]
-    return render_jpeg(lines), "\n".join(lines), n_lines
+    if rng.random() < 0.60:
+        hv = rng.choice(((1, 1), (2, 1), (2, 2)))
+        restart = rng.choice((0, 0, 1, 2, 4))
+        payload = render_jpeg(lines, color=True, hv=hv, restart_mcus=restart)
+    else:
+        payload = render_jpeg(lines)
+    return payload, "\n".join(lines), n_lines
 
 
 # ---------------------------------------------------------------------------

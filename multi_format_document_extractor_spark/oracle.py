@@ -1766,10 +1766,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
-    """Reconstruct 8-bit grayscale scanlines (bpp=1): each row is one
-    filter-type byte + w filtered bytes."""
-    stride = w
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
+    """Reconstruct 8-bit scanlines: each row is one filter-type byte +
+    w·bpp filtered bytes; the left-neighbor ``a``/``c`` taps sit ``bpp``
+    bytes back (PNG filters operate bytewise with a per-pixel stride)."""
+    stride = w * bpp
     if len(raw) < (stride + 1) * h:
         raise ValueError("PNG pixel data shorter than geometry")
     out = bytearray(stride * h)
@@ -1782,7 +1783,7 @@ def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
             out[o : o + stride] = row
         elif ftype == 1:  # Sub
             for x in range(stride):
-                a = out[o + x - 1] if x else 0
+                a = out[o + x - bpp] if x >= bpp else 0
                 out[o + x] = (row[x] + a) & 0xFF
         elif ftype == 2:  # Up
             for x in range(stride):
@@ -1790,32 +1791,49 @@ def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
                 out[o + x] = (row[x] + b) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
-                a = out[o + x - 1] if x else 0
+                a = out[o + x - bpp] if x >= bpp else 0
                 b = out[po + x] if y else 0
                 out[o + x] = (row[x] + (a + b) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                a = out[o + x - 1] if x else 0
+                a = out[o + x - bpp] if x >= bpp else 0
                 b = out[po + x] if y else 0
-                c = out[po + x - 1] if (x and y) else 0
+                c = out[po + x - bpp] if (x >= bpp and y) else 0
                 out[o + x] = (row[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"PNG filter type {ftype} invalid")
     return out
 
 
+# BT.601 integer luma: (77R + 150G + 29B + 128) >> 8 — exact integer
+# arithmetic, so the gray plane every color mode reduces to is
+# deterministic across platforms (the transcendental-free discipline)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _rgb_luma(r: int, g: int, b: int) -> int:
+    return (77 * r + 150 * g + 29 * b + 128) >> 8
+
+
 def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
-    """(w, h, recon bytes row-major) for an 8-bit grayscale (color type
-    0) non-interlaced PNG; anything else raises with the unsupported
+    """(w, h, LUMA bytes row-major) for any 8-bit-depth non-interlaced
+    PNG: grayscale (color type 0), truecolor (2), palette (3, PLTE
+    required), gray+alpha (4) and RGBA (6). Color reduces to BT.601
+    integer luma; alpha composites over white first (the paper
+    background the OCR contract assumes — a transparent pixel IS paper).
+    16-bit depth and Adam7 interlace raise with the unsupported
     parameter named (error-as-data upstream, same contract as the other
     parsers)."""
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     ihdr = None
+    plte = None
     idat: list[bytes] = []
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
     if ihdr is None or len(ihdr) < 13:
@@ -1825,15 +1843,53 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     depth, ctype_i, comp, filt, interlace = ihdr[8:13]
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("PNG geometry invalid or over the decode bound")
-    if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
+    if (
+        depth != 8
+        or ctype_i not in _PNG_BPP
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={ctype_i} "
-            f"interlace={interlace}); decoder covers 8-bit grayscale"
+            f"interlace={interlace}); decoder covers 8-bit depth, "
+            "color types 0/2/3/4/6, no interlace"
         )
     if not idat:
         raise ValueError("PNG missing IDAT")
     raw = zlib.decompress(b"".join(idat))
-    return w, h, _png_unfilter(raw, w, h)
+    bpp = _PNG_BPP[ctype_i]
+    recon = _png_unfilter(raw, w, h, bpp)
+    if ctype_i == 0:
+        return w, h, recon
+    n = w * h
+    out = bytearray(n)
+    if ctype_i == 2:
+        for i in range(n):
+            out[i] = _rgb_luma(recon[3 * i], recon[3 * i + 1], recon[3 * i + 2])
+    elif ctype_i == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        lut = bytes(
+            _rgb_luma(plte[3 * j], plte[3 * j + 1], plte[3 * j + 2])
+            for j in range(len(plte) // 3)
+        )
+        nlut = len(lut)
+        for i in range(n):
+            idx = recon[i]
+            if idx >= nlut:
+                raise ValueError("PNG palette index out of range")
+            out[i] = lut[idx]
+    elif ctype_i == 4:
+        for i in range(n):
+            g, a = recon[2 * i], recon[2 * i + 1]
+            out[i] = (a * g + (255 - a) * 255 + 127) // 255
+    else:  # 6: RGBA over white
+        for i in range(n):
+            r, g, b, a = recon[4 * i : 4 * i + 4]
+            lum = _rgb_luma(r, g, b)
+            out[i] = (a * lum + (255 - a) * 255 + 127) // 255
+    return w, h, out
 
 
 def extract_png(payload: bytes) -> tuple[bytes, int]:
@@ -1847,41 +1903,78 @@ def extract_png(payload: bytes) -> tuple[bytes, int]:
 _PNG_FILTERS = (0, 1, 2, 3, 4)
 
 
-def render_png(lines: list[str], filter_types: list[int] | None = None) -> bytes:
-    """Render text lines into a REAL 8-bit grayscale PNG (ink=0x00 on
-    0xFF background) — the generator half of the PNG contract.
-    ``filter_types`` assigns each scanline's filter (cycled; default all
-    None) so the corpus can exercise every unfilter path with payloads
-    any standard PNG reader also decodes."""
-    w, h, ink = _render_ink_pixels(lines)
-    recon = bytearray(b"\xff" * (w * h))
-    for x, y in ink:
-        recon[y * w + x] = 0
-    return png_encode_gray8(recon, w, h, filter_types)
-
-
-def png_encode_gray8(
-    px, w: int, h: int, filter_types: list[int] | None = None
+def render_png(
+    lines: list[str],
+    filter_types: list[int] | None = None,
+    color_type: int = 0,
 ) -> bytes:
-    """Row-major 8-bit grayscale pixels → a REAL PNG any standard reader
-    decodes (the pixel-level encoder half; render_png layers text on top).
-    Also the canonical output container for resized rasters
-    (multimodal/media.resize_image re-encodes through here)."""
-    if w <= 0 or h <= 0 or len(px) != w * h:
-        raise ValueError("pixel buffer does not match geometry")
-    recon = px
+    """Render text lines into a REAL 8-bit PNG — the generator half of
+    the PNG contract. ``filter_types`` assigns each scanline's filter
+    (cycled; default all None) so the corpus can exercise every unfilter
+    path; ``color_type`` picks the container pixel layout with the SAME
+    readable text: 0 = grayscale ink 0x00 on 0xFF, 2 = dark-blue RGB ink
+    on warm-white paper (luma 11 vs 252), 3 = the same two colors as a
+    2-entry palette, 4 = opaque gray ink over a TRANSPARENT-BLACK
+    background (a naive gray-channel read sees all-ink — only correct
+    alpha compositing over white recovers the page), 6 = RGBA with the
+    same transparent background. All payloads decode in any standard
+    PNG reader."""
+    w, h, ink = _render_ink_pixels(lines)
+    is_ink = bytearray(w * h)
+    for x, y in ink:
+        is_ink[y * w + x] = 1
+    if color_type == 0:
+        recon = bytearray(0 if v else 255 for v in is_ink)
+        return _png_encode(recon, w, h, 0, None, filter_types)
+    if color_type == 2:
+        samples = bytearray()
+        for v in is_ink:
+            samples += b"\x00\x00\x60" if v else b"\xff\xff\xe6"
+        return _png_encode(samples, w, h, 2, None, filter_types)
+    if color_type == 3:
+        plte = b"\xff\xff\xe6" + b"\x00\x00\x60"  # 0 = paper, 1 = ink
+        return _png_encode(is_ink, w, h, 3, plte, filter_types)
+    if color_type == 4:
+        samples = bytearray()
+        for v in is_ink:
+            samples += b"\x00\xff" if v else b"\x00\x00"
+        return _png_encode(samples, w, h, 4, None, filter_types)
+    if color_type == 6:
+        samples = bytearray()
+        for v in is_ink:
+            samples += b"\x00\x00\x60\xff" if v else b"\x00\x00\x00\x00"
+        return _png_encode(samples, w, h, 6, None, filter_types)
+    raise ValueError(f"color type {color_type} not renderable")
+
+
+def _png_encode(
+    samples,
+    w: int,
+    h: int,
+    color_type: int,
+    plte: bytes | None = None,
+    filter_types: list[int] | None = None,
+) -> bytes:
+    """Flat w·h·bpp sample bytes → a REAL PNG of the given color type any
+    standard reader decodes; PNG filters applied bytewise with the
+    per-pixel ``bpp`` stride (the inverse of ``_png_unfilter``)."""
+    bpp = _PNG_BPP[color_type]
+    stride = w * bpp
+    if w <= 0 or h <= 0 or len(samples) != stride * h:
+        raise ValueError("sample buffer does not match geometry")
+    recon = samples
     fts = filter_types or [0]
     raw = bytearray()
     for y in range(h):
         ftype = fts[y % len(fts)]
         raw.append(ftype)
-        o = y * w
-        po = o - w
-        for x in range(w):
+        o = y * stride
+        po = o - stride
+        for x in range(stride):
             cur = recon[o + x]
-            a = recon[o + x - 1] if x else 0
+            a = recon[o + x - bpp] if x >= bpp else 0
             b = recon[po + x] if y else 0
-            c = recon[po + x - 1] if (x and y) else 0
+            c = recon[po + x - bpp] if (x >= bpp and y) else 0
             if ftype == 0:
                 raw.append(cur)
             elif ftype == 1:
@@ -1906,14 +1999,24 @@ def png_encode_gray8(
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 0, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, 0])
     )
-    return (
-        _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if not plte:
+            raise ValueError("palette color type requires PLTE entries")
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def png_encode_gray8(
+    px, w: int, h: int, filter_types: list[int] | None = None
+) -> bytes:
+    """Row-major 8-bit grayscale pixels → a REAL PNG any standard reader
+    decodes (the pixel-level encoder half; render_png layers text on top).
+    Also the canonical output container for resized rasters
+    (multimodal/media.resize_image re-encodes through here)."""
+    return _png_encode(px, w, h, 0, None, filter_types)
 
 
 # ---------------------------------------------------------------------------
@@ -2456,6 +2559,108 @@ def _jpeg_cat(v: int) -> int:
     return abs(v).bit_length()
 
 
+# Annex-K chroma Huffman tables (ITU T.81 Tables K.4/K.6) — emitted by the
+# color encoder so corpus files carry the table set real cameras write
+_JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_C = tuple(range(12))
+_JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+class _JpegBitWriter:
+    """MSB-first stuffed bit writer for the entropy-coded scan; shared by
+    the grayscale and color encoders."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        if self.nbits:
+            fill = 8 - self.nbits
+            self.put((1 << fill) - 1, fill)
+
+    def marker(self, m: int) -> None:
+        """Byte-align then emit a bare marker (RSTn) into the scan."""
+        self.pad()
+        self.out += bytes((0xFF, m))
+
+
+def _jpeg_put_block(bw: _JpegBitWriter, blk, prev_dc: int, dc_enc, ac_enc) -> int:
+    """FDCT + quant(1) + zigzag + Huffman-code one 8×8 block of
+    level-shifted samples; returns the block's DC for the caller's
+    predictor chain."""
+    coef = _dct2d(blk, _DCT_A)
+    flat = [coef[i // 8][i % 8] for i in range(64)]
+    zz = [
+        int(flat[_JPEG_ZIGZAG[i]] + (0.5 if flat[_JPEG_ZIGZAG[i]] >= 0 else -0.5))
+        for i in range(64)
+    ]
+    diff = zz[0] - prev_dc
+    cat = _jpeg_cat(diff)
+    code, ln = dc_enc[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat = _jpeg_cat(v)
+        code, ln = ac_enc[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
 def jpeg_encode_gray8(px, w: int, h: int) -> bytes:
     """Baseline sequential grayscale JPEG: all-ones quant table
     (near-lossless — roundtrip error ≤1 LSB), standard Annex-K luminance
@@ -2468,112 +2673,150 @@ def jpeg_encode_gray8(px, w: int, h: int) -> bytes:
     ]
     dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-
-    out = bytearray()
-    acc = 0
-    nbits = 0
-
-    def put(code: int, length: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << length) | (code & ((1 << length) - 1))
-        nbits += length
-        while nbits >= 8:
-            b = (acc >> (nbits - 8)) & 0xFF
-            out.append(b)
-            if b == 0xFF:
-                out.append(0x00)  # byte stuffing
-            nbits -= 8
-            acc &= (1 << nbits) - 1
-
+    bw = _JpegBitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             blk = [img[by + y][bx : bx + 8] for y in range(8)]
-            coef = _dct2d(blk, _DCT_A)
-            flat = [coef[i // 8][i % 8] for i in range(64)]
-            zz = [
-                int(
-                    flat[_JPEG_ZIGZAG[i]]
-                    + (0.5 if flat[_JPEG_ZIGZAG[i]] >= 0 else -0.5)
-                )
-                for i in range(64)
-            ]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _jpeg_cat(diff)
-            code, ln = dc_enc[cat]
-            put(code, ln)
-            if cat:
-                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for i in range(1, 64):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]  # ZRL
-                    put(code, ln)
-                    run -= 16
-                cat = _jpeg_cat(v)
-                code, ln = ac_enc[(run << 4) | cat]
-                put(code, ln)
-                put(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = ac_enc[0x00]  # EOB
-                put(code, ln)
-    if nbits:
-        pad = 8 - nbits
-        put((1 << pad) - 1, pad)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return (
-            bytes([0xFF, marker])
-            + (len(payload) + 2).to_bytes(2, "big")
-            + payload
-        )
-
+            prev_dc = _jpeg_put_block(bw, blk, prev_dc, dc_enc, ac_enc)
+    bw.pad()
     return (
         b"\xff\xd8"
-        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
-        + seg(
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(
             0xC0,
             bytes([8])
             + h.to_bytes(2, "big")
             + w.to_bytes(2, "big")
             + bytes([1, 1, 0x11, 0]),
         )
-        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + bytes(out)
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
         + b"\xff\xd9"
     )
 
 
-def render_jpeg(lines: list[str]) -> bytes:
-    """Render text lines into a REAL baseline grayscale JPEG (ink=0x00 on
-    0xFF background) — the generator half of the JPEG contract."""
+def jpeg_encode_ycbcr(
+    px, w: int, h: int, hv: tuple[int, int] = (2, 2), restart_mcus: int = 0
+) -> bytes:
+    """Baseline sequential YCbCr color JPEG (the container real cameras
+    and web images use): the caller's grayscale pixels become the Y
+    plane (all-ones quant tables ⇒ Y roundtrips near-lossless, so the
+    raster OCR contract survives the color container); Cb/Cr carry a
+    deterministic 8×8-checker tint at chroma resolution (nonzero chroma
+    DC predictor chains — the interleave is exercised with real data,
+    not silent zeros); ``hv`` picks the luma sampling factors — (1,1) =
+    4:4:4, (2,1) = 4:2:2, (2,2) = 4:2:0; ``restart_mcus`` > 0 emits DRI
+    + cycling RST0-7 markers every that many MCUs. Luma uses the Annex-K
+    luminance Huffman tables, chroma the Annex-K chroma tables."""
+    hs, vs = hv
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+    pw, ph = mcux * 8 * hs, mcuy * 8 * vs
+    img = [
+        [float(px[min(y, h - 1)][min(x, w - 1)]) - 128.0 for x in range(pw)]
+        for y in range(ph)
+    ]
+    cw, ch = mcux * 8, mcuy * 8
+    cb = [
+        [16.0 if ((x // 8 + y // 8) % 2 == 0) else -16.0 for x in range(cw)]
+        for y in range(ch)
+    ]
+    dc_y, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c, _ = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c, _ = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_mcus and mcu_n and mcu_n % restart_mcus == 0:
+                bw.marker(0xD0 + rst % 8)
+                rst += 1
+                prev = [0, 0, 0]
+            mcu_n += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    oy, ox = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    blk = [img[oy + y][ox : ox + 8] for y in range(8)]
+                    prev[0] = _jpeg_put_block(bw, blk, prev[0], dc_y, ac_y)
+            oy, ox = my * 8, mx * 8
+            blk = [cb[oy + y][ox : ox + 8] for y in range(8)]
+            prev[1] = _jpeg_put_block(bw, blk, prev[1], dc_c, ac_c)
+            blk = [[-v for v in cb[oy + y][ox : ox + 8]] for y in range(8)]
+            prev[2] = _jpeg_put_block(bw, blk, prev[2], dc_c, ac_c)
+    bw.pad()
+    head = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC0,
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + _jpeg_seg(
+            0xC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        )
+        + _jpeg_seg(
+            0xC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C)
+        )
+    )
+    if restart_mcus:
+        head += _jpeg_seg(0xDD, restart_mcus.to_bytes(2, "big"))
+    return (
+        head
+        + _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def render_jpeg(
+    lines: list[str],
+    color: bool = False,
+    hv: tuple[int, int] = (2, 2),
+    restart_mcus: int = 0,
+) -> bytes:
+    """Render text lines into a REAL baseline JPEG (ink=0x00 on 0xFF
+    background) — the generator half of the JPEG contract. ``color``
+    wraps the same text raster in a 3-component YCbCr container
+    (sampling ``hv``, optional restart markers)."""
     w, h, ink = _render_ink_pixels(lines)
     px = [[255] * w for _ in range(h)]
     for x, y in ink:
         px[y][x] = 0
+    if color:
+        return jpeg_encode_ycbcr(px, w, h, hv, restart_mcus)
     return jpeg_encode_gray8(px, w, h)
 
 
 class _JpegBits:
     """MSB-first bit reader over the entropy-coded scan. The scan is
-    DESTUFFED once up front (0xFF00 → 0xFF, stop at any other marker or
-    at EOI), and the reason the destuff stopped is raised LAZILY — only
-    if decoding actually consumes bits past the buffered data — so a
-    marker sitting after the final block stays legal, exactly as the old
-    byte-at-a-time reader treated it."""
+    DESTUFFED once up front (0xFF00 → 0xFF, SPLIT at RST0-7 restart
+    markers, stop at any other marker or at EOI), and the reason the
+    destuff stopped is raised LAZILY — only if decoding actually
+    consumes bits past the buffered data — so a marker sitting after the
+    final block stays legal, exactly as the old byte-at-a-time reader
+    treated it. ``restart()`` advances to the next restart segment,
+    validating the T.81 D0-D7 modulo-8 marker cycle."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         end_err = "JPEG entropy data truncated"
         n = len(data)
         # fast path: chop at the first 0xFF, then walk marker by marker
+        segs: list[bytes] = []
+        seg_markers: list[int] = []  # RST marker number opening seg i+1
         chunks: list[bytes] = []
         while pos < n:
             ff = data.find(b"\xff", pos)
@@ -2590,6 +2833,11 @@ class _JpegBits:
             if m == 0x00:
                 chunks.append(b"\xff")
                 pos = ff + 2
+            elif 0xD0 <= m <= 0xD7:
+                segs.append(b"".join(chunks))
+                seg_markers.append(m - 0xD0)
+                chunks = []
+                pos = ff + 2
             elif m == 0xD9:
                 end_err = "JPEG scan ended early (EOI)"
                 pos = n
@@ -2598,17 +2846,42 @@ class _JpegBits:
                 end_err = f"unsupported JPEG marker 0xFF{m:02X} in scan"
                 pos = n
                 break
-        self.buf = b"".join(chunks)
+        segs.append(b"".join(chunks))
+        self.segs = segs
+        self.seg_markers = seg_markers
+        self.seg_i = 0
+        self.buf = segs[0]
         self.end_err = end_err
         self.pos = 0  # next unread destuffed byte
         self.acc = 0
         self.n = 0  # real (unconsumed) bits held in acc
 
+    def _dry_err(self) -> str:
+        if self.seg_i < len(self.segs) - 1:
+            return "JPEG restart segment exhausted mid-block"
+        return self.end_err
+
+    def restart(self) -> None:
+        """Advance to the next restart segment (the decoder calls this at
+        each restart-interval boundary); discards the current segment's
+        pad bits and checks the D0-D7 cycle."""
+        if self.seg_i >= len(self.segs) - 1:
+            raise ValueError(
+                "JPEG restart interval boundary without an RST marker"
+            )
+        if self.seg_markers[self.seg_i] != self.seg_i % 8:
+            raise ValueError("JPEG RST marker out of sequence")
+        self.seg_i += 1
+        self.buf = self.segs[self.seg_i]
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
     def bits(self, k: int) -> int:
         buf = self.buf
         while self.n < k:
             if self.pos >= len(buf):
-                raise ValueError(self.end_err)
+                raise ValueError(self._dry_err())
             self.acc = (self.acc << 8) | buf[self.pos]
             self.pos += 1
             self.n += 8
@@ -2639,7 +2912,7 @@ class _JpegBits:
             # bit-at-a-time reader would have run dry mid-code
             e = fast[(self.acc << (16 - self.n)) & 0xFFFF]
             if not e or (e >> 8) > self.n:
-                raise ValueError(self.end_err)
+                raise ValueError(self._dry_err())
         ln = e >> 8
         self.n -= ln
         self.acc &= (1 << self.n) - 1
@@ -2726,14 +2999,24 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
 
 
 def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
-    """(w, h, pixels row-major) for a baseline sequential single-component
-    8-bit JPEG; anything else raises with the unsupported parameter named
-    (error-as-data upstream, same contract as PNG/GIF)."""
+    """(w, h, LUMA pixels row-major) for a baseline sequential 8-bit
+    JPEG — single-component grayscale OR 3-component YCbCr color with
+    sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0) and optional restart
+    intervals (DRI + RST0-7). Color files walk every component's entropy
+    data (mandatory — the bitstream interleaves MCUs) but dequantize +
+    IDCT only the luma plane: the OCR tail needs ink-vs-paper, which IS
+    Y by definition (JFIF stores luma as the first component), so chroma
+    coefficients are decoded and dropped. Progressive (SOF2), 12-bit,
+    arithmetic-coded and >2 sampling factors raise with the unsupported
+    parameter named (error-as-data upstream, same contract as PNG/GIF)."""
     qt: dict[int, list[int]] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, list[int]] = {}
+    huff_ac: dict[int, list[int]] = {}
     w = h = 0
-    comp_q = dc_id = ac_id = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan_ids: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
+    scan_order: list[int] = []  # cids in SOS order
+    restart_interval = 0
     scan_at = None
     for marker, body in jpeg_segments(payload):
         if marker == "scan_start":
@@ -2760,14 +3043,24 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
                 raise ValueError("unsupported JPEG (precision != 8)")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
+            nc = body[5]
+            if nc not in (1, 3):
                 raise ValueError(
-                    f"unsupported JPEG ({body[5]} components); decoder "
-                    "covers single-component grayscale"
+                    f"unsupported JPEG ({nc} components); decoder covers "
+                    "grayscale and YCbCr"
                 )
-            if body[7] != 0x11:
-                raise ValueError("unsupported JPEG (subsampled component)")
-            comp_q = body[8]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF")
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG (sampling factor {hs}x{vs}); "
+                        "decoder covers factors 1-2"
+                    )
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
             if w <= 0 or h <= 0 or w * h > 64_000_000:
                 raise ValueError(
                     "JPEG geometry invalid or over the decode bound"
@@ -2785,25 +3078,62 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
                 (huff_dc if tc == 0 else huff_ac)[th] = fast
                 i += 17 + nv
         elif marker == 0xDD:
-            raise ValueError("unsupported JPEG (restart intervals)")
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
-            if body[0] != 1:
-                raise ValueError("unsupported JPEG (multi-component scan)")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps) or not comps:
+                raise ValueError(
+                    "unsupported JPEG (scan components != frame components;"
+                    " decoder covers single-scan baseline)"
+                )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS")
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan_ids[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
+    by_cid = {c[0]: c for c in comps}
     if (
         scan_at is None
         or not w
-        or comp_q not in qt
-        or dc_id not in huff_dc
-        or ac_id not in huff_ac
+        or not scan_order
+        or any(cid not in by_cid for cid in scan_order)
+        or any(by_cid[cid][3] not in qt for cid in scan_order)
+        or any(scan_ids[cid][0] not in huff_dc for cid in scan_order)
+        or any(scan_ids[cid][1] not in huff_ac for cid in scan_order)
     ):
         raise ValueError("JPEG scan started before SOF/DQT/DHT")
-    q = qt[comp_q]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_cid = scan_order[0]
+    ly_hs, ly_vs = by_cid[luma_cid][1], by_cid[luma_cid][2]
+    if len(comps) == 3 and (ly_hs, ly_vs) != (hmax, vmax):
+        raise ValueError("unsupported JPEG (luma is not the max-sampled "
+                         "component)")
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU = one block
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        plan = [(luma_cid, 1, 1, True)]
+        gw, gh = mcux, mcuy
+    else:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        plan = [
+            (cid, by_cid[cid][1], by_cid[cid][2], cid == luma_cid)
+            for cid in scan_order
+        ]
+        gw, gh = mcux * ly_hs, mcuy * ly_vs
+    q = qt[by_cid[luma_cid][3]]
     br = _JpegBits(payload, scan_at)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    prev_dc = 0
-    dcd, acd = huff_dc[dc_id], huff_ac[ac_id]
-    nblk = bw_ * bh_
+    tables = {
+        cid: (huff_dc[scan_ids[cid][0]], huff_ac[scan_ids[cid][1]])
+        for cid in scan_order
+    }
+    prev_dc = {cid: 0 for cid in scan_order}
+    nblk = gw * gh
     # entropy decode is inherently sequential: collect the (rare) nonzero
     # zigzag coefficients as sparse triples, then dequantize + de-zigzag +
     # IDCT every block in one batched numpy pass instead of per-pixel loops
@@ -2812,30 +3142,47 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     coef_val: list[int] = []
     huff = br.huff
     extend = _jpeg_extend
-    for bi in range(nblk):
-        cat = huff(dcd)
-        if cat:
-            prev_dc += extend(br.bits(cat), cat)
-        if prev_dc:
-            blk_idx.append(bi)
-            coef_idx.append(0)
-            coef_val.append(prev_dc)
-        i = 1
-        while i < 64:
-            rs = huff(acd)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:
-                    i += 16
-                    continue
-                break  # EOB
-            i += r
-            if i > 63:
-                raise ValueError("JPEG AC run past block end")
-            blk_idx.append(bi)
-            coef_idx.append(i)
-            coef_val.append(extend(br.bits(s), s))
-            i += 1
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                prev_dc = {cid: 0 for cid in scan_order}
+            mcu_n += 1
+            for cid, hs, vs, keep in plan:
+                dcd, acd = tables[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        cat = huff(dcd)
+                        if cat:
+                            prev_dc[cid] += extend(br.bits(cat), cat)
+                        bi = (
+                            (my * vs + by) * gw + mx * hs + bx
+                            if keep
+                            else -1
+                        )
+                        if keep and prev_dc[cid]:
+                            blk_idx.append(bi)
+                            coef_idx.append(0)
+                            coef_val.append(prev_dc[cid])
+                        i = 1
+                        while i < 64:
+                            rs = huff(acd)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    i += 16
+                                    continue
+                                break  # EOB
+                            i += r
+                            if i > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            v = extend(br.bits(s), s)
+                            if keep:
+                                blk_idx.append(bi)
+                                coef_idx.append(i)
+                                coef_val.append(v)
+                            i += 1
     zz = np.zeros((nblk, 64), dtype=np.float64)
     if blk_idx:
         zz[blk_idx, coef_idx] = coef_val
@@ -2847,9 +3194,9 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     np.clip(px, 0.0, 255.0, out=px)
     img = (
         px.astype(np.uint8)
-        .reshape(bh_, bw_, 8, 8)
+        .reshape(gh, gw, 8, 8)
         .transpose(0, 2, 1, 3)
-        .reshape(bh_ * 8, bw_ * 8)
+        .reshape(gh * 8, gw * 8)
     )
     return w, h, bytearray(np.ascontiguousarray(img[:h, :w]).tobytes())
 

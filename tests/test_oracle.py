@@ -440,6 +440,14 @@ def test_png_render_decode_roundtrip_and_errors():
         p = render_png(lines, fts)
         t, n = extract_png(p)
         assert t == b"QUICK BROWN FOX\nJUMPS OVER" and n == 2, fts
+    # v10 color containers: truecolor / palette / gray+alpha / RGBA all
+    # reduce to the same readable luma page — the alpha ones through a
+    # TRANSPARENT background only real compositing reads as paper
+    for ct in (2, 3, 4, 6):
+        for fts in ([0], [1, 2, 3, 4]):
+            p = render_png(lines, fts, color_type=ct)
+            t, n = extract_png(p)
+            assert t == b"QUICK BROWN FOX\nJUMPS OVER" and n == 2, (ct, fts)
     # full dispatch: format 'image', ok, no encoding column
     r = oracle.extract(render_png(["DENSITY LAYOUT"], [3, 4]))
     assert r.format == "image" and r.ok and r.encoding is None
@@ -463,16 +471,38 @@ def test_png_render_decode_roundtrip_and_errors():
             + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
         )
 
-    ihdr_rgb = (
+    ihdr_16bit = (
         (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])
+        + bytes([16, 0, 0, 0, 0])
     )
-    rgb = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_rgb)
-        + chunk(b"IDAT", _z.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    deep = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_16bit)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
     )
-    e = oracle.extract(rgb)
+    e = oracle.extract(deep)
     assert not e.ok and "unsupported PNG" in e.error
+    ihdr_adam7 = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 1])
+    )
+    lace = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_adam7)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
+    )
+    e = oracle.extract(lace)
+    assert not e.ok and "unsupported PNG" in e.error
+    # palette file with an out-of-range index → error row, not garbage
+    ihdr_pal = (
+        (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])
+    )
+    pal = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_pal)
+        + chunk(b"PLTE", b"\xff\xff\xff")
+        + chunk(b"IDAT", _z.compress(b"\x00\x00\x05")) + chunk(b"IEND", b"")
+    )
+    e = oracle.extract(pal)
+    assert not e.ok and "palette index" in e.error
     # geometry bound: a claimed 1-terapixel image is rejected up front
     ihdr_huge = (
         (10 ** 6).to_bytes(4, "big") + (10 ** 6).to_bytes(4, "big")
@@ -522,16 +552,37 @@ def test_jpeg_render_decode_roundtrip_and_errors():
     assert max(
         abs(pix[y * w + x] - img[y][x]) for y in range(h) for x in range(w)
     ) <= 1
-    # unsupported shapes are named: progressive SOF2 and 3-component SOF0
+    # v10 color containers: YCbCr at every supported sampling, with and
+    # without restart intervals, reads the same text through the Y plane
+    for hv in ((1, 1), (2, 1), (2, 2)):
+        for rst in (0, 1, 3):
+            c = render_jpeg(lines, color=True, hv=hv, restart_mcus=rst)
+            t, n = extract_jpeg(c)
+            assert t == b"QUICK BROWN FOX\nJUMPS OVER\nA" and n == 3, (hv, rst)
+            assert jpeg_dims(c) == jpeg_dims(j)
+    # an out-of-sequence RST marker is a named error, not silence
+    c = bytearray(render_jpeg(lines, color=True, restart_mcus=1))
+    rst_at = bytes(c).find(b"\xff\xd0")
+    assert rst_at > 0
+    c[rst_at + 1] = 0xD5  # breaks the D0-D7 cycle
+    e = oracle.extract(bytes(c))
+    assert not e.ok and "RST marker out of sequence" in e.error
+    # unsupported shapes are named: progressive SOF2, 2-component SOF0,
+    # sampling factors above 2
     body = bytearray(j)
     sof_at = bytes(body).find(b"\xff\xc0")
     body[sof_at + 1] = 0xC2
     e = oracle.extract(bytes(body))
     assert not e.ok and "SOF 0xC2" in e.error
     body = bytearray(j)
-    body[sof_at + 9] = 3  # component count byte of SOF0
+    body[sof_at + 9] = 2  # component count byte of SOF0
     e = oracle.extract(bytes(body))
-    assert not e.ok and "3 components" in e.error
+    assert not e.ok and "2 components" in e.error
+    body = bytearray(render_jpeg(lines, color=True))
+    sof_at = bytes(body).find(b"\xff\xc0")
+    body[sof_at + 11] = 0x41  # luma sampling 4x1
+    e = oracle.extract(bytes(body))
+    assert not e.ok and "sampling factor 4x1" in e.error
     # jpeg_dims still reads geometry from the refused progressive file
     prog = bytearray(j)
     prog[sof_at + 1] = 0xC2
