@@ -31,7 +31,9 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 10  # v10: COLOR rasters — ~55% of PNGs carry color
+CORPUS_VERSION = 11  # v11: ~30% of PDF pages typeset at a text-matrix
+# SCALE (Tm a/d = 0.5 or 2, Td/TD deltas in text space) — only a
+# full-affine reader lands them. v10: COLOR rasters — ~55% of PNGs carry color
 # types 2/3/4/6 (truecolor / palette / gray+alpha / RGBA with
 # transparent backgrounds), ~60% of JPEGs are 3-component YCbCr at
 # 4:4:4 / 4:2:2 / 4:2:0 with optional DRI restart intervals. v9: CID
@@ -559,7 +561,9 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     ``'`` chain reportlab-style generators emit. Two-column ops are
     interleaved across columns (stream order is NOT reading order), so
     reading-order reconstruction AND relative-move state tracking are
-    both exercised.
+    both exercised. ~30% of pages (v11) typeset at a text-matrix scale
+    (``s 0 0 s`` Tm, s ∈ {0.5, 2}) with every Td/TD delta divided into
+    text space — translation-only readers shear those pages.
 
     ~18% of PDFs carry a CID subset font (v8): most of their lines show
     as 2-byte Identity-H glyph codes under ``/F2`` — readable only
@@ -647,14 +651,22 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                 ).encode()
             return f"{prefix}({_pdf_escape(line)}) Tj".encode()
 
+        # v11: ~30% of pages typeset at a text-matrix SCALE (0.5 or 2 —
+        # exact binary factors, so text-space deltas print exactly): Tm
+        # carries the scale in a/d and every Td/TD delta is the DEVICE
+        # delta divided by it, which only a full-matrix reader lands on
+        # the right origins (a translation-only reader shears the page)
+        scale = rng.choice((0.5, 2.0)) if rng.random() < 0.30 else 1.0
         ops: list[bytes] = [b"BT /F1 12 Tf"]
         if not two_col and rng.random() < 0.35:
             # TD-leading + ' chain: real single-column typography
             x0, y0, first = cols[0][0]
-            ops.append(f"{x0:g} {y0:g} Td".encode())
+            if scale != 1.0:
+                ops.append(f"{scale:g} 0 0 {scale:g} 0 0 Tm".encode())
+            ops.append(f"{x0 / scale:g} {y0 / scale:g} Td".encode())
             ops.append(show_op(first))
             if n_lines > 1:
-                ops.append(b"0 -16 TD")
+                ops.append(f"0 {-16 / scale:g} TD".encode())
                 ops.append(show_op(cols[0][1][2]))
                 # the ' chain shows literals: reset to the simple font in
                 # case a CID show_op left /F2 active (Tf persists)
@@ -665,14 +677,24 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                     )
         else:
             lx, ly = 0.0, 0.0
+            first = True
             for i in range(n_lines):
                 for c in range(len(col_x)):
                     x, y, line = cols[c][i]
-                    if rng.random() < 0.5:
-                        ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+                    # a Td before any Tm moves in IDENTITY space, so a
+                    # scaled page must open with the Tm that sets a/d
+                    if (first and scale != 1.0) or rng.random() < 0.5:
+                        ops.append(
+                            f"{scale:g} 0 0 {scale:g} {x:g} {y:g} Tm".encode()
+                            if scale != 1.0
+                            else f"1 0 0 1 {x:g} {y:g} Tm".encode()
+                        )
                     else:
-                        ops.append(f"{x - lx:g} {y - ly:g} Td".encode())
+                        ops.append(
+                            f"{(x - lx) / scale:g} {(y - ly) / scale:g} Td".encode()
+                        )
                     lx, ly = x, y
+                    first = False
                     ops.append(show_op(line))
         ops.append(b"ET")
         page_streams.append(b"\n".join(ops))

@@ -517,12 +517,14 @@ def html_block_spans(
 # STRUCTURE (trailer /Root → catalog /Pages → /Kids → per-page /Contents,
 # cross-checked against the xref table when present) rather than file order,
 # falling back to a raw stream scan for non-conforming payloads. Text ops
-# are the REAL state machine since round 4 (_pdf_text_spans: Tm
-# translation, RELATIVE Td per spec, TD/TL leading, T*, Tj/'/TJ with kern
-# concatenation) — the op vocabulary reportlab-class generators emit
-# (reference parses arbitrary PDFs via pdfplumber,
-# src/parsers/pdf_parser.py:30-59; remaining subset boundary: no Tm
-# scale/rotation, no font-metric spacing; strings cover literal escapes
+# are the REAL state machine since round 4 (_pdf_text_spans: the FULL
+# affine Tm honored since v11 — Td/TD/T*/' translate in text space
+# through the line matrix, so scaled/rotated typography lands right;
+# TD/TL leading, Tj/'/TJ with kern concatenation) — the op vocabulary
+# reportlab-class generators emit (reference parses arbitrary PDFs via
+# pdfplumber, src/parsers/pdf_parser.py:30-59; remaining subset
+# boundary: no font-metric glyph-advance spacing (word breaks come from
+# typeset spaces or wide TJ kerns); strings cover literal escapes
 # incl. octal + hex strings, and show ops remap through each font's
 # /ToUnicode CMap — bfchar/bfrange, Identity-H 2-byte codes — so
 # subset-embedded fonts read correctly, round 4).
@@ -533,8 +535,9 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # Content-stream token scanner for the REAL text-op state machine (round-4
 # upgrade of the absolute-Td/Tj dialect): strings, numbers, array
 # delimiters, names, and the text operators the machine interprets —
-# Tm (set text matrix; subset reads the e/f translation), Td (RELATIVE
-# line move, per spec), TD (Td + set leading), TL (set leading), T*
+# Tm (set text matrix — all six components honored since v11), Td
+# (RELATIVE line move in TEXT space, per spec), TD (Td + set leading),
+# TL (set leading), T*
 # (next line), Tj / ' / " / TJ (show ops; TJ concatenates its array's string
 # elements — a numeric adjustment at or beyond PDF_WORD_KERN reads as an
 # inter-word space, smaller magnitudes are sub-glyph spacing).
@@ -606,12 +609,19 @@ def _pdf_text_spans(
     produces. ``fonts`` maps resource names to ToUnicode CMaps (see
     ``_pdf_page_fonts``); ``Tf`` switches the active font, and show
     operands decode through it (``_decode_show``). TJ adjustments at or
-    beyond ``PDF_WORD_KERN`` insert a word space. Subset boundary: Tm's
-    scale/rotation components are ignored (translation only)."""
+    beyond ``PDF_WORD_KERN`` insert a word space. The FULL affine text
+    matrix is honored (v11): ``Tm`` sets all six components and
+    ``Td``/``TD``/``T*``/``'`` translate in TEXT space through the line
+    matrix (e' = tx·a + ty·c + e, f' = tx·b + ty·d + f — ISO 32000
+    §9.4.2), so scaled and rotated typography lands on the right device
+    origins; downstream reading-order/column heuristics assume upright
+    text (the pdftotext posture), which rotated spans may defeat."""
     spans: list[tuple[float, float, str]] = []
     stack: list = []
     arr: list | None = None
     in_text = False
+    # text LINE matrix [a b c d e f]; spans record its (e, f) origin
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
     lx = ly = 0.0
     leading = 0.0
     cont = False  # True iff the last event was a show with no move since
@@ -661,6 +671,7 @@ def _pdf_text_spans(
         # --- operator ---
         if tok == b"BT":
             in_text, lx, ly, leading = True, 0.0, 0.0, 0.0
+            ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
             cont = False
         elif tok == b"Tf":
             # font selection is graphics state: it persists across BT/ET
@@ -673,21 +684,24 @@ def _pdf_text_spans(
             if tok == b"Tm":
                 v = nums(6)
                 if v is not None:
-                    lx, ly = v[4], v[5]
+                    ma, mb, mc, md, lx, ly = v
                 cont = False
             elif tok in (b"Td", b"TD"):
                 v = nums(2)
                 if v is not None:
                     if tok == b"TD":
                         leading = -v[1]
-                    lx, ly = lx + v[0], ly + v[1]
+                    lx += v[0] * ma + v[1] * mc
+                    ly += v[0] * mb + v[1] * md
                 cont = False
             elif tok == b"TL":
                 v = nums(1)
                 if v is not None:
                     leading = v[0]
             elif tok == b"T*":
-                ly -= leading
+                # Td(0, -leading) through the line matrix
+                lx += -leading * mc
+                ly += -leading * md
                 cont = False
             elif tok == b"Tj":
                 if stack and isinstance(stack[-1], _PdfStr):
@@ -696,7 +710,8 @@ def _pdf_text_spans(
                 # " is (aw ac string "): spacing operands ignored, same
                 # next-line-then-show motion as '
                 if stack and isinstance(stack[-1], _PdfStr):
-                    ly -= leading
+                    lx += -leading * mc
+                    ly += -leading * md
                     cont = False
                     emit(_decode_show(stack[-1], cur_font))
             elif tok == b"TJ":
