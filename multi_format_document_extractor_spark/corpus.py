@@ -31,9 +31,11 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 11  # v11: ~30% of PDF pages typeset at a text-matrix
-# SCALE (Tm a/d = 0.5 or 2, Td/TD deltas in text space) — only a
-# full-affine reader lands them. v10: COLOR rasters — ~55% of PNGs carry color
+CORPUS_VERSION = 12  # v12: ~30% of JPEGs are PROGRESSIVE (SOF2, the
+# full successive-approximation scan script, gray + color mix). v11:
+# ~30% of PDF pages typeset at a text-matrix SCALE (Tm a/d = 0.5 or 2,
+# Td/TD deltas in text space) — only a full-affine reader lands them.
+# v10: COLOR rasters — ~55% of PNGs carry color
 # types 2/3/4/6 (truecolor / palette / gray+alpha / RGBA with
 # transparent backgrounds), ~60% of JPEGs are 3-component YCbCr at
 # 4:4:4 / 4:2:2 / 4:2:0 with optional DRI restart intervals. v9: CID
@@ -1059,22 +1061,31 @@ def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:
 
 
 def _make_jpeg(rng: random.Random) -> tuple[bytes, str, int]:
-    """Readable REAL JPEG (v6, color since v10): text rendered into a
-    baseline sequential JPEG (quant=1, Annex-K Huffman tables) —
-    payloads any standard JPEG reader also decodes. ~60% of files are
-    3-component YCbCr color (the web's dominant JPEG shape): sampling
-    drawn from 4:4:4 / 4:2:2 / 4:2:0, chroma carrying a real checker
-    tint on the Annex-K chroma tables, and ~half with a DRI restart
-    interval + RST0-7 markers. Expected text is the generator's own line
-    list (decode side stays independently checked, as with
-    PBM/PNG/GIF)."""
+    """Readable REAL JPEG (v6; color v10; progressive v12): text
+    rendered into a JPEG (quant=1, Annex-K Huffman tables) — payloads
+    any standard JPEG reader also decodes. ~30% are PROGRESSIVE (SOF2
+    successive-approximation scan script — DC first/refine + per-band
+    AC first/refine — the large-web-JPEG shape), half of those color;
+    ~42% baseline 3-component YCbCr (sampling 4:4:4 / 4:2:2 / 4:2:0,
+    chroma carrying a real checker tint on the Annex-K chroma tables,
+    ~half with a DRI restart interval + RST0-7 markers); the rest
+    baseline grayscale. Expected text is the generator's own line list
+    (decode side stays independently checked, as with PBM/PNG/GIF)."""
     from .oracle import render_jpeg
 
     n_lines = rng.randint(1, 3)
     lines = [
         _words(rng, rng.randint(2, 5)).upper() for _ in range(n_lines)
     ]
-    if rng.random() < 0.60:
+    r = rng.random()
+    if r < 0.30:
+        # progressive (v12): SOF2 successive-approximation script,
+        # half grayscale / half color — the large-web-JPEG shape
+        hv = rng.choice(((1, 1), (2, 1), (2, 2)))
+        payload = render_jpeg(
+            lines, color=rng.random() < 0.5, hv=hv, progressive=True
+        )
+    elif r < 0.72:
         hv = rng.choice(((1, 1), (2, 1), (2, 2)))
         restart = rng.choice((0, 0, 1, 2, 4))
         payload = render_jpeg(lines, color=True, hv=hv, restart_mcus=restart)

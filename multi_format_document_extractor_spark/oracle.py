@@ -2635,16 +2635,21 @@ class _JpegBitWriter:
         self.out += bytes((0xFF, m))
 
 
+def _jpeg_block_zz(blk) -> list[int]:
+    """FDCT + quant(1) + zigzag one 8×8 block of level-shifted samples."""
+    coef = _dct2d(blk, _DCT_A)
+    flat = [coef[i // 8][i % 8] for i in range(64)]
+    return [
+        int(flat[_JPEG_ZIGZAG[i]] + (0.5 if flat[_JPEG_ZIGZAG[i]] >= 0 else -0.5))
+        for i in range(64)
+    ]
+
+
 def _jpeg_put_block(bw: _JpegBitWriter, blk, prev_dc: int, dc_enc, ac_enc) -> int:
     """FDCT + quant(1) + zigzag + Huffman-code one 8×8 block of
     level-shifted samples; returns the block's DC for the caller's
     predictor chain."""
-    coef = _dct2d(blk, _DCT_A)
-    flat = [coef[i // 8][i % 8] for i in range(64)]
-    zz = [
-        int(flat[_JPEG_ZIGZAG[i]] + (0.5 if flat[_JPEG_ZIGZAG[i]] >= 0 else -0.5))
-        for i in range(64)
-    ]
+    zz = _jpeg_block_zz(blk)
     diff = zz[0] - prev_dc
     cat = _jpeg_cat(diff)
     code, ln = dc_enc[cat]
@@ -2797,20 +2802,280 @@ def jpeg_encode_ycbcr(
     )
 
 
+def _jpeg_emit_ac_first(bw: _JpegBitWriter, zz, ss, se, al, ac_enc) -> None:
+    """Encode one block's AC-first-pass band (T.81 G.1.2.2): run/size
+    over point-transformed magnitudes, per-block EOB (run length 1)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac_enc[(r << 4) | s]
+        bw.put(code, ln)
+        tv = t if v > 0 else -t
+        bw.put(tv if tv >= 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, ln = ac_enc[0x00]
+        bw.put(code, ln)
+
+
+def _jpeg_emit_ac_refine(bw: _JpegBitWriter, zz, ss, se, al, ac_enc) -> None:
+    """Encode one block's AC-refinement band (T.81 G.1.2.3, the
+    libjpeg encode_mcu_AC_refine algorithm): correction bits buffer
+    behind each emitted symbol so they interleave exactly where the
+    decoder's advance walk reads them; ZRLs are emitted only up to the
+    last newly-nonzero index (zeros past it fold into the EOB)."""
+    t = [0] * 64
+    eob_k = -1
+    for k in range(ss, se + 1):
+        t[k] = abs(zz[k]) >> al
+        if t[k] == 1:
+            eob_k = k
+    pending: list[int] = []
+    r = 0
+    for k in range(ss, se + 1):
+        tk = t[k]
+        if tk == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            code, ln = ac_enc[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if tk > 1:
+            pending.append(tk & 1)
+            continue
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = ac_enc[0x00]  # EOB run of 1
+        bw.put(code, ln)
+        for b in pending:
+            bw.put(b, 1)
+
+
+def jpeg_encode_progressive(
+    px, w: int, h: int, color: bool = False, hv: tuple[int, int] = (2, 2)
+) -> bytes:
+    """Progressive (SOF2) JPEG with the standard successive-approximation
+    script — DC first at Al=1 (interleaved when color), per-component
+    AC-first band scans at Al=1, then DC and AC refinement scans at
+    Al=0 — so every Annex-G decode path (point-transformed diffs, raw
+    DC bits, EOB runs, correction-bit walks, newly-nonzero insertion)
+    carries real data. Same pixel semantics as the sequential encoders:
+    caller's grayscale pixels are the Y plane (quant=1 ⇒ the final
+    coefficients equal the baseline encoder's exactly, so the raster OCR
+    contract survives), color adds the deterministic chroma checker tint
+    on the Annex-K chroma tables."""
+    hs, vs = hv if color else (1, 1)
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+    pw, ph = mcux * 8 * hs, mcuy * 8 * vs
+    img = [
+        [float(px[min(y, h - 1)][min(x, w - 1)]) - 128.0 for x in range(pw)]
+        for y in range(ph)
+    ]
+    gw, gh = mcux * hs, mcuy * vs
+    yzz = [
+        _jpeg_block_zz([img[row * 8 + y][col * 8 : col * 8 + 8] for y in range(8)])
+        for row in range(gh)
+        for col in range(gw)
+    ]
+    dc_y, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    scans: list[bytes] = []
+
+    def run_scan(sos: bytes, fn) -> None:
+        bw = _JpegBitWriter()
+        fn(bw)
+        bw.pad()
+        scans.append(_jpeg_seg(0xDA, sos) + bytes(bw.out))
+
+    if not color:
+        def dc_first(bw: _JpegBitWriter) -> None:
+            prev = 0
+            for zz in yzz:
+                v = zz[0] >> 1
+                diff = v - prev
+                prev = v
+                cat = _jpeg_cat(diff)
+                code, ln = dc_y[cat]
+                bw.put(code, ln)
+                if cat:
+                    bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+        run_scan(bytes([1, 1, 0x00, 0, 0, 0x01]), dc_first)
+        run_scan(
+            bytes([1, 1, 0x00, 1, 63, 0x01]),
+            lambda bw: [
+                _jpeg_emit_ac_first(bw, zz, 1, 63, 1, ac_y) for zz in yzz
+            ],
+        )
+        run_scan(
+            bytes([1, 1, 0x00, 0, 0, 0x10]),
+            lambda bw: [bw.put(zz[0] & 1, 1) for zz in yzz],
+        )
+        run_scan(
+            bytes([1, 1, 0x00, 1, 63, 0x10]),
+            lambda bw: [
+                _jpeg_emit_ac_refine(bw, zz, 1, 63, 0, ac_y) for zz in yzz
+            ],
+        )
+        head = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + _jpeg_seg(
+                0xC2,
+                bytes([8])
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]),
+            )
+            + _jpeg_seg(
+                0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            )
+            + _jpeg_seg(
+                0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+            )
+        )
+        return head + b"".join(scans) + b"\xff\xd9"
+    cw, ch = mcux * 8, mcuy * 8
+    cb = [
+        [16.0 if ((x // 8 + y // 8) % 2 == 0) else -16.0 for x in range(cw)]
+        for y in range(ch)
+    ]
+    cbzz = [
+        _jpeg_block_zz([cb[row * 8 + y][col * 8 : col * 8 + 8] for y in range(8)])
+        for row in range(mcuy)
+        for col in range(mcux)
+    ]
+    crzz = [[-v for v in zz] for zz in cbzz]
+    dc_c, _ = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c, _ = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    def dc_first_ilv(bw: _JpegBitWriter) -> None:
+        prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = yzz[(my * vs + by) * gw + mx * hs + bx]
+                        v = zz[0] >> 1
+                        diff = v - prev[0]
+                        prev[0] = v
+                        cat = _jpeg_cat(diff)
+                        code, ln = dc_y[cat]
+                        bw.put(code, ln)
+                        if cat:
+                            bw.put(
+                                diff if diff >= 0 else diff + (1 << cat) - 1,
+                                cat,
+                            )
+                for ci, czz in ((1, cbzz), (2, crzz)):
+                    zz = czz[my * mcux + mx]
+                    v = zz[0] >> 1
+                    diff = v - prev[ci]
+                    prev[ci] = v
+                    cat = _jpeg_cat(diff)
+                    code, ln = dc_c[cat]
+                    bw.put(code, ln)
+                    if cat:
+                        bw.put(
+                            diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                        )
+
+    def dc_refine_ilv(bw: _JpegBitWriter) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.put(yzz[(my * vs + by) * gw + mx * hs + bx][0] & 1, 1)
+                for czz in (cbzz, crzz):
+                    bw.put(czz[my * mcux + mx][0] & 1, 1)
+
+    # non-interleaved AC scans cover each component's COMPLETE-block grid
+    # (T.81 A.2.2) — for Y that is ceil(w/8)×ceil(h/8), which is smaller
+    # than the MCU-padded interleaved grid whenever w or h is not a
+    # multiple of 8·hs / 8·vs; chroma's 1×1-sampled grids coincide
+    y_bw, y_bh = (w + 7) // 8, (h + 7) // 8
+    y_ac = [yzz[row * gw + col] for row in range(y_bh) for col in range(y_bw)]
+    run_scan(bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]), dc_first_ilv)
+    for comp_id, czz, act in ((1, y_ac, ac_y), (2, cbzz, ac_c), (3, crzz, ac_c)):
+        ta = 0x00 if comp_id == 1 else 0x01
+        run_scan(
+            bytes([1, comp_id, ta, 1, 63, 0x01]),
+            lambda bw, z=czz, a=act: [
+                _jpeg_emit_ac_first(bw, zz, 1, 63, 1, a) for zz in z
+            ],
+        )
+    run_scan(bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]), dc_refine_ilv)
+    for comp_id, czz, act in ((1, y_ac, ac_y), (2, cbzz, ac_c), (3, crzz, ac_c)):
+        ta = 0x00 if comp_id == 1 else 0x01
+        run_scan(
+            bytes([1, comp_id, ta, 1, 63, 0x10]),
+            lambda bw, z=czz, a=act: [
+                _jpeg_emit_ac_refine(bw, zz, 1, 63, 0, a) for zz in z
+            ],
+        )
+    head = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC2,
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + _jpeg_seg(
+            0xC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        )
+        + _jpeg_seg(
+            0xC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C)
+        )
+    )
+    return head + b"".join(scans) + b"\xff\xd9"
+
+
 def render_jpeg(
     lines: list[str],
     color: bool = False,
     hv: tuple[int, int] = (2, 2),
     restart_mcus: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Render text lines into a REAL baseline JPEG (ink=0x00 on 0xFF
-    background) — the generator half of the JPEG contract. ``color``
-    wraps the same text raster in a 3-component YCbCr container
-    (sampling ``hv``, optional restart markers)."""
+    """Render text lines into a REAL JPEG (ink=0x00 on 0xFF background) —
+    the generator half of the JPEG contract. ``color`` wraps the same
+    text raster in a 3-component YCbCr container (sampling ``hv``,
+    optional restart markers); ``progressive`` emits the SOF2
+    successive-approximation scan script instead of one baseline scan."""
     w, h, ink = _render_ink_pixels(lines)
     px = [[255] * w for _ in range(h)]
     for x, y in ink:
         px[y][x] = 0
+    if progressive:
+        return jpeg_encode_progressive(px, w, h, color=color, hv=hv)
     if color:
         return jpeg_encode_ycbcr(px, w, h, hv, restart_mcus)
     return jpeg_encode_gray8(px, w, h)
@@ -3014,16 +3279,35 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
 
 
 def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
-    """(w, h, LUMA pixels row-major) for a baseline sequential 8-bit
-    JPEG — single-component grayscale OR 3-component YCbCr color with
-    sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0) and optional restart
-    intervals (DRI + RST0-7). Color files walk every component's entropy
-    data (mandatory — the bitstream interleaves MCUs) but dequantize +
-    IDCT only the luma plane: the OCR tail needs ink-vs-paper, which IS
-    Y by definition (JFIF stores luma as the first component), so chroma
-    coefficients are decoded and dropped. Progressive (SOF2), 12-bit,
-    arithmetic-coded and >2 sampling factors raise with the unsupported
-    parameter named (error-as-data upstream, same contract as PNG/GIF)."""
+    """(w, h, LUMA pixels row-major) for an 8-bit JPEG — baseline
+    sequential (SOF0) or progressive (SOF2, full successive
+    approximation), single-component grayscale OR 3-component YCbCr
+    color with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0) and optional
+    restart intervals (DRI + RST0-7). Color files walk every
+    component's entropy data where the bitstream demands it but
+    dequantize + IDCT only the luma plane: the OCR tail needs
+    ink-vs-paper, which IS Y by definition (JFIF stores luma as the
+    first component). 12-bit, arithmetic-coded, hierarchical and
+    >2-sampling-factor files raise with the unsupported parameter named
+    (error-as-data upstream, same contract as PNG/GIF)."""
+    for marker, body in jpeg_segments(payload):
+        if marker == "scan_start":
+            break
+        if isinstance(marker, int) and marker in _JPEG_SOF_MARKERS:
+            if marker == 0xC0:
+                return _jpeg_decode_baseline(payload)
+            if marker == 0xC2:
+                return _jpeg_decode_progressive(payload)
+            raise ValueError(
+                f"unsupported JPEG (SOF 0x{marker:02X}); decoder covers "
+                "baseline sequential (SOF0) and progressive (SOF2)"
+            )
+    raise ValueError("JPEG has no SOF header")
+
+
+def _jpeg_decode_baseline(payload: bytes) -> tuple[int, int, bytearray]:
+    """Baseline-sequential half of ``jpeg_decode_gray8`` (one scan,
+    interleaved MCUs when 3-component)."""
     qt: dict[int, list[int]] = {}
     huff_dc: dict[int, list[int]] = {}
     huff_ac: dict[int, list[int]] = {}
@@ -3214,6 +3498,383 @@ def jpeg_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
         .reshape(gh * 8, gw * 8)
     )
     return w, h, bytearray(np.ascontiguousarray(img[:h, :w]).tobytes())
+
+
+def _jpeg_scan_end(data: bytes, pos: int) -> int:
+    """Offset of the first real marker after entropy data at ``pos``
+    (skips stuffed FF00 and RST0-7); len(data) if none."""
+    n = len(data)
+    while True:
+        ff = data.find(b"\xff", pos)
+        if ff < 0 or ff + 1 >= n:
+            return n
+        m = data[ff + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = ff + 2
+            continue
+        return ff
+
+
+def _jpeg_parse_dqt(body: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq != 0:
+            raise ValueError("unsupported JPEG (16-bit quant table)")
+        tab = list(body[i + 1 : i + 65])
+        if len(tab) != 64:
+            raise ValueError("truncated JPEG quant table")
+        qt[tq] = tab
+        i += 65
+
+
+def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nv])
+        if len(vals) != nv or len(bits) != 16:
+            raise ValueError("truncated JPEG Huffman table")
+        fast = _jpeg_fast_table(tuple(bits), tuple(vals))
+        (huff_dc if tc == 0 else huff_ac)[th] = fast
+        i += 17 + nv
+
+
+def _jpeg_decode_progressive(payload: bytes) -> tuple[int, int, bytearray]:
+    """Progressive (SOF2) half of ``jpeg_decode_gray8``: multi-scan
+    successive approximation per ITU T.81 Annex G — DC-first scans
+    (point-transformed diffs, interleaved or single-component),
+    DC-refinement (one raw bit per block), AC-first scans (spectral
+    bands with EOB runs) and AC-refinement (correction bits + newly
+    nonzero ±2^Al), with tables redefinable between scans and restart
+    intervals resetting predictors AND the EOB run. Luma coefficients
+    accumulate across scans; chroma-only scans are skipped wholesale
+    (their data is never needed to locate the next marker)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, list[int]] = {}
+    huff_ac: dict[int, list[int]] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int, int]] = []
+    by_cid: dict[int, tuple[int, int, int, int]] = {}
+    restart_interval = 0
+    luma_cid = None
+    y_coef: list[list[int]] | None = None
+    gw = gh = mcux = mcuy = 0
+    hmax = vmax = 1
+    extend = _jpeg_extend
+    pos = 2
+    n = len(payload)
+    saw_eoi = False
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        if ln < 2 or pos + ln > n:
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC2:
+            if comps:
+                raise ValueError("unsupported JPEG (multiple frames)")
+            if body[0] != 8:
+                raise ValueError("unsupported JPEG (precision != 8)")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG ({nc} components); decoder covers "
+                    "grayscale and YCbCr"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF")
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG (sampling factor {hs}x{vs}); "
+                        "decoder covers factors 1-2"
+                    )
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
+            if w <= 0 or h <= 0 or w * h > 64_000_000:
+                raise ValueError(
+                    "JPEG geometry invalid or over the decode bound"
+                )
+            by_cid = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            luma_cid = comps[0][0]
+            ly_hs, ly_vs = comps[0][1], comps[0][2]
+            if nc == 3 and (ly_hs, ly_vs) != (hmax, vmax):
+                raise ValueError(
+                    "unsupported JPEG (luma is not the max-sampled "
+                    "component)"
+                )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            if nc == 1:
+                gw, gh = (w + 7) // 8, (h + 7) // 8
+            else:
+                gw, gh = mcux * ly_hs, mcuy * ly_vs
+            y_coef = [[0] * 64 for _ in range(gw * gh)]
+        elif marker in _JPEG_SOF_MARKERS:
+            raise ValueError(
+                f"unsupported JPEG (SOF 0x{marker:02X}); decoder covers "
+                "baseline sequential (SOF0) and progressive (SOF2)"
+            )
+        elif marker == 0xDA:
+            if y_coef is None:
+                raise ValueError("JPEG scan started before SOF")
+            ns = body[0]
+            if ns < 1 or ns > len(comps) or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed JPEG SOS header")
+            scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                if cid not in by_cid:
+                    raise ValueError("JPEG scan names an unknown component")
+                tt = body[2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            data_at = pos
+            pos = _jpeg_scan_end(payload, pos)
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "invalid progressive scan (DC scan must have Se=0)"
+                )
+            if ss > se or se > 63:
+                raise ValueError("invalid progressive spectral band")
+            if ss > 0 and ns != 1:
+                raise ValueError(
+                    "invalid progressive scan (AC scans are single-"
+                    "component)"
+                )
+            if ss == 0:
+                _jpeg_prog_dc_scan(
+                    payload, data_at, scan, by_cid, huff_dc, y_coef,
+                    luma_cid, w, h, hmax, vmax, gw, mcux, mcuy, ah, al,
+                    restart_interval, extend,
+                )
+            else:
+                cid, _td, ta = scan[0]
+                if cid != luma_cid:
+                    continue  # chroma detail never reaches the luma plane
+                if ta not in huff_ac:
+                    raise ValueError("JPEG AC scan before its DHT")
+                _jpeg_prog_ac_scan(
+                    payload, data_at, huff_ac[ta], y_coef, by_cid[cid],
+                    w, h, hmax, vmax, len(comps), gw, ss, se, ah, al,
+                    restart_interval, extend,
+                )
+        # APPn / COM and other markers are skipped
+    if y_coef is None or not saw_eoi:
+        raise ValueError("truncated progressive JPEG (no EOI)")
+    tq = by_cid[luma_cid][3]
+    if tq not in qt:
+        raise ValueError("JPEG luma quant table missing")
+    nblk = gw * gh
+    zz = np.asarray(y_coef, dtype=np.float64)
+    zz *= np.asarray(qt[tq], dtype=np.float64)
+    nat = np.zeros_like(zz)
+    nat[:, list(_JPEG_ZIGZAG)] = zz
+    blocks = _DCT_AT_NP @ nat.reshape(nblk, 8, 8) @ _DCT_A_NP
+    px = np.floor(blocks + 128.5)
+    np.clip(px, 0.0, 255.0, out=px)
+    img = (
+        px.astype(np.uint8)
+        .reshape(gh, gw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(gh * 8, gw * 8)
+    )
+    return w, h, bytearray(np.ascontiguousarray(img[:h, :w]).tobytes())
+
+
+def _jpeg_prog_dc_scan(
+    payload, data_at, scan, by_cid, huff_dc, y_coef, luma_cid,
+    w, h, hmax, vmax, gw, mcux, mcuy, ah, al, restart_interval, extend,
+) -> None:
+    """One progressive DC scan (T.81 G.2): first pass (Ah=0) decodes
+    point-transformed diffs; refinement (Ah>0) reads one raw bit per
+    block. Interleaved when the scan names several components."""
+    br = _JpegBits(payload, data_at)
+    prev = {cid: 0 for cid, _t, _a in scan}
+    if ah == 0:
+        for cid, td, _ta in scan:
+            if td not in huff_dc:
+                raise ValueError("JPEG DC scan before its DHT")
+    if len(scan) > 1:
+        mcu_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    br.restart()
+                    prev = {cid: 0 for cid in prev}
+                mcu_n += 1
+                for cid, td, _ta in scan:
+                    _c, hs, vs, _tq = by_cid[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            keep = cid == luma_cid
+                            bi = (my * vs + by) * gw + mx * hs + bx
+                            if ah == 0:
+                                cat = br.huff(huff_dc[td])
+                                diff = extend(br.bits(cat), cat) if cat else 0
+                                prev[cid] += diff
+                                if keep:
+                                    y_coef[bi][0] = prev[cid] << al
+                            else:
+                                bit = br.bits(1)
+                                if keep:
+                                    y_coef[bi][0] |= bit << al
+    else:
+        cid, td, _ta = scan[0]
+        if cid != luma_cid:
+            return  # chroma-only scan: data skipped by the marker walk
+        _c, hs, vs, _tq = by_cid[cid]
+        # non-interleaved: the component's own complete-block grid
+        # (T.81 A.2.2)
+        if len(by_cid) == 1:
+            cw, chh = w, h
+        else:
+            cw = (w * hs + hmax - 1) // hmax
+            chh = (h * vs + vmax - 1) // vmax
+        bwc, bhc = (cw + 7) // 8, (chh + 7) // 8
+        blk_n = 0
+        for row in range(bhc):
+            for col in range(bwc):
+                if restart_interval and blk_n and blk_n % restart_interval == 0:
+                    br.restart()
+                    prev[cid] = 0
+                blk_n += 1
+                keep = cid == luma_cid
+                bi = row * gw + col
+                if ah == 0:
+                    cat = br.huff(huff_dc[td])
+                    diff = extend(br.bits(cat), cat) if cat else 0
+                    prev[cid] += diff
+                    if keep:
+                        y_coef[bi][0] = prev[cid] << al
+                else:
+                    bit = br.bits(1)
+                    if keep:
+                        y_coef[bi][0] |= bit << al
+
+
+def _jpeg_prog_ac_scan(
+    payload, data_at, acd, y_coef, comp, w, h, hmax, vmax, ncomp,
+    gw, ss, se, ah, al, restart_interval, extend,
+) -> None:
+    """One progressive AC scan over the luma component (T.81 G.2):
+    spectral band [ss, se], first pass (Ah=0) with EOB runs, refinement
+    (Ah>0) via the correction-bit walk (libjpeg decode_mcu_AC_refine's
+    algorithm). Blocks advance in the component's raster order; a
+    restart boundary resets the EOB run."""
+    _cid, hs, vs, _tq = comp
+    if ncomp == 1:
+        cw, chh = w, h
+    else:
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+    bwc, bhc = (cw + 7) // 8, (chh + 7) // 8
+    br = _JpegBits(payload, data_at)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    blk_n = 0
+    for row in range(bhc):
+        for col in range(bwc):
+            if restart_interval and blk_n and blk_n % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            blk_n += 1
+            coef = y_coef[row * gw + col]
+            if ah == 0:
+                # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(acd)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    coef[k] = extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.huff(acd)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid JPEG refinement magnitude"
+                            )
+                        val = p1 if br.bits(1) else m1
+                    while k <= se:
+                        c = coef[k]
+                        if c:
+                            if br.bits(1) and (c & p1) == 0:
+                                coef[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = coef[k]
+                    if c:
+                        if br.bits(1) and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
 
 
 def extract_jpeg(payload: bytes) -> tuple[bytes, int]:

@@ -609,13 +609,29 @@ def test_jpeg_render_decode_roundtrip_and_errors():
     c[rst_at + 1] = 0xD5  # breaks the D0-D7 cycle
     e = oracle.extract(bytes(c))
     assert not e.ok and "RST marker out of sequence" in e.error
-    # unsupported shapes are named: progressive SOF2, 2-component SOF0,
-    # sampling factors above 2
+    # progressive (SOF2, v12): the full successive-approximation script
+    # round-trips the same text, and final pixels are IDENTICAL to the
+    # baseline encoder's (same coefficients reconstructed scan by scan)
+    for color in (False, True):
+        pj = render_jpeg(lines, color=color, progressive=True)
+        t, n = extract_jpeg(pj)
+        assert t == b"QUICK BROWN FOX\nJUMPS OVER\nA" and n == 3, color
+        assert jpeg_dims(pj) == jpeg_dims(j)
+    assert bytes(jpeg_decode_gray8(render_jpeg(lines, progressive=True))[2]) == \
+        bytes(jpeg_decode_gray8(j)[2])
+    # a baseline file stamped SOF2 parses as progressive and is rejected
+    # for its now-illegal full-band DC scan — a named error row
     body = bytearray(j)
     sof_at = bytes(body).find(b"\xff\xc0")
     body[sof_at + 1] = 0xC2
     e = oracle.extract(bytes(body))
-    assert not e.ok and "SOF 0xC2" in e.error
+    assert not e.ok and "DC scan must have Se=0" in e.error
+    # unsupported shapes are named: extended-sequential SOF1,
+    # 2-component SOF0, sampling factors above 2
+    body = bytearray(j)
+    body[sof_at + 1] = 0xC1
+    e = oracle.extract(bytes(body))
+    assert not e.ok and "SOF 0xC1" in e.error
     body = bytearray(j)
     body[sof_at + 9] = 2  # component count byte of SOF0
     e = oracle.extract(bytes(body))
