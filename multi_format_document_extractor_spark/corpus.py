@@ -31,7 +31,9 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 12  # v12: ~30% of JPEGs are PROGRESSIVE (SOF2, the
+CORPUS_VERSION = 13  # v13: ~25% of PNGs are Adam7-INTERLACED and ~15%
+# are 16-bit depth (MSB reduction) — on top of the v10 color-type mix.
+# v12: ~30% of JPEGs are PROGRESSIVE (SOF2, the
 # full successive-approximation scan script, gray + color mix). v11:
 # ~30% of PDF pages typeset at a text-matrix SCALE (Tm a/d = 0.5 or 2,
 # Td/TD deltas in text space) — only a full-affine reader lands them.
@@ -1036,7 +1038,14 @@ def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
         ct = 4
     else:
         ct = 6
-    return render_png(lines, fts, color_type=ct), "\n".join(lines), n_lines
+    # v13: ~25% Adam7-interlaced, ~15% 16-bit (palette stays 8-bit per
+    # spec) — independently of the color-type draw
+    interlace = rng.random() < 0.25
+    depth = 16 if (ct != 3 and rng.random() < 0.15) else 8
+    payload = render_png(
+        lines, fts, color_type=ct, interlace=interlace, depth=depth
+    )
+    return payload, "\n".join(lines), n_lines
 
 
 def _make_gif(rng: random.Random) -> tuple[bytes, str, int]:

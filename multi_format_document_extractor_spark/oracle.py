@@ -1823,22 +1823,58 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
 # BT.601 integer luma: (77R + 150G + 29B + 128) >> 8 — exact integer
 # arithmetic, so the gray plane every color mode reduces to is
 # deterministic across platforms (the transcendental-free discipline)
-_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # channels at depth 8
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _rgb_luma(r: int, g: int, b: int) -> int:
     return (77 * r + 150 * g + 29 * b + 128) >> 8
 
 
+def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
+    """Reassemble an Adam7-interlaced pixel stream: each of the seven
+    passes is an independently filtered sub-image (its own per-scanline
+    filter bytes); empty passes contribute no scanlines at all (PNG
+    §8.2). Returns the full-size sample buffer in row-major order."""
+    out = bytearray(w * h * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        need = (wp * bpp + 1) * hp
+        sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
+        pos += need
+        for j in range(hp):
+            oy = y0 + j * dy
+            for i in range(wp):
+                o = (oy * w + x0 + i * dx) * bpp
+                s = (j * wp + i) * bpp
+                out[o : o + bpp] = sub[s : s + bpp]
+    return out
+
+
 def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
-    """(w, h, LUMA bytes row-major) for any 8-bit-depth non-interlaced
-    PNG: grayscale (color type 0), truecolor (2), palette (3, PLTE
-    required), gray+alpha (4) and RGBA (6). Color reduces to BT.601
-    integer luma; alpha composites over white first (the paper
-    background the OCR contract assumes — a transparent pixel IS paper).
-    16-bit depth and Adam7 interlace raise with the unsupported
-    parameter named (error-as-data upstream, same contract as the other
-    parsers)."""
+    """(w, h, LUMA bytes row-major) for an 8- or 16-bit PNG, plain or
+    Adam7-interlaced: grayscale (color type 0), truecolor (2), palette
+    (3, PLTE required — 8-bit only per spec), gray+alpha (4) and RGBA
+    (6). Color reduces to BT.601 integer luma; alpha composites over
+    white first (the paper background the OCR contract assumes — a
+    transparent pixel IS paper); 16-bit samples reduce to their
+    high-order byte (the spec's sample-depth scaling to 8 bits).
+    Sub-byte depths (1/2/4) raise with the unsupported parameter named
+    (error-as-data upstream, same contract as the other parsers)."""
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     ihdr = None
@@ -1859,22 +1895,29 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("PNG geometry invalid or over the decode bound")
     if (
-        depth != 8
+        depth not in (8, 16)
+        or (depth == 16 and ctype_i == 3)
         or ctype_i not in _PNG_BPP
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={ctype_i} "
-            f"interlace={interlace}); decoder covers 8-bit depth, "
-            "color types 0/2/3/4/6, no interlace"
+            f"interlace={interlace}); decoder covers 8/16-bit depth, "
+            "color types 0/2/3/4/6, plain or Adam7"
         )
     if not idat:
         raise ValueError("PNG missing IDAT")
     raw = zlib.decompress(b"".join(idat))
-    bpp = _PNG_BPP[ctype_i]
-    recon = _png_unfilter(raw, w, h, bpp)
+    bpp = _PNG_BPP[ctype_i] * (depth // 8)
+    if interlace:
+        recon = _png_deinterlace(raw, w, h, bpp)
+    else:
+        recon = _png_unfilter(raw, w, h, bpp)
+    if depth == 16:
+        # high-order byte per sample == the spec's 16→8 scaling
+        recon = recon[0::2]
     if ctype_i == 0:
         return w, h, recon
     n = w * h
@@ -1922,63 +1965,54 @@ def render_png(
     lines: list[str],
     filter_types: list[int] | None = None,
     color_type: int = 0,
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Render text lines into a REAL 8-bit PNG — the generator half of
-    the PNG contract. ``filter_types`` assigns each scanline's filter
-    (cycled; default all None) so the corpus can exercise every unfilter
-    path; ``color_type`` picks the container pixel layout with the SAME
+    """Render text lines into a REAL PNG — the generator half of the PNG
+    contract. ``filter_types`` assigns each scanline's filter (cycled;
+    default all None) so the corpus can exercise every unfilter path;
+    ``color_type`` picks the container pixel layout with the SAME
     readable text: 0 = grayscale ink 0x00 on 0xFF, 2 = dark-blue RGB ink
     on warm-white paper (luma 11 vs 252), 3 = the same two colors as a
     2-entry palette, 4 = opaque gray ink over a TRANSPARENT-BLACK
     background (a naive gray-channel read sees all-ink — only correct
     alpha compositing over white recovers the page), 6 = RGBA with the
-    same transparent background. All payloads decode in any standard
-    PNG reader."""
+    same transparent background. ``interlace`` emits the Adam7 layout
+    (v13); ``depth=16`` widens every sample to v·257 big-endian (v13,
+    color types 0/2/4/6). All payloads decode in any standard PNG
+    reader."""
     w, h, ink = _render_ink_pixels(lines)
     is_ink = bytearray(w * h)
     for x, y in ink:
         is_ink[y * w + x] = 1
-    if color_type == 0:
-        recon = bytearray(0 if v else 255 for v in is_ink)
-        return _png_encode(recon, w, h, 0, None, filter_types)
-    if color_type == 2:
-        samples = bytearray()
-        for v in is_ink:
-            samples += b"\x00\x00\x60" if v else b"\xff\xff\xe6"
-        return _png_encode(samples, w, h, 2, None, filter_types)
-    if color_type == 3:
-        plte = b"\xff\xff\xe6" + b"\x00\x00\x60"  # 0 = paper, 1 = ink
-        return _png_encode(is_ink, w, h, 3, plte, filter_types)
-    if color_type == 4:
-        samples = bytearray()
-        for v in is_ink:
-            samples += b"\x00\xff" if v else b"\x00\x00"
-        return _png_encode(samples, w, h, 4, None, filter_types)
-    if color_type == 6:
-        samples = bytearray()
-        for v in is_ink:
-            samples += b"\x00\x00\x60\xff" if v else b"\x00\x00\x00\x00"
-        return _png_encode(samples, w, h, 6, None, filter_types)
-    raise ValueError(f"color type {color_type} not renderable")
+    by_type = {
+        0: (b"\x00", b"\xff", None),
+        2: (b"\x00\x00\x60", b"\xff\xff\xe6", None),
+        3: (b"\x01", b"\x00", b"\xff\xff\xe6" + b"\x00\x00\x60"),
+        4: (b"\x00\xff", b"\x00\x00", None),
+        6: (b"\x00\x00\x60\xff", b"\x00\x00\x00\x00", None),
+    }
+    if color_type not in by_type:
+        raise ValueError(f"color type {color_type} not renderable")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNGs do not exist (PNG §11.2.2)")
+    ink_px, paper_px, plte = by_type[color_type]
+    if depth == 16:
+        ink_px = bytes(b for v in ink_px for b in (v, v))
+        paper_px = bytes(b for v in paper_px for b in (v, v))
+    samples = bytearray()
+    for v in is_ink:
+        samples += ink_px if v else paper_px
+    return _png_encode(
+        samples, w, h, color_type, plte, filter_types, interlace, depth
+    )
 
 
-def _png_encode(
-    samples,
-    w: int,
-    h: int,
-    color_type: int,
-    plte: bytes | None = None,
-    filter_types: list[int] | None = None,
-) -> bytes:
-    """Flat w·h·bpp sample bytes → a REAL PNG of the given color type any
-    standard reader decodes; PNG filters applied bytewise with the
-    per-pixel ``bpp`` stride (the inverse of ``_png_unfilter``)."""
-    bpp = _PNG_BPP[color_type]
+def _png_filter(recon, w: int, h: int, bpp: int, fts: list[int]) -> bytearray:
+    """Apply the per-scanline PNG filters (the inverse of
+    ``_png_unfilter``): one filter-type byte + w·bpp filtered bytes per
+    row, left taps ``bpp`` bytes back."""
     stride = w * bpp
-    if w <= 0 or h <= 0 or len(samples) != stride * h:
-        raise ValueError("sample buffer does not match geometry")
-    recon = samples
-    fts = filter_types or [0]
     raw = bytearray()
     for y in range(h):
         ftype = fts[y % len(fts)]
@@ -2002,6 +2036,46 @@ def _png_encode(
                 raw.append((cur - _paeth(a, b, c)) & 0xFF)
             else:
                 raise ValueError(f"filter type {ftype} invalid")
+    return raw
+
+
+def _png_encode(
+    samples,
+    w: int,
+    h: int,
+    color_type: int,
+    plte: bytes | None = None,
+    filter_types: list[int] | None = None,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """Flat w·h·bpp sample bytes → a REAL PNG of the given color type and
+    depth (8/16) any standard reader decodes; PNG filters applied
+    bytewise with the per-pixel ``bpp`` stride. ``interlace`` emits the
+    Adam7 layout: each pass extracted, filtered and concatenated as its
+    own sub-image (empty passes absent, per spec)."""
+    bpp = _PNG_BPP[color_type] * (depth // 8)
+    stride = w * bpp
+    if w <= 0 or h <= 0 or len(samples) != stride * h:
+        raise ValueError("sample buffer does not match geometry")
+    fts = filter_types or [0]
+    if not interlace:
+        raw = _png_filter(samples, w, h, bpp, fts)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = bytearray(wp * hp * bpp)
+            for j in range(hp):
+                oy = y0 + j * dy
+                for i in range(wp):
+                    o = (oy * w + x0 + i * dx) * bpp
+                    s = (j * wp + i) * bpp
+                    sub[s : s + bpp] = samples[o : o + bpp]
+            raw += _png_filter(sub, wp, hp, bpp, fts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -2014,7 +2088,7 @@ def _png_encode(
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlace else 0])
     )
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if color_type == 3:

@@ -490,6 +490,24 @@ def test_png_render_decode_roundtrip_and_errors():
             p = render_png(lines, fts, color_type=ct)
             t, n = extract_png(p)
             assert t == b"QUICK BROWN FOX\nJUMPS OVER" and n == 2, (ct, fts)
+    # v13: Adam7 interlace (per-pass sub-image filtering) and 16-bit
+    # depth (MSB reduction) read the same page in every combination
+    for ct in (0, 2, 3, 4, 6):
+        for il in (False, True):
+            for d in (8, 16) if ct != 3 else (8,):
+                p = render_png(lines, [4, 2], color_type=ct,
+                               interlace=il, depth=d)
+                t, n = extract_png(p)
+                assert t == b"QUICK BROWN FOX\nJUMPS OVER", (ct, il, d)
+    # Adam7 pixel-exactness incl. tiny geometries with EMPTY passes
+    from multi_format_document_extractor_spark.oracle import _png_encode
+
+    for (w0, h0) in ((1, 1), (2, 2), (5, 3), (7, 9), (8, 8)):
+        px = bytearray(((x * 37 + y * 11) % 256)
+                       for y in range(h0) for x in range(w0))
+        p = _png_encode(px, w0, h0, 0, None, [2, 4], interlace=True)
+        w2, h2, out = png_decode_gray8(p)
+        assert (w2, h2) == (w0, h0) and bytes(out) == bytes(px), (w0, h0)
     # full dispatch: format 'image', ok, no encoding column
     r = oracle.extract(render_png(["DENSITY LAYOUT"], [3, 4]))
     assert r.format == "image" and r.ok and r.encoding is None
@@ -513,26 +531,40 @@ def test_png_render_decode_roundtrip_and_errors():
             + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
         )
 
-    ihdr_16bit = (
+    ihdr_4bit = (
         (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-        + bytes([16, 0, 0, 0, 0])
+        + bytes([4, 0, 0, 0, 0])
     )
-    deep = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_16bit)
+    shallow = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_4bit)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
+    )
+    e = oracle.extract(shallow)
+    assert not e.ok and "unsupported PNG" in e.error
+    # 16-bit PALETTE is illegal per spec and stays rejected
+    ihdr_p16 = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([16, 3, 0, 0, 0])
+    )
+    p16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_p16)
+        + chunk(b"PLTE", b"\xff\xff\xff")
         + chunk(b"IDAT", _z.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
     )
-    e = oracle.extract(deep)
+    e = oracle.extract(p16)
     assert not e.ok and "unsupported PNG" in e.error
-    ihdr_adam7 = (
-        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-        + bytes([8, 0, 0, 0, 1])
+    # a truncated Adam7 stream (one pass short) is an error ROW
+    full = render_png(["AB"], [0], interlace=True)
+    idat_at = full.find(b"IDAT")
+    idat_len = int.from_bytes(full[idat_at - 4 : idat_at], "big")
+    raw = _z.decompress(full[idat_at + 4 : idat_at + 4 + idat_len])
+    cut = (
+        full[: idat_at - 4]
+        + chunk(b"IDAT", _z.compress(raw[: len(raw) - 4]))
+        + chunk(b"IEND", b"")
     )
-    lace = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_adam7)
-        + chunk(b"IDAT", _z.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
-    )
-    e = oracle.extract(lace)
-    assert not e.ok and "unsupported PNG" in e.error
+    e = oracle.extract(cut)
+    assert not e.ok
     # palette file with an out-of-range index → error row, not garbage
     ihdr_pal = (
         (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
