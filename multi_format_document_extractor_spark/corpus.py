@@ -31,7 +31,9 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 13  # v13: ~25% of PNGs are Adam7-INTERLACED and ~15%
+CORPUS_VERSION = 14  # v14: ~15% of PNGs are SUB-BYTE depth (1/2/4-bit
+# gray fax + palette icon shapes, packed-byte filter taps). v13: ~25%
+# of PNGs are Adam7-INTERLACED and ~15%
 # are 16-bit depth (MSB reduction) — on top of the v10 color-type mix.
 # v12: ~30% of JPEGs are PROGRESSIVE (SOF2, the
 # full successive-approximation scan script, gray + color mix). v11:
@@ -1039,9 +1041,18 @@ def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
     else:
         ct = 6
     # v13: ~25% Adam7-interlaced, ~15% 16-bit (palette stays 8-bit per
-    # spec) — independently of the color-type draw
+    # spec); v14: ~15% sub-byte (1/2/4-bit, gray/palette only) —
+    # independently of the color-type draw
     interlace = rng.random() < 0.25
-    depth = 16 if (ct != 3 and rng.random() < 0.15) else 8
+    rd = rng.random()
+    if rd < 0.15 and ct != 3:
+        depth = 16
+    elif rd < 0.30:
+        depth = rng.choice((1, 1, 2, 4))
+        if ct not in (0, 3):
+            ct = rng.choice((0, 3))  # sub-byte is gray/palette-only
+    else:
+        depth = 8
     payload = render_png(
         lines, fts, color_type=ct, interlace=interlace, depth=depth
     )

@@ -1841,6 +1841,47 @@ def _rgb_luma(r: int, g: int, b: int) -> int:
     return (77 * r + 150 * g + 29 * b + 128) >> 8
 
 
+def _png_unpack_bits(rows: bytes, w: int, h: int, depth: int) -> bytearray:
+    """Unpack sub-byte samples (depth 1/2/4, MSB-first within each byte,
+    rows padded to byte boundaries) into one value per pixel."""
+    stride = (w * depth + 7) // 8
+    out = bytearray(w * h)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for y in range(h):
+        ro = y * stride
+        oo = y * w
+        for x in range(w):
+            b = rows[ro + x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            out[oo + x] = (b >> shift) & mask
+    return out
+
+
+def _png_deinterlace_packed(raw: bytes, w: int, h: int, depth: int) -> bytearray:
+    """Adam7 reassembly for sub-byte depths: each pass's scanlines are
+    packed and filtered at their own byte stride (bpp=1 taps, per spec),
+    unpacked per pass, then scattered per PIXEL."""
+    out = bytearray(w * h)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * depth + 7) // 8
+        need = (stride + 1) * hp
+        sub = _png_unpack_bits(
+            _png_unfilter(raw[pos : pos + need], stride, hp, 1), wp, hp, depth
+        )
+        pos += need
+        for j in range(hp):
+            oy = y0 + j * dy
+            for i in range(wp):
+                out[oy * w + x0 + i * dx] = sub[j * wp + i]
+    return out
+
+
 def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
     """Reassemble an Adam7-interlaced pixel stream: each of the seven
     passes is an independently filtered sub-image (its own per-scanline
@@ -1895,8 +1936,9 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("PNG geometry invalid or over the decode bound")
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or (depth == 16 and ctype_i == 3)
+        or (depth < 8 and ctype_i not in (0, 3))
         or ctype_i not in _PNG_BPP
         or comp != 0
         or filt != 0
@@ -1904,20 +1946,34 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
     ):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={ctype_i} "
-            f"interlace={interlace}); decoder covers 8/16-bit depth, "
-            "color types 0/2/3/4/6, plain or Adam7"
+            f"interlace={interlace}); decoder covers depths 1-16 per the "
+            "spec's legal color-type combinations, plain or Adam7"
         )
     if not idat:
         raise ValueError("PNG missing IDAT")
     raw = zlib.decompress(b"".join(idat))
-    bpp = _PNG_BPP[ctype_i] * (depth // 8)
-    if interlace:
-        recon = _png_deinterlace(raw, w, h, bpp)
+    if depth < 8:
+        # sub-byte gray/palette: filters tap packed bytes (bpp=1)
+        if interlace:
+            recon = _png_deinterlace_packed(raw, w, h, depth)
+        else:
+            stride = (w * depth + 7) // 8
+            recon = _png_unpack_bits(
+                _png_unfilter(raw, stride, h, 1), w, h, depth
+            )
+        if ctype_i == 0:
+            # spec sample scaling: v * 255/(2^d - 1), exact integers
+            lut = bytes(v * 255 // ((1 << depth) - 1) for v in range(1 << depth))
+            return w, h, bytearray(lut[v] for v in recon)
     else:
-        recon = _png_unfilter(raw, w, h, bpp)
-    if depth == 16:
-        # high-order byte per sample == the spec's 16→8 scaling
-        recon = recon[0::2]
+        bpp = _PNG_BPP[ctype_i] * (depth // 8)
+        if interlace:
+            recon = _png_deinterlace(raw, w, h, bpp)
+        else:
+            recon = _png_unfilter(raw, w, h, bpp)
+        if depth == 16:
+            # high-order byte per sample == the spec's 16→8 scaling
+            recon = recon[0::2]
     if ctype_i == 0:
         return w, h, recon
     n = w * h
@@ -1997,6 +2053,18 @@ def render_png(
     if depth == 16 and color_type == 3:
         raise ValueError("16-bit palette PNGs do not exist (PNG §11.2.2)")
     ink_px, paper_px, plte = by_type[color_type]
+    if depth in (1, 2, 4):
+        # sub-byte (v14): 1-bit gray is the fax shape, sub-byte palette
+        # the icon shape — ink 0 / index 1 on paper max / index 0
+        if color_type == 0:
+            samples = bytearray(0 if v else (1 << depth) - 1 for v in is_ink)
+        elif color_type == 3:
+            samples = is_ink
+        else:
+            raise ValueError("sub-byte depth needs color type 0 or 3")
+        return _png_encode(
+            samples, w, h, color_type, plte, filter_types, interlace, depth
+        )
     if depth == 16:
         ink_px = bytes(b for v in ink_px for b in (v, v))
         paper_px = bytes(b for v in paper_px for b in (v, v))
@@ -2049,33 +2117,71 @@ def _png_encode(
     interlace: bool = False,
     depth: int = 8,
 ) -> bytes:
-    """Flat w·h·bpp sample bytes → a REAL PNG of the given color type and
-    depth (8/16) any standard reader decodes; PNG filters applied
-    bytewise with the per-pixel ``bpp`` stride. ``interlace`` emits the
-    Adam7 layout: each pass extracted, filtered and concatenated as its
-    own sub-image (empty passes absent, per spec)."""
-    bpp = _PNG_BPP[color_type] * (depth // 8)
-    stride = w * bpp
-    if w <= 0 or h <= 0 or len(samples) != stride * h:
-        raise ValueError("sample buffer does not match geometry")
+    """Flat sample bytes (w·h·bpp at depth 8/16; one value per pixel at
+    depths 1/2/4) → a REAL PNG of the given color type and depth any
+    standard reader decodes; PNG filters applied bytewise with the
+    per-pixel ``bpp`` stride (packed-byte taps at sub-byte depths).
+    ``interlace`` emits the Adam7 layout: each pass extracted, filtered
+    and concatenated as its own sub-image (empty passes absent, per
+    spec)."""
     fts = filter_types or [0]
-    if not interlace:
-        raw = _png_filter(samples, w, h, bpp, fts)
+    if depth < 8:
+        if color_type not in (0, 3):
+            raise ValueError("sub-byte depth needs color type 0 or 3")
+        if w <= 0 or h <= 0 or len(samples) != w * h:
+            raise ValueError("sample buffer does not match geometry")
+
+        def pack(vals, wp: int, hp: int) -> bytearray:
+            stride = (wp * depth + 7) // 8
+            rows = bytearray(stride * hp)
+            per_byte = 8 // depth
+            for y in range(hp):
+                for x in range(wp):
+                    shift = 8 - depth * (x % per_byte + 1)
+                    rows[y * stride + x // per_byte] |= (
+                        vals[y * wp + x] & ((1 << depth) - 1)
+                    ) << shift
+            return rows
+
+        if not interlace:
+            stride = (w * depth + 7) // 8
+            raw = _png_filter(pack(samples, w, h), stride, h, 1, fts)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sub = bytearray(
+                    samples[(y0 + j * dy) * w + x0 + i * dx]
+                    for j in range(hp)
+                    for i in range(wp)
+                )
+                stride = (wp * depth + 7) // 8
+                raw += _png_filter(pack(sub, wp, hp), stride, hp, 1, fts)
     else:
-        raw = bytearray()
-        for x0, y0, dx, dy in _ADAM7:
-            wp = (w - x0 + dx - 1) // dx
-            hp = (h - y0 + dy - 1) // dy
-            if wp <= 0 or hp <= 0:
-                continue
-            sub = bytearray(wp * hp * bpp)
-            for j in range(hp):
-                oy = y0 + j * dy
-                for i in range(wp):
-                    o = (oy * w + x0 + i * dx) * bpp
-                    s = (j * wp + i) * bpp
-                    sub[s : s + bpp] = samples[o : o + bpp]
-            raw += _png_filter(sub, wp, hp, bpp, fts)
+        bpp = _PNG_BPP[color_type] * (depth // 8)
+        stride = w * bpp
+        if w <= 0 or h <= 0 or len(samples) != stride * h:
+            raise ValueError("sample buffer does not match geometry")
+        if not interlace:
+            raw = _png_filter(samples, w, h, bpp, fts)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sub = bytearray(wp * hp * bpp)
+                for j in range(hp):
+                    oy = y0 + j * dy
+                    for i in range(wp):
+                        o = (oy * w + x0 + i * dx) * bpp
+                        s = (j * wp + i) * bpp
+                        sub[s : s + bpp] = samples[o : o + bpp]
+                raw += _png_filter(sub, wp, hp, bpp, fts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (

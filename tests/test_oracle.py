@@ -508,6 +508,18 @@ def test_png_render_decode_roundtrip_and_errors():
         p = _png_encode(px, w0, h0, 0, None, [2, 4], interlace=True)
         w2, h2, out = png_decode_gray8(p)
         assert (w2, h2) == (w0, h0) and bytes(out) == bytes(px), (w0, h0)
+    # v14 sub-byte depths: 1/2/4-bit gray (fax) and palette (icon)
+    # read the same page, plain and interlaced
+    for ct in (0, 3):
+        for d in (1, 2, 4):
+            for il in (False, True):
+                p = render_png(lines, [1, 2, 3, 4], color_type=ct,
+                               interlace=il, depth=d)
+                t, n = extract_png(p)
+                assert t == b"QUICK BROWN FOX\nJUMPS OVER", (ct, d, il)
+    # spec sample scaling: 2-bit gray 0/1/2/3 → 0/85/170/255 exactly
+    p = _png_encode(bytearray([0, 1, 2, 3]), 4, 1, 0, None, [0], depth=2)
+    assert list(png_decode_gray8(p)[2]) == [0, 85, 170, 255]
     # full dispatch: format 'image', ok, no encoding column
     r = oracle.extract(render_png(["DENSITY LAYOUT"], [3, 4]))
     assert r.format == "image" and r.ok and r.encoding is None
@@ -531,12 +543,12 @@ def test_png_render_decode_roundtrip_and_errors():
             + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
         )
 
-    ihdr_4bit = (
+    ihdr_4bit_rgb = (
         (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-        + bytes([4, 0, 0, 0, 0])
+        + bytes([4, 2, 0, 0, 0])  # sub-byte TRUECOLOR: illegal per spec
     )
     shallow = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_4bit)
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_4bit_rgb)
         + chunk(b"IDAT", _z.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
     )
     e = oracle.extract(shallow)
