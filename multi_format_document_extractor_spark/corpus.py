@@ -31,7 +31,10 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 14  # v14: ~15% of PNGs are SUB-BYTE depth (1/2/4-bit
+CORPUS_VERSION = 15  # v15: ~12% of PNGs carry tRNS transparency with
+# DARK paper (color-keyed gray/RGB or zero-alpha palette index) — only
+# a tRNS-honoring reader recovers the page. v14: ~15% of PNGs are
+# SUB-BYTE depth (1/2/4-bit
 # gray fax + palette icon shapes, packed-byte filter taps). v13: ~25%
 # of PNGs are Adam7-INTERLACED and ~15%
 # are 16-bit depth (MSB reduction) — on top of the v10 color-type mix.
@@ -1045,9 +1048,17 @@ def _make_png(rng: random.Random) -> tuple[bytes, str, int]:
     # independently of the color-type draw
     interlace = rng.random() < 0.25
     rd = rng.random()
-    if rd < 0.15 and ct != 3:
+    if rd < 0.12:
+        # tRNS transparency (v15): dark paper keyed/zero-alpha
+        # transparent — only compositing over white reads the page
+        ct = rng.choice((0, 2, 3))
+        payload = render_png(
+            lines, fts, color_type=ct, interlace=interlace, keyed=True
+        )
+        return payload, "\n".join(lines), n_lines
+    if rd < 0.27 and ct != 3:
         depth = 16
-    elif rd < 0.30:
+    elif rd < 0.42:
         depth = rng.choice((1, 1, 2, 4))
         if ct not in (0, 3):
             ct = rng.choice((0, 3))  # sub-byte is gray/palette-only

@@ -1920,12 +1920,15 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
         raise ValueError("not a PNG")
     ihdr = None
     plte = None
+    trns = None
     idat: list[bytes] = []
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = data
         elif ctype == b"PLTE":
             plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
     if ihdr is None or len(ihdr) < 13:
@@ -1962,24 +1965,58 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
                 _png_unfilter(raw, stride, h, 1), w, h, depth
             )
         if ctype_i == 0:
-            # spec sample scaling: v * 255/(2^d - 1), exact integers
+            # spec sample scaling: v * 255/(2^d - 1), exact integers;
+            # a tRNS-keyed gray level is fully transparent → paper
+            tkey = (
+                int.from_bytes(trns[0:2], "big")
+                if trns and len(trns) >= 2
+                else None
+            )
             lut = bytes(v * 255 // ((1 << depth) - 1) for v in range(1 << depth))
-            return w, h, bytearray(lut[v] for v in recon)
+            return w, h, bytearray(
+                255 if v == tkey else lut[v] for v in recon
+            )
+        full = recon
     else:
         bpp = _PNG_BPP[ctype_i] * (depth // 8)
         if interlace:
-            recon = _png_deinterlace(raw, w, h, bpp)
+            full = _png_deinterlace(raw, w, h, bpp)
         else:
-            recon = _png_unfilter(raw, w, h, bpp)
+            full = _png_unfilter(raw, w, h, bpp)
         if depth == 16:
             # high-order byte per sample == the spec's 16→8 scaling
-            recon = recon[0::2]
-    if ctype_i == 0:
-        return w, h, recon
+            recon = full[0::2]
+        else:
+            recon = full
     n = w * h
+    if ctype_i == 0:
+        if trns and len(trns) >= 2:
+            # tRNS color key: pixels EXACTLY equal to the keyed sample
+            # (full precision, pre-reduction) are transparent → paper
+            key = int.from_bytes(trns[0:2], "big")
+            if depth == 8:
+                for i in range(n):
+                    if recon[i] == key:
+                        recon[i] = 255
+            else:
+                for i in range(n):
+                    if (full[2 * i] << 8) | full[2 * i + 1] == key:
+                        recon[i] = 255
+        return w, h, recon
     out = bytearray(n)
     if ctype_i == 2:
+        key = None
+        if trns and len(trns) >= 6:
+            key = (
+                bytes((trns[1], trns[3], trns[5]))
+                if depth == 8
+                else bytes(trns[0:6])
+            )
+        step = 3 * (depth // 8)
         for i in range(n):
+            if key is not None and full[step * i : step * i + step] == key:
+                out[i] = 255  # keyed color is transparent → paper
+                continue
             out[i] = _rgb_luma(recon[3 * i], recon[3 * i + 1], recon[3 * i + 2])
     elif ctype_i == 3:
         if plte is None or len(plte) % 3 or not plte:
@@ -1989,11 +2026,15 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
             for j in range(len(plte) // 3)
         )
         nlut = len(lut)
+        alpha = trns or b""
         for i in range(n):
             idx = recon[i]
             if idx >= nlut:
                 raise ValueError("PNG palette index out of range")
-            out[i] = lut[idx]
+            a = alpha[idx] if idx < len(alpha) else 255
+            lum = lut[idx]
+            # per-index tRNS alpha composites over white paper
+            out[i] = lum if a == 255 else (a * lum + (255 - a) * 255 + 127) // 255
     elif ctype_i == 4:
         for i in range(n):
             g, a = recon[2 * i], recon[2 * i + 1]
@@ -2023,6 +2064,7 @@ def render_png(
     color_type: int = 0,
     interlace: bool = False,
     depth: int = 8,
+    keyed: bool = False,
 ) -> bytes:
     """Render text lines into a REAL PNG — the generator half of the PNG
     contract. ``filter_types`` assigns each scanline's filter (cycled;
@@ -2052,6 +2094,31 @@ def render_png(
         raise ValueError(f"color type {color_type} not renderable")
     if depth == 16 and color_type == 3:
         raise ValueError("16-bit palette PNGs do not exist (PNG §11.2.2)")
+    if keyed:
+        # tRNS transparency (v15): the paper is typeset DARK and made
+        # transparent via tRNS — only a reader that honors the chunk
+        # recovers white paper (a naive read sees a solid-ink page)
+        if depth != 8 or color_type not in (0, 2, 3):
+            raise ValueError("keyed render covers depth-8 types 0/2/3")
+        if color_type == 0:
+            samples = bytearray(0 if v else 0x20 for v in is_ink)
+            return _png_encode(
+                samples, w, h, 0, None, filter_types, interlace, 8,
+                trns=b"\x00\x20",
+            )
+        if color_type == 2:
+            samples = bytearray()
+            for v in is_ink:
+                samples += b"\x00\x00\x60" if v else b"\x10\x18\x20"
+            return _png_encode(
+                samples, w, h, 2, None, filter_types, interlace, 8,
+                trns=b"\x00\x10\x00\x18\x00\x20",
+            )
+        plte = b"\x10\x18\x20" + b"\x00\x00\x60"  # 0 = dark paper, 1 = ink
+        return _png_encode(
+            is_ink, w, h, 3, plte, filter_types, interlace, 8,
+            trns=b"\x00",  # index 0 fully transparent; index 1 opaque
+        )
     ink_px, paper_px, plte = by_type[color_type]
     if depth in (1, 2, 4):
         # sub-byte (v14): 1-bit gray is the fax shape, sub-byte palette
@@ -2116,6 +2183,7 @@ def _png_encode(
     filter_types: list[int] | None = None,
     interlace: bool = False,
     depth: int = 8,
+    trns: bytes | None = None,
 ) -> bytes:
     """Flat sample bytes (w·h·bpp at depth 8/16; one value per pixel at
     depths 1/2/4) → a REAL PNG of the given color type and depth any
@@ -2201,6 +2269,8 @@ def _png_encode(
         if not plte:
             raise ValueError("palette color type requires PLTE entries")
         out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)  # after PLTE, before IDAT (spec order)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 

@@ -520,6 +520,24 @@ def test_png_render_decode_roundtrip_and_errors():
     # spec sample scaling: 2-bit gray 0/1/2/3 → 0/85/170/255 exactly
     p = _png_encode(bytearray([0, 1, 2, 3]), 4, 1, 0, None, [0], depth=2)
     assert list(png_decode_gray8(p)[2]) == [0, 85, 170, 255]
+    # v15 tRNS transparency: DARK paper keyed (gray/RGB) or zero-alpha
+    # (palette) reads the page ONLY through the chunk
+    for ct in (0, 2, 3):
+        for il in (False, True):
+            p = render_png(lines, [1, 3], color_type=ct, interlace=il,
+                           keyed=True)
+            t, n = extract_png(p)
+            assert t == b"QUICK BROWN FOX\nJUMPS OVER", (ct, il)
+    # the same dark paper WITHOUT tRNS is solid ink — the chunk is
+    # load-bearing, not decorative
+    w0, h0 = 8, 2
+    dark = _png_encode(bytearray([0x20] * (w0 * h0)), w0, h0, 0)
+    assert all(v == 0x20 for v in png_decode_gray8(dark)[2])
+    # 16-bit color key compares at FULL precision: 0x2020 transparent,
+    # 0x20FF kept
+    pix16 = bytearray([0x20, 0x20, 0x20, 0xFF, 0x00, 0x00])
+    p = _png_encode(pix16, 3, 1, 0, None, [0], depth=16, trns=b"\x20\x20")
+    assert list(png_decode_gray8(p)[2]) == [255, 0x20, 0]
     # full dispatch: format 'image', ok, no encoding column
     r = oracle.extract(render_png(["DENSITY LAYOUT"], [3, 4]))
     assert r.format == "image" and r.ok and r.encoding is None
