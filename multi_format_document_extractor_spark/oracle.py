@@ -1796,14 +1796,23 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
         po = o - stride
         if ftype == 0:  # None
             out[o : o + stride] = row
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                a = out[o + x - bpp] if x >= bpp else 0
-                out[o + x] = (row[x] + a) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                b = out[po + x] if y else 0
-                out[o + x] = (row[x] + b) & 0xFF
+        elif ftype == 1:  # Sub: per-lane prefix sum (mod 256)
+            r = np.frombuffer(row, dtype=np.uint8)
+            lanes = r.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                acc = np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
+                out[o : o + stride] = acc.astype(np.uint8).tobytes()
+            else:  # defensive: stride is always a bpp multiple
+                for x in range(stride):
+                    a = out[o + x - bpp] if x >= bpp else 0
+                    out[o + x] = (row[x] + a) & 0xFF
+        elif ftype == 2:  # Up: vectorized row add (mod 256)
+            r = np.frombuffer(row, dtype=np.uint8)
+            if y:
+                prev = np.frombuffer(out, dtype=np.uint8)[po : po + stride]
+                out[o : o + stride] = (r + prev).tobytes()  # uint8 wraps
+            else:
+                out[o : o + stride] = row
         elif ftype == 3:  # Average
             for x in range(stride):
                 a = out[o + x - bpp] if x >= bpp else 0
@@ -1843,19 +1852,18 @@ def _rgb_luma(r: int, g: int, b: int) -> int:
 
 def _png_unpack_bits(rows: bytes, w: int, h: int, depth: int) -> bytearray:
     """Unpack sub-byte samples (depth 1/2/4, MSB-first within each byte,
-    rows padded to byte boundaries) into one value per pixel."""
+    rows padded to byte boundaries) into one value per pixel —
+    vectorized: shift/mask each byte into its ``8/depth`` samples, then
+    crop row padding."""
     stride = (w * depth + 7) // 8
-    out = bytearray(w * h)
     mask = (1 << depth) - 1
     per_byte = 8 // depth
-    for y in range(h):
-        ro = y * stride
-        oo = y * w
-        for x in range(w):
-            b = rows[ro + x // per_byte]
-            shift = 8 - depth * (x % per_byte + 1)
-            out[oo + x] = (b >> shift) & mask
-    return out
+    arr = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(h, stride)
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    samples = (arr[:, :, None] >> shifts) & mask  # (h, stride, per_byte)
+    return bytearray(
+        samples.reshape(h, stride * per_byte)[:, :w].tobytes()
+    )
 
 
 def _png_deinterlace_packed(raw: bytes, w: int, h: int, depth: int) -> bytearray:
@@ -1875,10 +1883,10 @@ def _png_deinterlace_packed(raw: bytes, w: int, h: int, depth: int) -> bytearray
             _png_unfilter(raw[pos : pos + need], stride, hp, 1), wp, hp, depth
         )
         pos += need
-        for j in range(hp):
-            oy = y0 + j * dy
-            for i in range(wp):
-                out[oy * w + x0 + i * dx] = sub[j * wp + i]
+        o2 = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+        o2[y0::dy, x0::dx] = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(
+            hp, wp
+        )
     return out
 
 
@@ -1897,12 +1905,10 @@ def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
         need = (wp * bpp + 1) * hp
         sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
         pos += need
-        for j in range(hp):
-            oy = y0 + j * dy
-            for i in range(wp):
-                o = (oy * w + x0 + i * dx) * bpp
-                s = (j * wp + i) * bpp
-                out[o : o + bpp] = sub[s : s + bpp]
+        o3 = np.frombuffer(out, dtype=np.uint8).reshape(h, w, bpp)
+        o3[y0::dy, x0::dx] = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(
+            hp, wp, bpp
+        )
     return out
 
 
@@ -1988,63 +1994,65 @@ def png_decode_gray8(payload: bytes) -> tuple[int, int, bytearray]:
             recon = full[0::2]
         else:
             recon = full
+    # channel reduction runs as exact-integer numpy (the >>8 luma and
+    # //255 composites are bit-identical to the scalar forms)
     n = w * h
+    a8 = np.frombuffer(bytes(recon), dtype=np.uint8)
     if ctype_i == 0:
         if trns and len(trns) >= 2:
             # tRNS color key: pixels EXACTLY equal to the keyed sample
             # (full precision, pre-reduction) are transparent → paper
             key = int.from_bytes(trns[0:2], "big")
+            a8 = a8.copy()
             if depth == 8:
-                for i in range(n):
-                    if recon[i] == key:
-                        recon[i] = 255
+                a8[a8 == key] = 255
             else:
-                for i in range(n):
-                    if (full[2 * i] << 8) | full[2 * i + 1] == key:
-                        recon[i] = 255
+                f16 = np.frombuffer(bytes(full), dtype=">u2")
+                a8[f16 == key] = 255
+            return w, h, bytearray(a8.tobytes())
         return w, h, recon
-    out = bytearray(n)
     if ctype_i == 2:
-        key = None
+        px = a8.reshape(n, 3).astype(np.int32)
+        lum = (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2] + 128) >> 8
         if trns and len(trns) >= 6:
             key = (
                 bytes((trns[1], trns[3], trns[5]))
                 if depth == 8
                 else bytes(trns[0:6])
             )
-        step = 3 * (depth // 8)
-        for i in range(n):
-            if key is not None and full[step * i : step * i + step] == key:
-                out[i] = 255  # keyed color is transparent → paper
-                continue
-            out[i] = _rgb_luma(recon[3 * i], recon[3 * i + 1], recon[3 * i + 2])
-    elif ctype_i == 3:
+            step = 3 * (depth // 8)
+            fm = np.frombuffer(bytes(full), dtype=np.uint8).reshape(n, step)
+            km = (fm == np.frombuffer(key, dtype=np.uint8)).all(axis=1)
+            lum[km] = 255  # keyed color is transparent → paper
+        return w, h, bytearray(lum.astype(np.uint8).tobytes())
+    if ctype_i == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing or malformed PLTE")
-        lut = bytes(
-            _rgb_luma(plte[3 * j], plte[3 * j + 1], plte[3 * j + 2])
-            for j in range(len(plte) // 3)
-        )
+        pl = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        lut = (77 * pl[:, 0] + 150 * pl[:, 1] + 29 * pl[:, 2] + 128) >> 8
         nlut = len(lut)
+        if int(a8.max(initial=0)) >= nlut:
+            raise ValueError("PNG palette index out of range")
+        lum = lut[a8]
         alpha = trns or b""
-        for i in range(n):
-            idx = recon[i]
-            if idx >= nlut:
-                raise ValueError("PNG palette index out of range")
-            a = alpha[idx] if idx < len(alpha) else 255
-            lum = lut[idx]
+        if alpha:
+            al = np.full(nlut, 255, dtype=np.int32)
+            al[: len(alpha)] = np.frombuffer(alpha, dtype=np.uint8)
+            av = al[a8]
             # per-index tRNS alpha composites over white paper
-            out[i] = lum if a == 255 else (a * lum + (255 - a) * 255 + 127) // 255
-    elif ctype_i == 4:
-        for i in range(n):
-            g, a = recon[2 * i], recon[2 * i + 1]
-            out[i] = (a * g + (255 - a) * 255 + 127) // 255
-    else:  # 6: RGBA over white
-        for i in range(n):
-            r, g, b, a = recon[4 * i : 4 * i + 4]
-            lum = _rgb_luma(r, g, b)
-            out[i] = (a * lum + (255 - a) * 255 + 127) // 255
-    return w, h, out
+            lum = (av * lum + (255 - av) * 255 + 127) // 255
+        return w, h, bytearray(lum.astype(np.uint8).tobytes())
+    if ctype_i == 4:
+        g = a8[0::2].astype(np.int32)
+        av = a8[1::2].astype(np.int32)
+        out = (av * g + (255 - av) * 255 + 127) // 255
+        return w, h, bytearray(out.astype(np.uint8).tobytes())
+    # 6: RGBA over white
+    px = a8.reshape(n, 4).astype(np.int32)
+    lum = (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2] + 128) >> 8
+    av = px[:, 3]
+    out = (av * lum + (255 - av) * 255 + 127) // 255
+    return w, h, bytearray(out.astype(np.uint8).tobytes())
 
 
 def extract_png(payload: bytes) -> tuple[bytes, int]:
