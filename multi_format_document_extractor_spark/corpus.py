@@ -31,7 +31,11 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 15  # v15: ~12% of PNGs carry tRNS transparency with
+CORPUS_VERSION = 16  # v16: ~45% of single-column PDFs carry real font
+# metrics (/Widths, CID /W) and ~60% of their pages typeset
+# WORD-POSITIONED — spaces exist only as glyph-advance Td gaps / TJ
+# kerns sized from the embedded width tables, so only metric-aware pen
+# tracking reconstructs them. v15: ~12% of PNGs carry tRNS transparency with
 # DARK paper (color-keyed gray/RGB or zero-alpha palette index) — only
 # a tRNS-honoring reader recovers the page. v14: ~15% of PNGs are
 # SUB-BYTE depth (1/2/4-bit
@@ -176,6 +180,26 @@ def _make_html(rng: random.Random, oversized: bool = False) -> tuple[bytes, str,
 # ---------------------------------------------------------------------------
 # PDF pages (real container + real text-op vocabulary; oracle.extract_pdf)
 # ---------------------------------------------------------------------------
+
+
+# --- corpus v16: synthetic-but-varied font metrics (thousandths of text
+# space). Non-uniform per glyph so word-positioned typography genuinely
+# depends on per-glyph advances (a monospace table would let a cheater
+# count characters); the decoder reads these same numbers back from the
+# embedded /Widths and /W tables.
+PDF_F1_SPACE_W = 278  # the Helvetica space width
+
+
+def _f1_width(ch: int) -> int:
+    """Glyph width of byte ``ch`` in the metric /F1 font (32..126)."""
+    return PDF_F1_SPACE_W if ch == 32 else 400 + (ch * 7) % 300
+
+
+def _cid_width(code: int) -> int:
+    """Glyph width of CID ``code`` in the metric /F2 font: varied over
+    the first 16 codes (listed form in /W), constant 650 beyond (range
+    form) — both ISO 32000 §9.7.4.3 forms stay load-bearing."""
+    return 500 + (code * 11) % 250 if code < 0x0110 else 650
 
 
 def _pdf_escape(s: str) -> str:
@@ -357,6 +381,9 @@ def _build_pdf(
     xref_predictor: bool = False,
     cid_font: tuple[str, bytes] | None = None,
     indirect_resources: bool = False,
+    f1_widths: list[int] | None = None,
+    widths_indirect: bool = False,
+    cid_widths: tuple[bytes, int] | None = None,
 ) -> bytes:
     """Assemble a minimal multi-page PDF. Corpus v4 exercises the
     real-subset container features the parser supports (VERDICT r3 #1):
@@ -388,7 +415,16 @@ def _build_pdf(
     readable through the referenced /ToUnicode CMap — the
     subset-embedded-font layout real writers emit, where codes are NOT
     character values. ``indirect_resources`` stores the page /Resources
-    dict as its own indirect object instead of inline."""
+    dict as its own indirect object instead of inline.
+
+    Corpus v16 metrics: ``f1_widths`` turns /F1 into an INDIRECT font
+    object carrying real glyph metrics — ``/FirstChar 32`` + ``/Widths``
+    (inline array, or its own indirect object when ``widths_indirect``)
+    + a /FontDescriptor with ``/MissingWidth 500`` — the layout every
+    real writer emits and the decoder's word-break reconstruction reads
+    (oracle._simple_font_widths). ``cid_widths`` = (/W array bytes, DW)
+    adds a ``/DescendantFonts`` CIDFont to the Type0 font with the /W
+    width table (oracle._cid_font_widths)."""
     if stream_filter is None and flate:
         stream_filter = "flate"
     n = len(page_streams)
@@ -399,20 +435,68 @@ def _build_pdf(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
     )
     next_int_obj = 3 + 2 * n
-    font_frag = (
-        "/Font << /F1 "
-        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    if f1_widths is not None:
+        f1_num, desc_num = next_int_obj, next_int_obj + 1
+        next_int_obj += 2
+        w_body = "[ " + " ".join(str(w) for w in f1_widths) + " ]"
+        if widths_indirect:
+            arr_num = next_int_obj
+            next_int_obj += 1
+            objs.append((arr_num, w_body.encode()))
+            w_frag = f"{arr_num} 0 R"
+        else:
+            w_frag = w_body
+        objs.append(
+            (
+                desc_num,
+                b"<< /Type /FontDescriptor /FontName /Helvetica"
+                b" /Flags 32 /MissingWidth 500 >>",
+            )
+        )
+        objs.append(
+            (
+                f1_num,
+                (
+                    f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    f" /FirstChar 32 /LastChar {32 + len(f1_widths) - 1}"
+                    f" /Widths {w_frag} /FontDescriptor {desc_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        font_frag = f"/Font << /F1 {f1_num} 0 R"
+    else:
+        font_frag = (
+            "/Font << /F1 "
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     if cid_font is not None:
         fname, cmap_body = cid_font
         font_num, cmap_num = next_int_obj, next_int_obj + 1
         next_int_obj += 2
+        desc_frag = ""
+        if cid_widths is not None:
+            w_arr, dw = cid_widths
+            cdesc_num = next_int_obj
+            next_int_obj += 1
+            objs.append(
+                (
+                    cdesc_num,
+                    (
+                        f"<< /Type /Font /Subtype /CIDFontType2"
+                        f" /BaseFont /AAAAAA+Fake /DW {dw} /W "
+                    ).encode()
+                    + w_arr
+                    + b" >>",
+                )
+            )
+            desc_frag = f" /DescendantFonts [{cdesc_num} 0 R]"
         objs.append(
             (
                 font_num,
                 (
                     f"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Fake"
-                    f" /Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>"
+                    f" /Encoding /Identity-H{desc_frag}"
+                    f" /ToUnicode {cmap_num} 0 R >>"
                 ).encode(),
             )
         )
@@ -578,16 +662,76 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     as 2-byte Identity-H glyph codes under ``/F2`` — readable only
     through the /ToUnicode CMap (codes start at 0x0100, so raw decode
     yields garbage) — with ``/F1`` literal lines interleaved to exercise
-    per-show font switching."""
+    per-show font switching.
+
+    ~45% of single-column PDFs carry REAL FONT METRICS (v16): /F1 gains
+    /FirstChar + /Widths (+ /FontDescriptor /MissingWidth), a CID /F2
+    gains /DescendantFonts → /DW + /W, and some pages set Tc char
+    spacing or a Tz horizontal scale. On those PDFs ~60% of pages
+    typeset WORD-POSITIONED: every word (sometimes a mid-word fragment)
+    is its own show op placed by a Td computed from the glyph advances —
+    spaces exist ONLY as positioning gaps sized in multiples of the
+    font's own space advance, and mid-word fragments continue at
+    sub-space gaps. Only a decoder that reads the width tables and
+    applies the §9.4.4 advance formula (oracle's pen tracking) can tell
+    a word break from a kern; TJ word kerns on metric PDFs are likewise
+    sized relative to the metric threshold rather than the fixed
+    PDF_WORD_KERN. Two-column PDFs stay metric-less by design: the
+    same-baseline word-gap heuristic cannot distinguish a column gutter
+    from a wide tab when a left-column line happens to end near the
+    right column's origin — the posture real extractors share (pdftotext
+    needs -layout for those), documented rather than hidden."""
     n_pages = rng.randint(1, 2)
     two_col = rng.random() < 0.5
     cid = rng.random() < 0.18
+    metric = not two_col and rng.random() < 0.45
+    # per-PDF char spacing / horizontal scale (metric pages only — the
+    # advance formula terms beyond bare glyph widths)
+    tc = rng.choice((0.0, 0.0, 0.25, 0.4)) if metric else 0.0
+    th_pct = rng.choice((100, 100, 100, 50)) if metric else 100
     charmap: dict[str, int] = {}
+    if metric and cid:
+        # the space's CID must exist for the /W-driven space advance
+        # even though word-positioned lines never SHOW a space glyph
+        charmap[" "] = 0x0100
 
     def cid_codes(s: str) -> str:
         return "".join(
             f"{charmap.setdefault(ch, 0x0100 + len(charmap)):04x}" for ch in s
         )
+
+    # --- v16 metric helpers: the generator computes advances with the
+    # SAME §9.4.4 formula the oracle's pen tracking applies, over the
+    # same width tables it embeds in the file
+    def f1_adv(s: str) -> float:
+        return sum(
+            _f1_width(ord(ch)) / 1000.0 * 12 + tc for ch in s
+        ) * (th_pct / 100.0)
+
+    def cid_adv(s: str) -> float:
+        return sum(
+            _cid_width(charmap.setdefault(ch, 0x0100 + len(charmap)))
+            / 1000.0
+            * 12
+            + tc
+            for ch in s
+        ) * (th_pct / 100.0)
+
+    def kern_thr(space_w: int) -> float:
+        # the metric word-break threshold in TJ-adjustment thousandths:
+        # PDF_SPACE_GAP_FRAC·(space advance), with Th cancelling on both
+        # sides and Tc folded back into thousandths-of-font-size
+        return 0.5 * (space_w + tc * 1000.0 / 12.0)
+
+    def word_kern(space_w: int) -> int:
+        if metric:
+            return -int(kern_thr(space_w) * rng.uniform(1.6, 3.0))
+        return -rng.randint(160, 400)
+
+    def glue_kern(space_w: int) -> int:
+        if metric:
+            return -max(1, int(kern_thr(space_w) * rng.uniform(0.05, 0.55)))
+        return -rng.randint(5, 60)
 
     page_streams: list[bytes] = []
     page_texts: list[str] = []
@@ -607,12 +751,14 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
         def show_op(line: str) -> bytes:
             spaces = [i for i, ch in enumerate(line) if ch == " "]
             if cid and rng.random() < 0.7:
+                cid_sp = _cid_width(charmap[" "]) if metric else 0
                 if spaces and rng.random() < 0.3:
                     # word-space kern (v9): the space is typeset as a
                     # wide TJ gap, not a glyph — extraction re-inserts
-                    # it (oracle.PDF_WORD_KERN)
+                    # it (oracle.PDF_WORD_KERN; metric-scaled on v16
+                    # metric PDFs)
                     i = rng.choice(spaces)
-                    kern = -rng.randint(160, 400)
+                    kern = word_kern(cid_sp)
                     return (
                         f"/F2 12 Tf [<{cid_codes(line[:i])}> {kern} "
                         f"<{cid_codes(line[i + 1:])}>] TJ"
@@ -621,7 +767,7 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
                 # into a kerned TJ at a code boundary
                 if len(line) > 2 and rng.random() < 0.3:
                     cut = rng.randint(1, len(line) - 1)
-                    kern = -rng.randint(5, 60)
+                    kern = glue_kern(cid_sp)
                     return (
                         f"/F2 12 Tf [<{cid_codes(line[:cut])}> {kern} "
                         f"<{cid_codes(line[cut:])}>] TJ"
@@ -631,7 +777,7 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
             if spaces and rng.random() < 0.2:
                 # word-space kern (v9), literal-string form
                 i = rng.choice(spaces)
-                kern = -rng.randint(160, 400)
+                kern = word_kern(PDF_F1_SPACE_W)
                 return (
                     f"{prefix}[({_pdf_escape(line[:i])}) {kern} "
                     f"({_pdf_escape(line[i + 1:])})] TJ"
@@ -639,7 +785,7 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
             r = rng.random()
             if len(line) > 2 and r < 0.3:
                 cut = rng.randint(1, len(line) - 1)
-                kern = -rng.randint(5, 60)
+                kern = glue_kern(PDF_F1_SPACE_W)
                 if rng.random() < 0.25:  # hex-string half inside TJ (v8)
                     return (
                         f"{prefix}[<{line[:cut].encode('utf-8').hex()}> "
@@ -666,8 +812,82 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
         # delta divided by it, which only a full-matrix reader lands on
         # the right origins (a translation-only reader shears the page)
         scale = rng.choice((0.5, 2.0)) if rng.random() < 0.30 else 1.0
+        word_pos = metric and rng.random() < 0.6
         ops: list[bytes] = [b"BT /F1 12 Tf"]
-        if not two_col and rng.random() < 0.35:
+        if tc:
+            ops.append(f"{tc:g} Tc".encode())
+        if th_pct != 100:
+            ops.append(f"{th_pct} Tz".encode())
+        if word_pos:
+            # v16 word-positioned typography: spaces exist ONLY as Td
+            # gaps sized in multiples of the font's space advance; a
+            # ~25% mid-word split continues at a sub-space gap — only
+            # glyph-advance pen tracking can tell the two apart
+            lx, ly = 0.0, 0.0
+            first = True
+            for i in range(n_lines):
+                x, y, line = cols[0][i]
+                line_cid = cid and rng.random() < 0.5
+                if (first and scale != 1.0) or rng.random() < 0.5:
+                    ops.append(
+                        f"{scale:g} 0 0 {scale:g} {x:g} {y:g} Tm".encode()
+                        if scale != 1.0
+                        else f"1 0 0 1 {x:g} {y:g} Tm".encode()
+                    )
+                else:
+                    ops.append(
+                        f"{(x - lx) / scale:g} {(y - ly) / scale:g} Td".encode()
+                    )
+                lx, ly = x, y
+                first = False
+                adv = cid_adv if line_cid else f1_adv
+                sp = (
+                    (_cid_width(charmap[" "]) if line_cid else PDF_F1_SPACE_W)
+                    / 1000.0
+                    * 12
+                    + tc
+                ) * (th_pct / 100.0)
+                font_prefix = (
+                    ("/F2 12 Tf " if line_cid else "/F1 12 Tf ")
+                    if cid
+                    else ""
+                )
+                shown_first = False
+                prev_adv = 0.0
+                for word in line.split(" "):
+                    pieces = [word]
+                    if len(word) > 3 and rng.random() < 0.25:
+                        cut = rng.randint(1, len(word) - 1)
+                        pieces = [word[:cut], word[cut:]]
+                    for pi, piece in enumerate(pieces):
+                        pfx = ""
+                        if shown_first:
+                            gap = (
+                                sp * rng.choice((1.0, 1.5, 2.5))
+                                if pi == 0
+                                else sp * rng.choice((0.0, 0.1, 0.3))
+                            )
+                            dx = round(prev_adv + gap, 4)
+                            ops.append(f"{dx:.4f} 0 Td".encode())
+                            lx += dx * scale
+                        else:
+                            pfx = font_prefix
+                        if line_cid:
+                            ops.append(
+                                f"{pfx}<{cid_codes(piece)}> Tj".encode()
+                            )
+                        elif rng.random() < 0.35:
+                            ops.append(
+                                f"{pfx}<{piece.encode('utf-8').hex()}> "
+                                f"Tj".encode()
+                            )
+                        else:
+                            ops.append(
+                                f"{pfx}({_pdf_escape(piece)}) Tj".encode()
+                            )
+                        prev_adv = adv(piece)
+                        shown_first = True
+        elif not two_col and rng.random() < 0.35:
             # TD-leading + ' chain: real single-column typography
             x0, y0, first = cols[0][0]
             if scale != 1.0:
@@ -730,6 +950,17 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     cid_font = (
         ("F2", _tounicode_cmap(charmap, rng)) if cid and charmap else None
     )
+    # v16: metric PDFs embed the width tables the generator typeset with
+    f1_w = [_f1_width(c) for c in range(32, 127)] if metric else None
+    cid_w = None
+    if metric and cid_font is not None:
+        maxc = max(charmap.values())
+        hi = min(maxc, 0x010F)
+        listed = " ".join(str(_cid_width(c)) for c in range(0x0100, hi + 1))
+        parts = [f"{0x0100} [ {listed} ]"]
+        if maxc >= 0x0110:  # both /W forms load-bearing past 16 chars
+            parts.append(f"{0x0110} {maxc} 650")
+        cid_w = (("[ " + " ".join(parts) + " ]").encode(), 650)
     payload = _build_pdf(
         page_streams,
         indirect_length=indirect,
@@ -739,6 +970,9 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
         xref_predictor=xref_pred,
         cid_font=cid_font,
         indirect_resources=cid_font is not None and rng.random() < 0.3,
+        f1_widths=f1_w,
+        widths_indirect=metric and rng.random() < 0.3,
+        cid_widths=cid_w,
     )
     return payload, "\n\n".join(page_texts), n_pages
 

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 from html import unescape as _unescape
 from html.parser import HTMLParser
+from typing import NamedTuple
 from xml.etree import ElementTree as ET
 
 import numpy as np
@@ -522,12 +523,18 @@ def html_block_spans(
 # through the line matrix, so scaled/rotated typography lands right;
 # TD/TL leading, Tj/'/TJ with kern concatenation) — the op vocabulary
 # reportlab-class generators emit (reference parses arbitrary PDFs via
-# pdfplumber, src/parsers/pdf_parser.py:30-59; remaining subset
-# boundary: no font-metric glyph-advance spacing (word breaks come from
-# typeset spaces or wide TJ kerns); strings cover literal escapes
-# incl. octal + hex strings, and show ops remap through each font's
-# /ToUnicode CMap — bfchar/bfrange, Identity-H 2-byte codes — so
-# subset-embedded fonts read correctly, round 4).
+# pdfplumber, src/parsers/pdf_parser.py:30-59); strings cover literal
+# escapes incl. octal + hex strings, and show ops remap through each
+# font's /ToUnicode CMap — bfchar/bfrange, Identity-H 2-byte codes — so
+# subset-embedded fonts read correctly (round 4). Since corpus v16 the
+# machine also tracks GLYPH ADVANCES through real font metrics (simple
+# /FirstChar + /Widths + /MissingWidth, CID /DescendantFonts → /DW +
+# /W; Tf size, Tc/Tw/Tz honored per ISO 32000 §9.4.4), so word breaks
+# typeset as pure positioning — per-word Td moves or TJ kerns with no
+# space glyph, the layout word processors and TeX-class writers emit —
+# are reconstructed by comparing each same-baseline gap against the
+# font's own space advance (pdftotext's word-break algorithm). Without
+# metrics the machine keeps the fixed PDF_WORD_KERN posture.
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
@@ -564,10 +571,24 @@ _PDF_NUM_OPS = {
 # A TJ adjustment at or beyond this many thousandths of text space reads
 # as an inter-word gap and inserts one space — the word-break heuristic
 # every real extractor applies (pdftotext's word spacing detection,
-# pdfplumber's x-gap tolerance), held FIXED rather than font-metric-
-# scaled in this subset: ~-250/1000 em is a typical word space, while
-# genuine sub-glyph kerns sit around -10..-60.
+# pdfplumber's x-gap tolerance). This fixed threshold is the METRIC-LESS
+# fallback: ~-250/1000 em is a typical word space, while genuine
+# sub-glyph kerns sit around -10..-60. When the active font carries a
+# width table the threshold is font-metric-scaled instead (see
+# PDF_SPACE_GAP_FRAC below).
 PDF_WORD_KERN = -150.0
+
+# Font-metric word-break contract (active only when the current font has
+# a width table and a Tf size is set): a same-baseline positioning gap of
+# at least PDF_SPACE_GAP_FRAC space-advances reads as ONE word space; a
+# gap beyond PDF_MAX_WORD_GAP space-advances (or beyond COLUMN_GAP_PT in
+# device space) is a layout jump — tab stop / column gutter — so the span
+# BREAKS and column clustering takes over instead of inventing a space.
+# One space-advance = (w_space/1000·Tfs + Tc + Tw)·Th, where w_space is
+# the space glyph's width (code 32 for simple fonts, the code mapping to
+# U+0020 for CID fonts, /MissingWidth÷/DW when the font has none).
+PDF_SPACE_GAP_FRAC = 0.5
+PDF_MAX_WORD_GAP = 6.0
 
 
 class _PdfStr(bytes):
@@ -577,18 +598,35 @@ class _PdfStr(bytes):
     tokens, which are plain ``bytes``."""
 
 
-def _decode_show(raw: bytes, font: tuple[int, dict[int, str]] | None) -> str:
-    """Show-operand bytes → text. Without a CMap font the bytes are the
-    text (utf-8, lenient — the simple-font contract the corpus and the
+class _PdfFont(NamedTuple):
+    """Resolved font resource: ``nbytes``-wide show codes, optional
+    ToUnicode ``cmap`` (None ⇒ the bytes are the text), optional glyph
+    ``widths`` table in thousandths of text space (None ⇒ no metrics —
+    the machine keeps the metric-less posture for this font),
+    ``default_w`` for codes missing from the table (/MissingWidth for
+    simple fonts, /DW for CID fonts), and ``space_w`` — the width of the
+    glyph that advances like a space (None when the font has no such
+    glyph; classification then falls back to ``default_w``)."""
+
+    nbytes: int
+    cmap: dict[int, str] | None
+    widths: dict[int, int] | None = None
+    default_w: int = 0
+    space_w: int | None = None
+
+
+def _decode_show(raw: bytes, font: "_PdfFont | None") -> str:
+    """Show-operand bytes → text. Without a CMap the bytes are the text
+    (utf-8, lenient — the simple-font contract the corpus and the
     reference's reportlab-class fixtures share). With one, the bytes are
     fixed-width glyph CODES remapped through the font's ToUnicode CMap —
     the only correct reading for subset-embedded (Identity-H) fonts,
     where the codes are NOT character values. Unmapped codes and a
     trailing partial code become U+FFFD, the same lenient-decode stance
     as everywhere else in this module."""
-    if font is None:
+    if font is None or font.cmap is None:
         return raw.decode("utf-8", errors="replace")
-    nbytes, mapping = font
+    nbytes, mapping = font.nbytes, font.cmap
     out: list[str] = []
     for i in range(0, len(raw) - nbytes + 1, nbytes):
         code = int.from_bytes(raw[i : i + nbytes], "big")
@@ -606,16 +644,32 @@ def _pdf_text_spans(
     the text-line origin. Consecutive show ops with no intervening line
     move continue the SAME line, so they merge into one span — the
     line-assembly behavior a real extractor (pdfplumber/pdftotext)
-    produces. ``fonts`` maps resource names to ToUnicode CMaps (see
-    ``_pdf_page_fonts``); ``Tf`` switches the active font, and show
-    operands decode through it (``_decode_show``). TJ adjustments at or
-    beyond ``PDF_WORD_KERN`` insert a word space. The FULL affine text
-    matrix is honored (v11): ``Tm`` sets all six components and
+    produces. ``fonts`` maps resource names to ``_PdfFont`` records (see
+    ``_pdf_page_fonts``); ``Tf`` switches the active font + size, and
+    show operands decode through it (``_decode_show``). The FULL affine
+    text matrix is honored (v11): ``Tm`` sets all six components and
     ``Td``/``TD``/``T*``/``'`` translate in TEXT space through the line
     matrix (e' = tx·a + ty·c + e, f' = tx·b + ty·d + f — ISO 32000
     §9.4.2), so scaled and rotated typography lands on the right device
     origins; downstream reading-order/column heuristics assume upright
-    text (the pdftotext posture), which rotated spans may defeat."""
+    text (the pdftotext posture), which rotated spans may defeat.
+
+    Word-break reconstruction (v16): when the active font carries a
+    width table and a ``Tf`` size is set, the machine tracks the PEN —
+    the device-space end of the last show, advanced per glyph by the
+    §9.4.4 formula ((w/1000)·Tfs + Tc + Tw·[code 32])·Th — and a
+    positioning move to the SAME baseline is classified by its gap
+    against the font's space advance: below ``PDF_SPACE_GAP_FRAC``
+    space-advances the shows merge seamlessly (sub-glyph kerning / a
+    word split across show ops), up to ``PDF_MAX_WORD_GAP`` they merge
+    with ONE word space (per-word positioned typography), and beyond
+    that — or past ``COLUMN_GAP_PT`` in device space, or leftward — the
+    span breaks (tab stop / column gutter, left to column clustering).
+    TJ adjustments classify against the same metric threshold. Pen
+    tracking needs upright text (b = c = 0, a > 0) and dies at a show
+    through a metric-less font; without metrics every move breaks the
+    span and TJ kerns use the fixed ``PDF_WORD_KERN`` — bit-identical to
+    the pre-v16 machine, which is what corpus ≤v15 files exercise."""
     spans: list[tuple[float, float, str]] = []
     stack: list = []
     arr: list | None = None
@@ -625,18 +679,77 @@ def _pdf_text_spans(
     lx = ly = 0.0
     leading = 0.0
     cont = False  # True iff the last event was a show with no move since
-    cur_font: tuple[int, dict[int, str]] | None = None
+    cur_font: _PdfFont | None = None
     last_name: bytes | None = None
+    tfs = 0.0  # Tf size; 0 until set ⇒ metrics stay inactive
+    tc = tw = 0.0  # Tc char / Tw word spacing (text state, spans BT/ET)
+    th = 1.0  # Tz horizontal scale ÷ 100
+    pen_x = pen_y = 0.0  # device end of the last show (valid iff pen_ok)
+    pen_ok = False
 
     def nums(k: int) -> list[float] | None:
         vals = [v for v in stack[-k:] if isinstance(v, float)]
         return vals if len(vals) == k else None
 
-    def emit(txt: str) -> None:
+    def metrics_on() -> bool:
+        return (
+            cur_font is not None
+            and cur_font.widths is not None
+            and tfs > 0.0
+            and mb == 0.0
+            and mc == 0.0
+            and ma > 0.0
+        )
+
+    def space_adv() -> float:
+        w = cur_font.space_w
+        if w is None:
+            w = cur_font.default_w
+        return (w / 1000.0 * tfs + tc + tw) * th
+
+    def advance(raw: bytes) -> float:
+        """Text-space advance of a show operand (§9.4.4)."""
+        nb, widths, dw = cur_font.nbytes, cur_font.widths, cur_font.default_w
+        total = 0.0
+        for i in range(0, len(raw) - nb + 1, nb):
+            code = int.from_bytes(raw[i : i + nb], "big")
+            total += widths.get(code, dw) / 1000.0 * tfs + tc
+            if nb == 1 and code == 32:
+                total += tw
+        return total * th
+
+    def begin_show() -> str | None:
+        """Separator for the show op starting now: '' / ' ' merge it into
+        the previous span (kern continuation / word gap), None starts a
+        new span. Resets the pen to the show's origin."""
+        nonlocal pen_x, pen_y, pen_ok
+        mets = metrics_on()
+        if cont:
+            # no move since the last show: the pen keeps tracking unless
+            # the font lost its metrics mid-line
+            pen_ok = pen_ok and mets
+            return ""
+        sep: str | None = None
+        if mets and pen_ok and abs(ly - pen_y) < 1e-9:
+            sp = space_adv()
+            gap_dev = lx - pen_x
+            gap_text = gap_dev / ma
+            if sp > 0.0 and gap_text >= -1e-3:
+                if gap_text < PDF_SPACE_GAP_FRAC * sp:
+                    sep = ""
+                elif (
+                    gap_text < PDF_MAX_WORD_GAP * sp
+                    and gap_dev < COLUMN_GAP_PT
+                ):
+                    sep = " "
+        pen_x, pen_y, pen_ok = lx, ly, mets
+        return sep
+
+    def emit(txt: str, sep: str | None) -> None:
         nonlocal cont
-        if cont and spans:
+        if sep is not None and spans:
             x0, y0, prev = spans[-1]
-            spans[-1] = (x0, y0, prev + txt)
+            spans[-1] = (x0, y0, prev + sep + txt)
         else:
             spans.append((lx, ly, txt))
         cont = True
@@ -673,13 +786,29 @@ def _pdf_text_spans(
             in_text, lx, ly, leading = True, 0.0, 0.0, 0.0
             ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
             cont = False
+            pen_ok = False  # untracked graphics state may sit between ETs
         elif tok == b"Tf":
             # font selection is graphics state: it persists across BT/ET
             if fonts is not None and last_name is not None:
                 cur_font = fonts.get(last_name)
+            if stack and isinstance(stack[-1], float):
+                tfs = stack[-1]
+        elif tok == b"Tc":
+            v = nums(1)
+            if v is not None:
+                tc = v[0]
+        elif tok == b"Tw":
+            v = nums(1)
+            if v is not None:
+                tw = v[0]
+        elif tok == b"Tz":
+            v = nums(1)
+            if v is not None:
+                th = v[0] / 100.0
         elif tok == b"ET":
             in_text = False
             cont = False
+            pen_ok = False
         elif in_text:
             if tok == b"Tm":
                 v = nums(6)
@@ -705,28 +834,60 @@ def _pdf_text_spans(
                 cont = False
             elif tok == b"Tj":
                 if stack and isinstance(stack[-1], _PdfStr):
-                    emit(_decode_show(stack[-1], cur_font))
+                    raw = stack[-1]
+                    sep = begin_show()
+                    if pen_ok:
+                        pen_x += advance(raw) * ma
+                    emit(_decode_show(raw, cur_font), sep)
             elif tok in (b"'", b'"'):
-                # " is (aw ac string "): spacing operands ignored, same
-                # next-line-then-show motion as '
+                # " is (aw ac string "): aw/ac SET Tw/Tc (§9.4.3), then
+                # the same next-line-then-show motion as '
                 if stack and isinstance(stack[-1], _PdfStr):
+                    raw = stack[-1]
+                    if tok == b'"':
+                        v2 = [
+                            v
+                            for v in stack[-3:-1]
+                            if isinstance(v, float)
+                        ]
+                        if len(v2) == 2:
+                            tw, tc = v2
                     lx += -leading * mc
                     ly += -leading * md
                     cont = False
-                    emit(_decode_show(stack[-1], cur_font))
+                    sep = begin_show()
+                    if pen_ok:
+                        pen_x += advance(raw) * ma
+                    emit(_decode_show(raw, cur_font), sep)
             elif tok == b"TJ":
                 if stack and isinstance(stack[-1], list):
+                    sep = begin_show()
+                    mets = metrics_on()
+                    sp = space_adv() if mets else 0.0
                     parts: list[str] = []
                     for e in stack[-1]:
                         if isinstance(e, _PdfStr):
                             parts.append(_decode_show(e, cur_font))
-                        elif isinstance(e, float) and e <= PDF_WORD_KERN:
-                            # a gap this wide is an inter-word space —
-                            # the pdftotext/pdfplumber word-break read
-                            parts.append(" ")
+                            if pen_ok:
+                                pen_x += advance(e) * ma
+                        elif isinstance(e, float):
+                            if mets:
+                                # metric-scaled kern classification
+                                gap = -e / 1000.0 * tfs * th
+                                if sp > 0.0 and gap >= (
+                                    PDF_SPACE_GAP_FRAC * sp
+                                ):
+                                    parts.append(" ")
+                                if pen_ok:
+                                    pen_x += gap * ma
+                            elif e <= PDF_WORD_KERN:
+                                # a gap this wide is an inter-word space
+                                # — the pdftotext/pdfplumber word-break
+                                # read (metric-less fallback)
+                                parts.append(" ")
                     txt = "".join(parts)
                     if txt:
-                        emit(txt)
+                        emit(txt, sep)
         stack.clear()
     return spans
 
@@ -1286,15 +1447,150 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return nbytes, mapping
 
 
+def _pdf_balanced_array(b: bytes, open_idx: int) -> bytes:
+    """The ``[ … ]`` array starting at ``open_idx``, nested brackets
+    honored (CID /W arrays nest width lists). Number-only arrays by
+    contract — brackets inside string operands would miscount, but
+    width/W arrays cannot contain strings (ISO 32000 §9.7.4.3)."""
+    depth = 0
+    for i in range(open_idx, len(b)):
+        ch = b[i : i + 1]
+        if ch == b"[":
+            depth += 1
+        elif ch == b"]":
+            depth -= 1
+            if depth == 0:
+                return b[open_idx : i + 1]
+    return b[open_idx:]
+
+
+def _parse_cid_w(arr: bytes) -> dict[int, int]:
+    """CID font /W array → {code: width/1000}. Both forms of ISO 32000
+    §9.7.4.3: ``c [w1 w2 …]`` assigns consecutively from c; ``c1 c2 w``
+    assigns w to the whole range (span clamped by the same 64k guard as
+    bfrange — a hostile range degrades the font to no metrics via the
+    caller's try)."""
+    toks = re.findall(rb"\[|\]|-?[\d.]+", arr)
+    widths: dict[int, int] = {}
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t in (b"[", b"]"):
+            i += 1
+            continue
+        c = int(float(t))
+        if i + 1 < n and toks[i + 1] == b"[":
+            j = i + 2
+            k = 0
+            while j < n and toks[j] != b"]":
+                widths[c + k] = int(float(toks[j]))
+                k += 1
+                j += 1
+            i = j + 1
+        elif (
+            i + 2 < n
+            and toks[i + 1] not in (b"[", b"]")
+            and toks[i + 2] not in (b"[", b"]")
+        ):
+            c2, w = int(float(toks[i + 1])), int(float(toks[i + 2]))
+            if c2 - c >= _MAX_BFRANGE:
+                raise ValueError("/W range span beyond the 64k code space")
+            for code in range(c, c2 + 1):
+                widths[code] = w
+            i += 3
+        else:
+            i += 1
+    return widths
+
+
+_WIDTHS_RE = re.compile(rb"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_MISSINGW_RE = re.compile(rb"/MissingWidth\s+(-?\d+)")
+_DESCFONT_RE = re.compile(
+    rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R\s*\]"
+)
+_DW_RE = re.compile(rb"/DW\s+(-?\d+)")
+_W_REF_RE = re.compile(rb"/W\s+(\d+)\s+\d+\s+R")
+
+
+def _simple_font_widths(
+    head: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> tuple[dict[int, int], int] | None:
+    """(widths, missing_width) of a simple font: /FirstChar-anchored
+    /Widths array (direct, or an indirect ref to an array object) plus
+    the /FontDescriptor's /MissingWidth (0 when absent, the spec
+    default). None when the font carries no /Widths."""
+    m = _WIDTHS_RE.search(head)
+    if m is None:
+        return None
+    if m.group(1) is not None:
+        body = m.group(1)
+    else:
+        o = objs.get(int(m.group(2)))
+        if o is None:
+            return None
+        body = o[0]
+    fc_m = _FIRSTCHAR_RE.search(head)
+    fc = int(fc_m.group(1)) if fc_m is not None else 0
+    vals = [int(float(x)) for x in re.findall(rb"-?[\d.]+", body)]
+    if len(vals) > _MAX_BFRANGE:
+        raise ValueError("/Widths beyond the 64k code space")
+    mw = 0
+    dm = _FONTDESC_RE.search(head)
+    if dm is not None:
+        o = objs.get(int(dm.group(1)))
+        if o is not None:
+            mm = _MISSINGW_RE.search(o[0])
+            if mm is not None:
+                mw = int(mm.group(1))
+    return {fc + k: w for k, w in enumerate(vals)}, mw
+
+
+def _cid_font_widths(
+    head: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> tuple[dict[int, int], int] | None:
+    """(widths, DW) of a Type0 font via its /DescendantFonts CIDFont:
+    /W array (direct or indirect) keyed by CID — Identity-H, the only
+    encoding this subset reads, makes CID = show code — and /DW (1000
+    when absent, the spec default). None without a /W."""
+    dm = _DESCFONT_RE.search(head)
+    if dm is None:
+        return None
+    o = objs.get(int(dm.group(1)))
+    if o is None:
+        return None
+    desc = o[0]
+    wm = re.search(rb"/W\s*\[", desc)
+    if wm is not None:
+        body = _pdf_balanced_array(desc, wm.end() - 1)
+    else:
+        rm = _W_REF_RE.search(desc)
+        if rm is None:
+            return None
+        wo = objs.get(int(rm.group(1)))
+        if wo is None:
+            return None
+        body = wo[0]
+    dwm = _DW_RE.search(desc)
+    dw = int(dwm.group(1)) if dwm is not None else 1000
+    return _parse_cid_w(body), dw
+
+
 def _pdf_page_fonts(
     head: bytes, objs: dict[int, tuple[bytes, bytes | None]]
-) -> dict[bytes, tuple[int, dict[int, str]]]:
-    """Resolve the page's /Resources → /Font dict and build the ToUnicode
-    map for every font REFERENCED as an indirect object (inline font
-    dicts — simple Type1 like the corpus /F1 — carry no ToUnicode and
-    keep the raw-bytes reading). /Resources itself may be direct or an
-    indirect ref. A corrupt CMap skips that one font (its text falls
-    back to raw decoding) rather than failing the page."""
+) -> dict[bytes, _PdfFont]:
+    """Resolve the page's /Resources → /Font dict into ``_PdfFont``
+    records for every font REFERENCED as an indirect object (inline font
+    dicts — simple Type1 like the legacy corpus /F1 — carry neither
+    ToUnicode nor metrics and keep the raw-bytes reading): the ToUnicode
+    CMap when present, and the glyph-width table — simple /FirstChar +
+    /Widths + /MissingWidth, or CID /DescendantFonts → /DW + /W — that
+    drives word-break reconstruction (v16). /Resources itself may be
+    direct or an indirect ref. A corrupt CMap skips that one font (its
+    text falls back to raw decoding); a corrupt width table degrades
+    that font to no metrics; a Type0 font without a readable CMap stays
+    unmapped entirely (its 2-byte codes are unreadable anyway)."""
     res = head
     rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
     if rm is not None:
@@ -1306,29 +1602,59 @@ def _pdf_page_fonts(
     if fm is None:
         return {}
     region = _pdf_balanced_dict(res, fm.end() - 2)
-    fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
+    fonts: dict[bytes, _PdfFont] = {}
     for m in re.finditer(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R", region):
         fo = objs.get(int(m.group(2)))
         if fo is None:
             continue
-        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fo[0])
-        if tm is None:
-            continue
-        cm = objs.get(int(tm.group(1)))
-        if cm is None or cm[1] is None:
-            continue
+        fhead = fo[0]
+        is_type0 = re.search(rb"/Subtype\s*/Type0\b", fhead) is not None
+        nbytes, cmap = 1, None
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fhead)
+        if tm is not None:
+            cm = objs.get(int(tm.group(1)))
+            if cm is not None and cm[1] is not None:
+                try:
+                    nbytes, cmap = _parse_tounicode(
+                        _pdf_decode_stream(cm[0], cm[1])
+                    )
+                except Exception:  # noqa: BLE001 — corrupt CMap: raw read
+                    cmap = None
+        if is_type0 and cmap is None:
+            continue  # 2-byte codes with no mapping: keep the raw read
+        widths: dict[int, int] | None = None
+        default_w = 0
         try:
-            fonts[b"/" + m.group(1)] = _parse_tounicode(
-                _pdf_decode_stream(cm[0], cm[1])
+            wt = (
+                _cid_font_widths(fhead, objs)
+                if is_type0
+                else _simple_font_widths(fhead, objs)
             )
-        except Exception:  # noqa: BLE001 — corrupt CMap: font reads raw
+            if wt is not None:
+                widths, default_w = wt
+        except Exception:  # noqa: BLE001 — corrupt widths: no metrics
+            widths = None
+        if cmap is None and widths is None:
             continue
+        space_w: int | None = None
+        if widths is not None:
+            if nbytes == 1:
+                space_w = widths.get(32)
+            elif cmap is not None:
+                sc = min(
+                    (c for c, v in cmap.items() if v == " "), default=None
+                )
+                if sc is not None:
+                    space_w = widths.get(sc, default_w)
+        fonts[b"/" + m.group(1)] = _PdfFont(
+            nbytes, cmap, widths, default_w, space_w
+        )
     return fonts
 
 
 def _pdf_page_contents(
     payload: bytes,
-) -> list[tuple[bytes, dict[bytes, tuple[int, dict[int, str]]]]] | None:
+) -> list[tuple[bytes, dict[bytes, _PdfFont]]] | None:
     """Per page, in DOCUMENT order: (decoded content-stream bytes, font
     map from ``_pdf_page_fonts``). Order comes from the structure walk
     (trailer /Root → /Pages → /Kids, recursing through nested page-tree

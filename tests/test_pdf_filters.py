@@ -307,7 +307,7 @@ def test_parse_tounicode_all_three_syntaxes():
 
 
 def test_decode_show_cid_semantics():
-    font = (2, {0x0101: "H", 0x0102: "i"})
+    font = oracle._PdfFont(2, {0x0101: "H", 0x0102: "i"})
     assert oracle._decode_show(bytes.fromhex("01010102"), font) == "Hi"
     assert oracle._decode_show(bytes.fromhex("0101FF"), font) == "H�"
     assert oracle._decode_show(bytes.fromhex("9999"), font) == "�"
