@@ -31,7 +31,14 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 16  # v16: ~45% of single-column PDFs carry real font
+CORPUS_VERSION = 17  # v17: ~10% of HTML pages are DECLARED-CHARSET pages
+# (windows-1251/koi8-r Cyrillic, shift_jis Japanese, gbk Chinese,
+# euc-kr Korean, iso-8859-7 Greek, windows-1252 accented Latin) carrying
+# a <meta charset>/<meta http-equiv> declaration under a random WHATWG
+# label + random case, encoded in that codec — only the BOM/meta-prescan
+# sniff (oracle.decode_web) recovers them; plus utf-16le/be BOM pages
+# (whole doc in utf-16, BOM wins over any meta). v16: ~45% of
+# single-column PDFs carry real font
 # metrics (/Widths, CID /W) and ~60% of their pages typeset
 # WORD-POSITIONED — spaces exist only as glyph-advance Td gaps / TJ
 # kerns sized from the embedded width tables, so only metric-aware pen
@@ -97,6 +104,114 @@ def _sprinkle_ws(rng: random.Random, s: str) -> str:
 # ---------------------------------------------------------------------------
 # HTML pages
 # ---------------------------------------------------------------------------
+
+# v17 declared-charset pages: per-script vocabularies, every word encodable
+# in the target codec (the generator round-trips each at import is overkill;
+# the corpus tests cover it). Keys are WHATWG canonical names — labels and
+# python codecs come from oracle.WHATWG_ENCODINGS, so the corpus can never
+# declare a label the sniffer does not know.
+_CHARSET_VOCABS: dict[str, tuple[str, ...]] = {
+    "windows-1251": tuple(
+        "москва слово город время человек жизнь работа система вопрос "
+        "ответ книга вода земля небо день новость статья поиск".split()
+    ),
+    "koi8-r": tuple(
+        "россия язык страница сервер сеть файл данные таблица запрос "
+        "фильтр окно строка столбец ключ значение поток".split()
+    ),
+    "shift_jis": tuple(
+        "日本 東京 言葉 時間 世界 技術 情報 文書 記事 内容 検索 画面 "
+        "利用 場合 必要 説明 結果 方法".split()
+    ),
+    "gbk": tuple(
+        "中国 北京 时间 世界 技术 信息 文档 文章 内容 搜索 使用 需要 "
+        "系统 问题 回答 数据 表格 查询".split()
+    ),
+    "euc-kr": tuple(
+        "한국 서울 시간 세계 기술 정보 문서 기사 내용 검색 사용 필요 "
+        "시스템 질문 답변 데이터".split()
+    ),
+    "iso-8859-7": tuple(
+        "αθήνα λέξη χρόνος κόσμος τεχνολογία πληροφορία κείμενο άρθρο "
+        "ζωή νερό γη ουρανός μέρα νύχτα δρόμος".split()
+    ),
+    "windows-1252": tuple(
+        "café naïve résumé jalapeño señor fiancée crème brûlée déjà "
+        "façade piñata smörgås über göteborg zürich".split()
+    ),
+}
+
+# utf-16 page content mixes scripts (the codec covers all of Unicode)
+_U16_VOCAB = (
+    _CHARSET_VOCABS["windows-1251"][:6]
+    + _CHARSET_VOCABS["shift_jis"][:6]
+    + _CHARSET_VOCABS["iso-8859-7"][:6]
+    + ("data", "spark", "table", "page")
+)
+
+
+def _make_charset_html(rng: random.Random) -> tuple[bytes, str, int]:
+    """A declared-charset page (corpus v17): real-script content encoded in
+    a legacy web codec, recoverable ONLY via the WHATWG meta-prescan /
+    BOM sniff (oracle.sniff_encoding) — the reference chain would decode
+    these as latin-1 mojibake. Declaration shapes rotate across
+    ``<meta charset=X>`` (bare/quoted) and
+    ``<meta http-equiv="Content-Type" content="text/html; charset=X">``
+    under a random WHATWG label with random case; ~1 in 8 pages is
+    instead a BOM'd utf-16le/be document (BOM wins over any meta).
+    Returns (payload, expected_text, n_blocks)."""
+    from .oracle import WHATWG_ENCODINGS
+
+    if rng.random() < 0.125:
+        name = rng.choice(("utf-16le", "utf-16be"))
+        codec = "utf-16-le" if name == "utf-16le" else "utf-16-be"
+        vocab = _U16_VOCAB
+        # a misleading meta on some BOM pages: the BOM must win
+        meta = (
+            '<meta charset="windows-1251">' if rng.random() < 0.5 else
+            '<meta charset="utf-8">'
+        )
+        bom = b"\xff\xfe" if name == "utf-16le" else b"\xfe\xff"
+    else:
+        name = rng.choice(tuple(_CHARSET_VOCABS))
+        codec = WHATWG_ENCODINGS[name][0]
+        vocab = _CHARSET_VOCABS[name]
+        label = rng.choice(WHATWG_ENCODINGS[name][1])
+        # labels match case-insensitively after ASCII-whitespace trim
+        label = "".join(
+            c.upper() if rng.random() < 0.5 else c for c in label
+        )
+        style = rng.random()
+        if style < 0.4:
+            meta = f'<meta charset="{label}">'
+        elif style < 0.6:
+            meta = f"<meta charset={label}>"
+        else:
+            meta = (
+                '<meta http-equiv="Content-Type" '
+                f'content="text/html; charset={label}">'
+            )
+        bom = b""
+
+    nav = "".join(f'<a href="/c{i}">{_words(rng, 2)}</a> ' for i in range(6))
+    k = rng.randint(1, 4)
+    paragraphs: list[str] = []
+    para_html: list[str] = []
+    for _ in range(k):
+        words = [rng.choice(vocab) for _ in range(rng.randint(30, 70))]
+        plain = _WS.join(words)
+        paragraphs.append(plain)
+        para_html.append(f"<p>{_sprinkle_ws(rng, plain)}</p>")
+    doc = (
+        "<!DOCTYPE html>\n<html><head><title>"
+        + _words(rng, 3)
+        + "</title>"
+        + meta
+        + f"</head><body><nav>{nav}</nav>"
+        + "".join(f"<div class='c'>{p}</div>" for p in para_html)
+        + f"<footer>{_words(rng, 8)}</footer></body></html>"
+    )
+    return bom + doc.encode(codec), "\n\n".join(paragraphs), len(paragraphs)
 
 
 def _make_html(rng: random.Random, oversized: bool = False) -> tuple[bytes, str, int]:
@@ -1411,9 +1526,14 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             expected, n_blocks, fmt = b"", 0, "unknown"
             noisy = ""
         elif kind == "html":
-            payload, exp_s, n_blocks = _make_html(rng, oversized)
+            if not oversized and rng.random() < 0.10:
+                # v17 declared-charset page (meta prescan / BOM sniff)
+                payload, exp_s, n_blocks = _make_charset_html(rng)
+                noisy = exp_s  # raw bytes aren't utf-8; noisy = content
+            else:
+                payload, exp_s, n_blocks = _make_html(rng, oversized)
+                noisy = payload.decode("utf-8")
             expected, fmt = exp_s.encode("utf-8"), "html"
-            noisy = payload.decode("utf-8")
         elif kind == "pdf":
             payload, exp_s, n_blocks = _make_pdf(rng)
             expected, fmt = exp_s.encode("utf-8"), "pdf"

@@ -57,6 +57,17 @@ _IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8")  # GIF8 covers 87a/89a
 
 CSV_PROBE_BYTES = 4096  # structural probe window (lockstep with pages.py)
 
+# BOM-family head probes: "first non-whitespace char is '<' in this
+# encoding", expressed as byte-level patterns over a latin-1 view so the
+# native Spark mirror (sources/pages.py) runs the IDENTICAL pattern
+# strings (ASCII-only escapes; safe in both re and java.util.regex).
+U8_HEAD_PAT = r"^[ \t\r\n]*<"
+U16LE_HEAD_PAT = r"^(?:[ \t\r\n]\x00)*<\x00"
+U16BE_HEAD_PAT = r"^(?:\x00[ \t\r\n])*\x00<"
+_U8_HEAD_RE = re.compile(U8_HEAD_PAT)
+_U16LE_HEAD_RE = re.compile(U16LE_HEAD_PAT)
+_U16BE_HEAD_RE = re.compile(U16BE_HEAD_PAT)
+
 
 def _csv_sniff(payload: bytes) -> bool:
     """CSV shape probe. The reference treats CSV as a first-class format
@@ -91,6 +102,24 @@ def sniff_format(payload: bytes | None) -> str:
         return FORMAT_IMAGE
     if payload[:2] == b"P4" and payload[2:3] in (b" ", b"\t", b"\r", b"\n"):
         return FORMAT_PBM
+    # A Unicode BOM marks the text family (no binary container starts with
+    # one): probe the head BYTES for markup in that encoding — html if the
+    # first non-whitespace character is '<', else text. The probe is a
+    # byte-level regex over the total latin-1 view (a utf-16le '<' is
+    # 3C 00, its whitespace 20/09/0D/0A then 00), NOT a charset decode, so
+    # the native mirror in sources/pages.py runs the IDENTICAL pattern and
+    # Spark's strict decode() never sees malformed bytes. utf-16 payloads
+    # skip the CSV shape probe deliberately — it is byte-oriented and a
+    # BOM'd CSV is out of contract.
+    if payload[:3] == b"\xef\xbb\xbf":
+        head = payload[3:19].decode("latin-1")
+        return FORMAT_HTML if _U8_HEAD_RE.match(head) else FORMAT_TEXT
+    if payload[:2] == b"\xff\xfe":
+        head = payload[2:34].decode("latin-1")
+        return FORMAT_HTML if _U16LE_HEAD_RE.match(head) else FORMAT_TEXT
+    if payload[:2] == b"\xfe\xff":
+        head = payload[2:34].decode("latin-1")
+        return FORMAT_HTML if _U16BE_HEAD_RE.match(head) else FORMAT_TEXT
     head = payload[:16].decode("latin-1").lstrip(" \t\r\n")
     if head.startswith("<"):
         return FORMAT_HTML
@@ -460,12 +489,249 @@ def decode_chain(payload: bytes) -> tuple[str, str]:
     return payload.decode("utf-8", errors="replace"), "utf-8+replace"
 
 
+# ---------------------------------------------------------------------------
+# WHATWG-style encoding sniff for web pages (Encoding Standard,
+# https://encoding.spec.whatwg.org/ — the algorithm every browser and
+# trafilatura-class extractor runs before parsing). Order of authority:
+# BOM > <meta charset> prescan over the first 1024 bytes > the reference's
+# utf-8→latin-1 fallback chain above. A declared codec decodes STRICTLY;
+# mislabeled pages (ubiquitous on the real web) fall through to the chain
+# instead of producing mojibake or raising.
+#
+# The label table below is the spec's label→encoding mapping restricted to
+# encodings the Python stdlib ships a codec for. Deliberate boundaries,
+# mirroring how the spec resolves legacy aliases:
+#   - the latin-1/ascii label family maps to windows-1252 (spec rule);
+#   - shift_jis maps to cp932 and euc-kr to cp949 (the spec's decoders ARE
+#     the windows extensions of those encodings); big5 → big5hkscs likewise;
+#   - x-user-defined and the replacement-encoding family (iso-2022-kr,
+#     hz-gb-2312, …) have no stdlib codec → unknown label → fallback chain;
+#   - a meta-declared utf-16 is read as utf-8 (spec: byte-oriented content
+#     contradicts a 16-bit declaration; only a BOM selects utf-16).
+# ---------------------------------------------------------------------------
+
+WHATWG_ENCODINGS: dict[str, tuple[str, tuple[str, ...]]] = {
+    # canonical name -> (python codec, spec labels)
+    "utf-8": (
+        "utf-8",
+        ("unicode-1-1-utf-8", "unicode11utf8", "unicode20utf8", "utf-8",
+         "utf8", "x-unicode20utf8"),
+    ),
+    "ibm866": ("cp866", ("866", "cp866", "csibm866", "ibm866")),
+    "iso-8859-2": (
+        "iso8859-2",
+        ("csisolatin2", "iso-8859-2", "iso-ir-101", "iso8859-2", "iso88592",
+         "iso_8859-2", "iso_8859-2:1987", "l2", "latin2"),
+    ),
+    "iso-8859-3": (
+        "iso8859-3",
+        ("csisolatin3", "iso-8859-3", "iso-ir-109", "iso8859-3", "iso88593",
+         "iso_8859-3", "iso_8859-3:1988", "l3", "latin3"),
+    ),
+    "iso-8859-4": (
+        "iso8859-4",
+        ("csisolatin4", "iso-8859-4", "iso-ir-110", "iso8859-4", "iso88594",
+         "iso_8859-4", "iso_8859-4:1988", "l4", "latin4"),
+    ),
+    "iso-8859-5": (
+        "iso8859-5",
+        ("csisolatincyrillic", "cyrillic", "iso-8859-5", "iso-ir-144",
+         "iso8859-5", "iso88595", "iso_8859-5", "iso_8859-5:1988"),
+    ),
+    "iso-8859-6": (
+        "iso8859-6",
+        ("arabic", "asmo-708", "csiso88596e", "csiso88596i",
+         "csisolatinarabic", "ecma-114", "iso-8859-6", "iso-8859-6-e",
+         "iso-8859-6-i", "iso-ir-127", "iso8859-6", "iso88596",
+         "iso_8859-6", "iso_8859-6:1987"),
+    ),
+    "iso-8859-7": (
+        "iso8859-7",
+        ("csisolatingreek", "ecma-118", "elot_928", "greek", "greek8",
+         "iso-8859-7", "iso-ir-126", "iso8859-7", "iso88597",
+         "iso_8859-7", "iso_8859-7:1987", "sun_eu_greek"),
+    ),
+    "iso-8859-8": (
+        "iso8859-8",
+        ("csiso88598e", "csisolatinhebrew", "hebrew", "iso-8859-8",
+         "iso-8859-8-e", "iso-ir-138", "iso8859-8", "iso88598",
+         "iso_8859-8", "iso_8859-8:1988", "visual"),
+    ),
+    # iso-8859-8-i (logical order) shares the repertoire; stdlib has no
+    # separate codec — map to iso8859-8 (byte-identical code points).
+    "iso-8859-8-i": ("iso8859-8", ("csiso88598i", "iso-8859-8-i", "logical")),
+    "iso-8859-10": (
+        "iso8859-10",
+        ("csisolatin6", "iso-8859-10", "iso-ir-157", "iso8859-10",
+         "iso885910", "l6", "latin6"),
+    ),
+    "iso-8859-13": ("iso8859-13", ("iso-8859-13", "iso8859-13", "iso885913")),
+    "iso-8859-14": ("iso8859-14", ("iso-8859-14", "iso8859-14", "iso885914")),
+    "iso-8859-15": (
+        "iso8859-15",
+        ("csisolatin9", "iso-8859-15", "iso8859-15", "iso885915",
+         "iso_8859-15", "l9"),
+    ),
+    "iso-8859-16": ("iso8859-16", ("iso-8859-16",)),
+    "koi8-r": ("koi8-r", ("cskoi8r", "koi", "koi8", "koi8-r", "koi8_r")),
+    "koi8-u": ("koi8-u", ("koi8-ru", "koi8-u")),
+    "macintosh": (
+        "mac-roman", ("csmacintosh", "mac", "macintosh", "x-mac-roman")
+    ),
+    "windows-874": (
+        "cp874",
+        ("dos-874", "iso-8859-11", "iso8859-11", "iso885911", "tis-620",
+         "windows-874"),
+    ),
+    "windows-1250": ("cp1250", ("cp1250", "windows-1250", "x-cp1250")),
+    "windows-1251": ("cp1251", ("cp1251", "windows-1251", "x-cp1251")),
+    "windows-1252": (
+        "cp1252",
+        ("ansi_x3.4-1968", "ascii", "cp1252", "cp819", "csisolatin1",
+         "ibm819", "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591",
+         "iso_8859-1", "iso_8859-1:1987", "l1", "latin1", "us-ascii",
+         "windows-1252", "x-cp1252"),
+    ),
+    "windows-1253": ("cp1253", ("cp1253", "windows-1253", "x-cp1253")),
+    "windows-1254": (
+        "cp1254",
+        ("cp1254", "csisolatin5", "iso-8859-9", "iso-ir-148", "iso8859-9",
+         "iso88599", "iso_8859-9", "iso_8859-9:1989", "l5", "latin5",
+         "windows-1254", "x-cp1254"),
+    ),
+    "windows-1255": ("cp1255", ("cp1255", "windows-1255", "x-cp1255")),
+    "windows-1256": ("cp1256", ("cp1256", "windows-1256", "x-cp1256")),
+    "windows-1257": ("cp1257", ("cp1257", "windows-1257", "x-cp1257")),
+    "windows-1258": ("cp1258", ("cp1258", "windows-1258", "x-cp1258")),
+    "x-mac-cyrillic": (
+        "mac-cyrillic", ("x-mac-cyrillic", "x-mac-ukrainian")
+    ),
+    "gbk": (
+        "gbk",
+        ("chinese", "csgb2312", "csiso58gb231280", "gb2312", "gb_2312",
+         "gb_2312-80", "gbk", "iso-ir-58", "x-gbk"),
+    ),
+    "gb18030": ("gb18030", ("gb18030",)),
+    "big5": ("big5hkscs", ("big5", "big5-hkscs", "cn-big5", "csbig5",
+                           "x-x-big5")),
+    "euc-jp": ("euc_jp", ("cseucpkdfmtjapanese", "euc-jp", "x-euc-jp")),
+    "iso-2022-jp": ("iso2022_jp", ("csiso2022jp", "iso-2022-jp")),
+    "shift_jis": (
+        "cp932",
+        ("csshiftjis", "ms932", "ms_kanji", "shift-jis", "shift_jis",
+         "sjis", "windows-31j", "x-sjis"),
+    ),
+    "euc-kr": (
+        "cp949",
+        ("cseuckr", "csksc56011987", "euc-kr", "iso-ir-149", "korean",
+         "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601",
+         "windows-949"),
+    ),
+    "utf-16be": ("utf-16-be", ("unicodefffe", "utf-16be")),
+    "utf-16le": ("utf-16-le", ("csunicode", "iso-10646-ucs-2", "ucs-2",
+                               "unicode", "unicodefeff", "utf-16",
+                               "utf-16le")),
+}
+
+# label (lowercase, spec-trimmed) -> (canonical name, python codec)
+WHATWG_LABELS: dict[str, tuple[str, str]] = {
+    label: (name, codec)
+    for name, (codec, labels) in WHATWG_ENCODINGS.items()
+    for label in labels
+}
+
+# ASCII whitespace set the spec trims from labels (tab/LF/FF/CR/space).
+_LABEL_TRIM = "\t\n\x0c\r "
+
+_BOMS: tuple[tuple[bytes, str, str], ...] = (
+    # order matters: utf-8's 3-byte BOM before the 2-byte utf-16 ones
+    (b"\xef\xbb\xbf", "utf-8", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16le", "utf-16"),  # python utf-16 strips the BOM
+    (b"\xfe\xff", "utf-16be", "utf-16"),
+)
+
+META_PRESCAN_BYTES = 1024  # spec: prescan the first 1024 bytes
+
+_META_TAG_RE = re.compile(r"<meta\b[^>]*", re.I)
+_META_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9_\-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
+)
+_CONTENT_CHARSET_RE = re.compile(
+    r"""charset\s*=\s*["']?\s*([^\s"';]+)""", re.I
+)
+
+
+def lookup_whatwg(label: str) -> tuple[str, str] | None:
+    """Spec 'get an encoding': trim ASCII whitespace, lowercase, look up.
+    Returns (canonical name, python codec) or None for unknown labels."""
+    return WHATWG_LABELS.get(label.strip(_LABEL_TRIM).lower())
+
+
+def sniff_encoding(payload: bytes) -> tuple[str, str] | None:
+    """BOM sniff + meta prescan. Returns (canonical name, python codec)
+    or None when nothing is declared (caller falls back to the chain).
+
+    The prescan is the practical subset of the spec's: every ``<meta``
+    tag in the first 1024 bytes has its attributes parsed; a ``charset``
+    attribute wins directly, and an ``http-equiv="content-type"`` tag
+    contributes the charset inside its ``content`` value. charset=
+    matches inside OTHER attributes (e.g. a description mentioning
+    charset=utf-7) are ignored — only real declarations count. Comments
+    are not skipped (a charset declaration inside an HTML comment in the
+    first 1 KiB is counted; real pages do not do this, and the cost of
+    full comment tracking is not worth the boundary)."""
+    for bom, name, codec in _BOMS:
+        if payload.startswith(bom):
+            return name, codec
+    window = payload[:META_PRESCAN_BYTES].decode("latin-1")
+    for tag in _META_TAG_RE.finditer(window):
+        attrs: dict[str, str] = {}
+        for am in _META_ATTR_RE.finditer(tag.group(0)):
+            k = am.group(1).lower()
+            v = am.group(2)
+            if v[:1] in "\"'":
+                v = v[1:-1]
+            attrs.setdefault(k, v)
+        label: str | None = attrs.get("charset")
+        if label is None and attrs.get("http-equiv", "").lower() == "content-type":
+            cm = _CONTENT_CHARSET_RE.search(attrs.get("content", ""))
+            if cm:
+                label = cm.group(1)
+        if label is None:
+            continue
+        hit = lookup_whatwg(label)
+        if hit is None:
+            continue  # unknown/unsupported label: keep scanning
+        name, codec = hit
+        if name in ("utf-16le", "utf-16be"):
+            # spec: a byte-oriented document declaring utf-16 is utf-8
+            return "utf-8", "utf-8"
+        return name, codec
+    return None
+
+
+def decode_web(payload: bytes) -> tuple[str, str]:
+    """Decode a web payload: BOM > meta prescan > the reference chain.
+    Declared codecs decode STRICTLY and fall back on failure, so a
+    mislabeled page degrades to the chain instead of raising; the
+    returned label is the WHATWG canonical name when a declaration won,
+    else the chain's pick ('utf-8'/'latin-1')."""
+    hit = sniff_encoding(payload)
+    if hit is not None:
+        name, codec = hit
+        try:
+            return payload.decode(codec), name
+        except (UnicodeDecodeError, LookupError):
+            pass  # mislabeled page → reference chain below
+    return decode_chain(payload)
+
+
 def extract_html(
     payload: bytes, profile: str = "default"
 ) -> tuple[bytes, int, str]:
     """Main-content bytes + number of kept blocks + encoding used."""
     ld_max, min_chars, td_min = PROFILES[profile]
-    data, enc = decode_chain(payload)
+    data, enc = decode_web(payload)
     blocks = _scan_blocks(data) if USE_FAST_SCANNER else _blocks_ref(data)
     kept: list[str] = []
     for b in blocks:
@@ -497,7 +763,7 @@ def html_block_spans(
     byte-identity contract does not admit extra per-block work like
     computing text for blocks the short-skip elides)."""
     ld_max, min_chars, td_min = PROFILES[profile]
-    data, enc = decode_chain(payload)
+    data, enc = decode_web(payload)
     blocks = _scan_blocks(data)
     out = []
     for i, b in enumerate(blocks):
@@ -1877,7 +2143,11 @@ def extract_csv(payload: bytes) -> tuple[bytes, int, str]:
 
 
 def extract_text(payload: bytes) -> tuple[bytes, int, str]:
-    text, enc = decode_chain(payload)
+    # decode_web not decode_chain: a BOM'd text payload (utf-16 logs,
+    # utf-8-sig exports) decodes by its BOM; pages with no declaration
+    # behave exactly as before. CSV stays on the raw chain (reference
+    # parity: src/parsers/csv_parser.py:38-50 reads bytes, never a BOM).
+    text, enc = decode_web(payload)
     lines = [ln.rstrip() for ln in text.splitlines()]
     # drop leading/trailing empty lines, keep interior structure
     while lines and not lines[0]:

@@ -31,6 +31,18 @@ def format_col(html: Column) -> Column:
     head = F.regexp_replace(
         F.decode(F.substring(html, 1, 16), "ISO-8859-1"), "^[ \t\r\n]+", ""
     )
+    # BOM'd payloads (utf-8 / utf-16le / utf-16be) probe their head bytes
+    # for markup in that encoding — html if the first non-whitespace char
+    # is '<', else text (skipping the byte-oriented CSV probe). The probe
+    # is the ORACLE'S OWN byte-level pattern over a latin-1 view (never a
+    # strict charset decode, which Spark 4 aborts on malformed bytes):
+    # same window sizes (16 bytes after a utf-8 BOM, 32 after a utf-16
+    # one), same pattern strings — imported, not copied.
+    from ..oracle import U8_HEAD_PAT, U16BE_HEAD_PAT, U16LE_HEAD_PAT
+
+    head_u8bom = F.decode(F.substring(html, 4, 16), "ISO-8859-1")
+    head_u16 = F.decode(F.substring(html, 3, 32), "ISO-8859-1")
+    bom2 = F.substring(html, 1, 2)
     window = F.decode(F.substring(html, 1, 4096), "ISO-8859-1")
     parts = F.split(window, "\n")
     l1 = F.regexp_replace(F.get(parts, 0), "\r$", "")
@@ -55,6 +67,24 @@ def format_col(html: Column) -> Column:
             (F.substring(html, 1, 2) == F.lit(b"P4"))
             & F.substring(html, 3, 1).isin(b" ", b"\t", b"\r", b"\n"),
             F.lit("pbm"),
+        )
+        .when(
+            F.substring(html, 1, 3) == F.lit(b"\xef\xbb\xbf"),
+            F.when(head_u8bom.rlike(U8_HEAD_PAT), F.lit("html")).otherwise(
+                F.lit("text")
+            ),
+        )
+        .when(
+            bom2 == F.lit(b"\xff\xfe"),
+            F.when(head_u16.rlike(U16LE_HEAD_PAT), F.lit("html")).otherwise(
+                F.lit("text")
+            ),
+        )
+        .when(
+            bom2 == F.lit(b"\xfe\xff"),
+            F.when(head_u16.rlike(U16BE_HEAD_PAT), F.lit("html")).otherwise(
+                F.lit("text")
+            ),
         )
         .when(head.startswith("<"), F.lit("html"))
         .when(is_csv, F.lit("csv"))

@@ -1,0 +1,172 @@
+"""WHATWG-style encoding sniff (oracle.sniff_encoding / decode_web).
+
+The real web declares its encoding three ways — BOM, <meta charset>,
+<meta http-equiv="content-type"> — and lies about it often. These tests
+pin the authority order (BOM > meta prescan > reference fallback chain),
+the spec's label-resolution quirks (latin-1 family → windows-1252,
+meta-declared utf-16 → utf-8), the strict-decode-with-fallback behavior
+on mislabeled pages, and the corpus v17 end-to-end roundtrip.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+from multi_format_document_extractor_spark import corpus
+from multi_format_document_extractor_spark.oracle import (
+    META_PRESCAN_BYTES,
+    WHATWG_ENCODINGS,
+    WHATWG_LABELS,
+    decode_web,
+    extract,
+    lookup_whatwg,
+    sniff_encoding,
+)
+
+
+def test_label_table_resolvable_and_consistent():
+    # every python codec in the table must exist in this stdlib
+    for name, (codec, labels) in WHATWG_ENCODINGS.items():
+        codecs.lookup(codec)
+        assert labels, name
+        for label in labels:
+            assert WHATWG_LABELS[label] == (name, codec)
+    # spec trim (ASCII whitespace incl. form feed) + case-insensitivity
+    assert lookup_whatwg("  UTF-8\t\n") == ("utf-8", "utf-8")
+    assert lookup_whatwg("\x0cShift_JIS ") == ("shift_jis", "cp932")
+    # the latin-1/ascii family resolves to windows-1252 (spec rule)
+    for label in ("latin1", "iso-8859-1", "ascii", "us-ascii", "l1"):
+        assert lookup_whatwg(label) == ("windows-1252", "cp1252")
+    # unknown / replacement-family labels are unsupported → None
+    for label in ("utf-7", "x-user-defined", "iso-2022-kr", "hz-gb-2312", ""):
+        assert lookup_whatwg(label) is None
+
+
+def test_bom_beats_meta():
+    doc = '<meta charset="koi8-r"><p>Дом и мир</p>'
+    p = b"\xff\xfe" + doc.encode("utf-16-le")
+    assert sniff_encoding(p) == ("utf-16le", "utf-16")
+    text, enc = decode_web(p)
+    assert enc == "utf-16le" and "Дом и мир" in text
+    assert not text.startswith("﻿")  # BOM stripped, not leaked
+    p = b"\xfe\xff" + doc.encode("utf-16-be")
+    assert decode_web(p)[1] == "utf-16be"
+    p = b"\xef\xbb\xbf" + doc.encode("utf-8")
+    text, enc = decode_web(p)
+    assert enc == "utf-8" and not text.startswith("﻿")
+
+
+def test_meta_declaration_shapes():
+    body = "<p>Привет мир сегодня</p>"
+    for meta in (
+        '<meta charset="windows-1251">',
+        "<meta charset=windows-1251>",
+        "<meta charset='windows-1251'/>",
+        '<META CHARSET="Windows-1251">',
+        '<meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1251">',
+        "<meta http-equiv=content-type content='text/html;charset=windows-1251'>",
+    ):
+        p = f"<html><head>{meta}</head><body>{body}</body></html>".encode(
+            "cp1251"
+        )
+        assert sniff_encoding(p) == ("windows-1251", "cp1251"), meta
+        text, enc = decode_web(p)
+        assert enc == "windows-1251" and "Привет" in text, meta
+
+
+def test_charset_inside_other_meta_content_is_not_a_declaration():
+    p = b'<meta name="description" content="set charset=koi8-r like this">'
+    assert sniff_encoding(p) is None
+    # ...but a later REAL declaration still wins
+    p2 = p + b'<meta charset="greek">'
+    assert sniff_encoding(p2) == ("iso-8859-7", "iso8859-7")
+
+
+def test_unknown_label_skipped_not_fatal():
+    p = b'<meta charset="utf-7"><meta charset="gb2312">x'
+    assert sniff_encoding(p) == ("gbk", "gbk")
+    assert sniff_encoding(b'<meta charset="klingon">') is None
+
+
+def test_meta_declared_utf16_is_read_as_utf8():
+    # spec: byte content contradicting a 16-bit declaration → utf-8
+    for label in ("utf-16", "utf-16le", "utf-16be"):
+        p = f'<meta charset="{label}"><p>résumé</p>'.encode("utf-8")
+        assert sniff_encoding(p) == ("utf-8", "utf-8")
+        text, enc = decode_web(p)
+        assert enc == "utf-8" and "résumé" in text
+
+
+def test_prescan_window_is_1024_bytes():
+    pad = b"<!-- " + b"x" * META_PRESCAN_BYTES + b" -->"
+    late = pad + '<meta charset="windows-1251">'.encode()
+    assert sniff_encoding(late) is None  # declaration beyond the window
+    early = b'<meta charset="windows-1251">' + pad
+    assert sniff_encoding(early) == ("windows-1251", "cp1251")
+
+
+def test_mislabeled_page_falls_back_to_chain():
+    # declares utf-8, is latin-1 → strict utf-8 fails → chain → latin-1
+    p = '<meta charset="utf-8"><p>café</p>'.encode("latin-1")
+    text, enc = decode_web(p)
+    assert enc == "latin-1" and "café" in text
+    # declares shift_jis, is valid utf-8 that is NOT valid cp932
+    bad = '<meta charset="shift_jis"><p>\udcff</p>'  # unencodable in cp932
+    p2 = '<meta charset="shift_jis"><p>текст</p>'.encode("utf-8")
+    text2, enc2 = decode_web(p2)
+    # cp932 decode of this utf-8 either fails (→ chain picks utf-8) or
+    # cannot be asserted mojibake-free; the contract is: never raise
+    assert enc2 in ("utf-8", "shift_jis")
+    del bad
+    # BOM'd but truncated/odd utf-16 → strict decode fails → chain, no raise
+    p3 = b"\xff\xfe<\x00p\x00>"
+    odd = p3 + b"\xff"
+    decode_web(odd)
+
+
+def test_extract_end_to_end_per_charset():
+    cases = {
+        "windows-1251": ("windows-1251", "слово москва время жизнь"),
+        "shift_jis": ("x-sjis", "日本 東京 言葉 時間 情報 内容"),
+        "gbk": ("GB2312", "中国 北京 时间 技术 信息 内容"),
+        "euc-kr": ("korean", "한국 서울 시간 기술 정보 내용"),
+        "iso-8859-7": ("greek", "αθήνα λέξη χρόνος κόσμος ζωή"),
+        "windows-1252": ("latin1", "café naïve résumé déjà façade"),
+    }
+    for canonical, (label, words) in cases.items():
+        content = (words + " ") * 8
+        doc = (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><p>{content.strip()}</p></body></html>"
+        )
+        codec = WHATWG_ENCODINGS[canonical][0]
+        got = extract(doc.encode(codec))
+        assert got.format == "html" and got.ok, canonical
+        assert got.encoding == canonical
+        assert got.text.decode("utf-8") == content.strip(), canonical
+
+
+def test_utf16_text_payload_extracts():
+    body = "первая строка\nвторая строка"
+    got = extract(b"\xff\xfe" + body.encode("utf-16-le"))
+    assert got.format == "text" and got.ok and got.encoding == "utf-16le"
+    assert got.text.decode("utf-8") == body
+    got = extract(b"\xfe\xff" + body.encode("utf-16-be"))
+    assert got.encoding == "utf-16be"
+    assert got.text.decode("utf-8") == body
+
+
+def test_corpus_v17_charset_pages_roundtrip():
+    rows = corpus.gen_rows(2500, seed=99)
+    seen: set[str] = set()
+    for r in rows:
+        if r.format != "html":
+            continue
+        got = extract(r.html)
+        assert got.ok and got.text == r.text_expected, r.url
+        if got.encoding and got.encoding != "utf-8":
+            seen.add(got.encoding)
+    # the charset mix must actually be exercised, not just generatable
+    assert {"windows-1251", "shift_jis", "gbk", "iso-8859-7"} <= seen, seen
+    assert any(e.startswith("utf-16") for e in seen), seen

@@ -91,6 +91,33 @@ def _model_sniff(payload: bytes | None) -> str:
         return FORMAT_IMAGE
     if payload[:2] == b"P4" and payload[2:3] in (b" ", b"\t", b"\r", b"\n"):
         return FORMAT_PBM
+    # BOM family: html iff the first non-whitespace CHARACTER in the BOM's
+    # encoding is '<' within the probe window (16 bytes after a utf-8 BOM,
+    # 32 bytes / 16 code units after a utf-16 one); never CSV.
+    if payload[:3] == b"\xef\xbb\xbf":
+        i = 3
+        while i < min(len(payload), 19) and payload[i : i + 1] in (
+            b" ", b"\t", b"\r", b"\n",
+        ):
+            i += 1
+        return (
+            FORMAT_HTML
+            if i < 19 and payload[i : i + 1] == b"<"
+            else FORMAT_TEXT
+        )
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        le = payload[:2] == b"\xff\xfe"
+        for off in range(2, 34, 2):
+            u = payload[off : off + 2]
+            ws = tuple(
+                (c + b"\x00" if le else b"\x00" + c)
+                for c in (b" ", b"\t", b"\r", b"\n")
+            )
+            lt = b"<\x00" if le else b"\x00<"
+            if u in ws:
+                continue
+            return FORMAT_HTML if u == lt else FORMAT_TEXT
+        return FORMAT_TEXT
     if payload[:16].decode("ISO-8859-1").lstrip(" \t\r\n").startswith("<"):
         return FORMAT_HTML
     lines = payload[:4096].decode("ISO-8859-1").split("\n")
@@ -115,7 +142,10 @@ def test_sniff_matches_magic_bytes(payload):
 
 # Prefixes that historically diverged between sniff models; exercised both
 # bare and ahead of every magic class.
-_SNIFF_EDGE_PREFIXES = [b"", b"\xa0", b" " * 20, b" \t\r\n", b"\x85", b"\x0b"]
+_SNIFF_EDGE_PREFIXES = [
+    b"", b"\xa0", b" " * 20, b" \t\r\n", b"\x85", b"\x0b",
+    b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",  # BOMs ahead of every body
+]
 _SNIFF_BODIES = [
     b"",
     b"<html>",
@@ -130,6 +160,13 @@ _SNIFF_BODIES = [
     b"a,b\nc,d",  # only 1 comma → text
     b"P4\n6 8\n" + b"\x00" * 8,  # P4 bitmap magic
     b"P4x",  # P4 without whitespace → text
+    "<html>".encode("utf-16-le"),  # 16-bit markup (BOM prefix → html)
+    "<html>".encode("utf-16-be"),
+    " \t<p>".encode("utf-16-le"),
+    "plain".encode("utf-16-le"),
+    b"<\x00",  # lone utf-16le '<' unit
+    b"<",  # half a unit
+    ("  " * 20 + "<p>").encode("utf-16-le"),  # ws past the 16-unit window
 ]
 
 
