@@ -541,6 +541,59 @@ def flesch_ease(counts: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# WHATWG charset declarations — the native (codegen) face of
+# oracle.sniff_encoding's label table. The UDF extraction path runs the
+# full attribute-order-insensitive prescan (oracle.sniff_encoding); these
+# columns handle the two DECLARATION-SHAPED forms real generators emit
+# (quoted <meta charset> and the quoted http-equiv Content-Type form) so a
+# charset census over a crawl is pure whole-stage codegen: regex extract →
+# spec label normalization (ASCII-whitespace trim + lowercase) → one
+# literal-map lookup. Unknown labels map to NULL (the chain-fallback
+# bucket), exactly as the decoder falls back.
+# ---------------------------------------------------------------------------
+
+META_CHARSET_RE = r'<meta charset="([^"]*)"'
+META_EQUIV_CHARSET_RE = (
+    r'<meta http-equiv="Content-Type" content="text/html; charset=([^"]*)"'
+)
+# the spec's ASCII-whitespace label trim set (tab/LF/FF/CR/space)
+LABEL_TRIM_HEAD_RE = r"^[\t\n\f\r ]+"
+LABEL_TRIM_TAIL_RE = r"[\t\n\f\r ]+$"
+
+
+def charset_label(html: Column) -> Column:
+    """The declared charset label of a page head, spec-normalized
+    (ASCII-whitespace trimmed, lowercased); '' when nothing is declared.
+    A direct ``<meta charset>`` wins over the http-equiv form — the
+    prescan's first-declaration-wins order for heads that carry both."""
+    direct = F.regexp_extract(html, META_CHARSET_RE, 1)
+    equiv = F.regexp_extract(html, META_EQUIV_CHARSET_RE, 1)
+    raw = F.when(direct != F.lit(""), direct).otherwise(equiv)
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_replace(raw, LABEL_TRIM_HEAD_RE, ""),
+            LABEL_TRIM_TAIL_RE,
+            "",
+        )
+    )
+
+
+def whatwg_canonical(label: Column) -> Column:
+    """Canonical WHATWG encoding name for a spec-normalized label
+    (``charset_label`` output), NULL for labels outside the table — a
+    literal ``element_at(map, …)`` over oracle.WHATWG_LABELS, so the
+    lookup is constant-folded codegen with zero Exchange and the one
+    source of truth stays the oracle's table."""
+    from ..oracle import WHATWG_LABELS
+
+    pairs: list[Column] = []
+    for lbl in sorted(WHATWG_LABELS):
+        pairs.append(F.lit(lbl))
+        pairs.append(F.lit(WHATWG_LABELS[lbl][0]))
+    return F.element_at(F.create_map(*pairs), label)
+
+
 __all__ = [
     "EMAIL_RE",
     "IPV4_RE",
@@ -596,5 +649,11 @@ __all__ = [
     "SYLLABLE_RE",
     "readability_counts",
     "flesch_ease",
+    "META_CHARSET_RE",
+    "META_EQUIV_CHARSET_RE",
+    "LABEL_TRIM_HEAD_RE",
+    "LABEL_TRIM_TAIL_RE",
+    "charset_label",
+    "whatwg_canonical",
     "rnd",
 ]

@@ -4934,3 +4934,127 @@ def dedup_report(spark, sf_dir):
             ).alias("para_dup_rate"),
         )
     )
+
+
+# =========================================================================
+# WHATWG charset census (v17 — the encoding label table as data)
+# =========================================================================
+
+from ..oracle import WHATWG_LABELS as _WHATWG_LABELS  # noqa: E402
+
+_LBLS = sorted(_WHATWG_LABELS)
+_N_LBL = len(_LBLS)
+
+_CHARSET_LBL_VALUES = ",\n      ".join(
+    f"({i}, '{lbl}', '{_WHATWG_LABELS[lbl][0]}')"
+    for i, lbl in enumerate(_LBLS)
+)
+
+_CHARSET_SQL = f"""
+    WITH lbl(i, label, canon) AS (VALUES
+      {_CHARSET_LBL_VALUES}),
+    synth AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 17 = 0 THEN 'x-klingon'
+                  WHEN d.doc_id % 2 = 0 THEN upper(l.label)
+                  ELSE l.label END AS used
+      FROM documents d JOIN lbl l ON d.doc_id % {_N_LBL} = l.i
+    ),
+    pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<html><head><title>t</title>'
+               || '<meta http-equiv="Content-Type" '
+               || 'content="text/html; charset=' || pad || '"></head>'
+             ELSE '<html><head><title>t</title><meta charset="'
+               || pad || '"></head>' END AS html
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ' ' || used || chr(9)
+                        ELSE used END AS pad
+            FROM synth)
+    ),
+    ext AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(
+               CASE WHEN regexp_extract(html, '{W.META_CHARSET_RE}', 1)
+                         <> ''
+                    THEN regexp_extract(html, '{W.META_CHARSET_RE}', 1)
+                    ELSE regexp_extract(html,
+                           '{W.META_EQUIV_CHARSET_RE}', 1) END,
+               '{W.LABEL_TRIM_HEAD_RE}', ''), '{W.LABEL_TRIM_TAIL_RE}', ''))
+               AS label
+      FROM pages
+    )
+    SELECT coalesce(l.canon, 'chain-fallback') AS encoding,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+    FROM ext e LEFT JOIN lbl l ON e.label = l.label
+    GROUP BY 1
+"""
+
+
+@q("charset_census", _CHARSET_SQL)
+def charset_census(spark, sf_dir):
+    """Charset census over a crawl: every document gets a synthesized
+    head declaring a WHATWG label (rotating through the ENTIRE spec
+    label table, upper-cased on even ids, whitespace-padded on every
+    fifth, the http-equiv declaration form on every third, an
+    out-of-table label on every seventeenth), and the engine reads the
+    labels back NATIVELY — ``charset_label`` (declaration regex + the
+    spec's ASCII-whitespace trim + lowercase) then ``whatwg_canonical``
+    (a literal-map lookup over oracle.WHATWG_LABELS) — aggregating to
+    (canonical encoding, n_docs, n_labels). Unknown labels land in the
+    'chain-fallback' bucket, the census face of decode_web's strict
+    declared-decode-then-chain behavior (corpus v17 pages exercise the
+    same table through the UDF path; this query drives it through pure
+    Catalyst codegen under the external DuckDB hash check).
+
+    Scale shape: the synth + extract + normalize + map lookup are all
+    per-row whole-stage codegen (the label array and canonical map are
+    plan-time literals — ZERO joins, pinned in tests/test_plans.py); the
+    only Exchanges are the two the exact count(DISTINCT label) forces
+    (partial on (encoding, label), final on encoding — ≤40×~230 groups,
+    pure map-side combine both times). At 100 TB this is a single
+    scan-shaped pass, the cheapest query class in the registry."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.array(*[F.lit(x) for x in _LBLS])
+    base = F.element_at(arr, (F.col("doc_id") % _N_LBL).cast("int") + F.lit(1))
+    used = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit("x-klingon"))
+        .when(F.col("doc_id") % 2 == 0, F.upper(base))
+        .otherwise(base)
+    )
+    pad = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(" "), used, F.lit("\t"))
+    ).otherwise(used)
+    html = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><meta http-equiv="Content-Type" '
+                'content="text/html; charset='
+            ),
+            pad,
+            F.lit('"></head>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<html><head><title>t</title><meta charset="'),
+            pad,
+            F.lit('"></head>'),
+        )
+    )
+    lbl = W.charset_label(html)
+    return (
+        d.select(
+            F.coalesce(W.whatwg_canonical(lbl), F.lit("chain-fallback")).alias(
+                "encoding"
+            ),
+            lbl.alias("lbl"),
+        )
+        .groupBy("encoding")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lbl").cast("bigint").alias("n_labels"),
+        )
+    )

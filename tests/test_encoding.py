@@ -170,3 +170,52 @@ def test_corpus_v17_charset_pages_roundtrip():
     # the charset mix must actually be exercised, not just generatable
     assert {"windows-1251", "shift_jis", "gbk", "iso-8859-7"} <= seen, seen
     assert any(e.startswith("utf-16") for e in seen), seen
+
+
+def test_native_charset_columns_lockstep(spark):
+    """The native census columns (webtext.charset_label +
+    whatwg_canonical) must agree with the spec lookup — and, on every
+    non-utf-16 label, with the full UDF prescan (sniff_encoding) — over
+    the declaration shapes they document (quoted charset / quoted
+    http-equiv, random case, spec whitespace padding, unknown labels)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from multi_format_document_extractor_spark.functions import webtext as W
+
+    rng = random.Random(5)
+    labels = list(WHATWG_LABELS) + ["klingon", "x-user-defined", "utf-7"]
+    rows = []
+    for i, lbl in enumerate(labels):
+        cased = "".join(c.upper() if rng.random() < 0.5 else c for c in lbl)
+        padded = f" {cased}\t" if i % 5 == 0 else cased
+        if i % 3 == 0:
+            head = (
+                '<html><head><title>t</title><meta http-equiv="Content-Type"'
+                f' content="text/html; charset={padded}"></head>'
+            )
+        else:
+            head = (
+                f'<html><head><title>t</title><meta charset="{padded}">'
+                "</head>"
+            )
+        rows.append((padded, head))
+    df = spark.createDataFrame(rows, "padded string, html string")
+    lblcol = W.charset_label(F.col("html"))
+    got = df.select(
+        "padded", "html", W.whatwg_canonical(lblcol).alias("canon")
+    ).collect()
+    assert len(got) == len(labels)
+    for r in got:
+        hit = lookup_whatwg(r["padded"])
+        if hit is None:
+            assert r["canon"] is None, r["padded"]
+            continue
+        name = hit[0]
+        assert r["canon"] == name, r["padded"]
+        if name not in ("utf-16le", "utf-16be"):
+            # full prescan agrees (utf-16 declarations are remapped to
+            # utf-8 there by spec rule; the census reports the DECLARED
+            # name — that divergence is the documented boundary)
+            assert sniff_encoding(r["html"].encode())[0] == name, r["padded"]

@@ -410,3 +410,15 @@ def test_routed_extraction_plan_shape(pages):
     for line in p.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line.replace("text_out", ""), line
+
+
+def test_charset_census_no_join_two_distinct_exchanges(spark):
+    """The WHATWG label lookup must stay a plan-time literal map — a
+    refactor that joins a label table would add a per-row join at 100 TB.
+    The only Exchanges allowed are the pair the exact count(DISTINCT)
+    forces (partial on (encoding,label), final on encoding)."""
+    from multi_format_document_extractor_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["charset_census"](spark, SF_DIR))
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
