@@ -594,6 +594,36 @@ def whatwg_canonical(label: Column) -> Column:
     return F.element_at(F.create_map(*pairs), label)
 
 
+# ---------------------------------------------------------------------------
+# schema.org JSON-LD blocks — the structured-data side of page metadata
+# (page_metadata reads the classic <meta>/<title> head; real publishers
+# increasingly ship the same facts as a <script type="application/ld+json">
+# island instead, and extruct/trafilatura-class extractors read both).
+# Native: one regex lifts the island, get_json_object reads paths — the
+# Jackson path parser is JVM codegen, so a metadata harvest over a crawl
+# never leaves the scan stage.
+# ---------------------------------------------------------------------------
+
+JSONLD_SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
+
+
+def jsonld_block(html: Column) -> Column:
+    """The first JSON-LD island's raw JSON text, NULL when the page has
+    none. Non-greedy body match — a second island or trailing markup
+    never bleeds in; islands are matched verbatim (no comment/CDATA
+    stripping — publishers emit bare JSON there)."""
+    b = F.regexp_extract(html, JSONLD_SCRIPT_RE, 1)
+    return F.when(b != F.lit(""), b)
+
+
+def jsonld_field(block: Column, path: str) -> Column:
+    """One JSON-path read from a JSON-LD island (NULL on absent path OR
+    invalid JSON — get_json_object's error-as-null contract, which is
+    exactly the census semantics: a truncated island contributes
+    nothing). Bracket form for @-prefixed schema.org keys."""
+    return F.get_json_object(block, path)
+
+
 __all__ = [
     "EMAIL_RE",
     "IPV4_RE",
@@ -655,5 +685,8 @@ __all__ = [
     "LABEL_TRIM_TAIL_RE",
     "charset_label",
     "whatwg_canonical",
+    "JSONLD_SCRIPT_RE",
+    "jsonld_block",
+    "jsonld_field",
     "rnd",
 ]

@@ -5058,3 +5058,131 @@ def charset_census(spark, sf_dir):
             F.countDistinct("lbl").cast("bigint").alias("n_labels"),
         )
     )
+
+
+# =========================================================================
+# schema.org JSON-LD metadata harvest (structured-data islands)
+# =========================================================================
+
+_LD_TYPES = ("Article", "NewsArticle", "BlogPosting", "Product")
+_LD_TYPES_SQL = "[" + ", ".join(f"'{t}'" for t in _LD_TYPES) + "]"
+
+_JSONLD_SQL = f"""
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '<html><head></head><body>x</body></html>'
+             ELSE '<html><head><script type="application/ld+json">'
+               || CASE WHEN doc_id % 13 = 0
+                       THEN '{{"@type":"Article","headline":'
+                  ELSE '{{"@context":"https://schema.org","@type":"'
+                    || {_LD_TYPES_SQL}[CAST(doc_id % 4 AS INT) + 1]
+                    || '","headline":"' || source || '-'
+                    || CAST(doc_id AS VARCHAR)
+                    || '","datePublished":"2026-0'
+                    || CAST(doc_id % 9 + 1 AS VARCHAR) || '-11"'
+                    || ',"author":{{"@type":"Person","name":"author-'
+                    || CAST(doc_id % 50 AS VARCHAR) || '"}}'
+                    || ',"keywords":["' || lang || '","' || source || '"]}}'
+                  END
+               || '</script></head><body>x</body></html>'
+             END AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id,
+             nullif(regexp_extract(html, '{W.JSONLD_SCRIPT_RE}', 1), '')
+               AS ld
+      FROM pages
+    )
+    SELECT doc_id,
+           ld IS NOT NULL AS has_ld,
+           coalesce(json_valid(ld), FALSE) AS valid_ld,
+           CASE WHEN json_valid(ld)
+                THEN json_extract_string(ld, '$."@type"') END AS ld_type,
+           CASE WHEN json_valid(ld)
+                THEN json_extract_string(ld, '$.headline') END AS headline,
+           CASE WHEN json_valid(ld)
+                THEN json_extract_string(ld, '$.datePublished') END
+             AS pub_date,
+           CASE WHEN json_valid(ld)
+                THEN json_extract_string(ld, '$.author.name') END AS author,
+           CASE WHEN json_valid(ld)
+                THEN json_extract_string(ld, '$.keywords[0]') END AS kw0
+    FROM ext
+"""
+
+
+@q("jsonld_meta", _JSONLD_SQL)
+def jsonld_meta(spark, sf_dir):
+    """schema.org JSON-LD harvest — the structured-data sibling of
+    ``page_metadata``: publishers ship article metadata as a
+    ``<script type="application/ld+json">`` island, and a metadata
+    harvest lifts the island with one regex (``webtext.jsonld_block``)
+    and reads typed paths with ``get_json_object`` (@type, headline,
+    datePublished, the nested author.name, the first keyword). Synth
+    rotates the schema.org type, plants a TRUNCATED island on every
+    thirteenth doc (must yield has_ld=true / valid_ld=false and NULL
+    fields — get_json_object's error-as-null is the census contract,
+    mirrored by DuckDB's json_valid gate) and no island at all on every
+    seventh (has_ld=false). Contract boundary, stated: Spark has no
+    native json_valid, so valid_ld is the proxy "@type OR headline
+    parses" — equivalent to json_valid for schema.org islands (which
+    always carry @type), divergent only for valid JSON carrying neither
+    key, a shape no publisher emits.
+
+    Scale shape: per-row codegen end to end — regex lift + Jackson path
+    reads inside the scan stage, ZERO Exchange (plan-pinned); at 100 TB
+    this rides the same pass as any other per-doc enrichment column."""
+    d = _t(spark, sf_dir, "documents")
+    typ = F.element_at(
+        F.array(*[F.lit(t) for t in _LD_TYPES]),
+        (F.col("doc_id") % 4).cast("int") + F.lit(1),
+    )
+    block = F.when(
+        F.col("doc_id") % 13 == 0, F.lit('{"@type":"Article","headline":')
+    ).otherwise(
+        F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"'),
+            typ,
+            F.lit('","headline":"'),
+            F.col("source"),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+            F.lit('","datePublished":"2026-0'),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit('-11"'),
+            F.lit(',"author":{"@type":"Person","name":"author-'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('"}'),
+            F.lit(',"keywords":["'),
+            F.col("lang"),
+            F.lit('","'),
+            F.col("source"),
+            F.lit('"]}'),
+        )
+    )
+    html = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("<html><head></head><body>x</body></html>"),
+    ).otherwise(
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            block,
+            F.lit("</script></head><body>x</body></html>"),
+        )
+    )
+    ld = W.jsonld_block(html)
+    valid = W.jsonld_field(ld, "$['@type']").isNotNull() | W.jsonld_field(
+        ld, "$.headline"
+    ).isNotNull()
+    return d.select(
+        "doc_id",
+        ld.isNotNull().alias("has_ld"),
+        F.coalesce(valid, F.lit(False)).alias("valid_ld"),
+        W.jsonld_field(ld, "$['@type']").alias("ld_type"),
+        W.jsonld_field(ld, "$.headline").alias("headline"),
+        W.jsonld_field(ld, "$.datePublished").alias("pub_date"),
+        W.jsonld_field(ld, "$.author.name").alias("author"),
+        W.jsonld_field(ld, "$.keywords[0]").alias("kw0"),
+    )

@@ -422,3 +422,14 @@ def test_charset_census_no_join_two_distinct_exchanges(spark):
     p = plan(QUERIES["charset_census"](spark, SF_DIR))
     assert "Join" not in p
     assert p.count("Exchange") == 2
+
+
+def test_jsonld_meta_is_stageless(spark):
+    """The JSON-LD harvest must stay inside the scan stage: regex lift +
+    Jackson path reads are per-row codegen; any Exchange would mean the
+    enrichment stopped riding the scan at 100 TB."""
+    from multi_format_document_extractor_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["jsonld_meta"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Join" not in p
