@@ -219,3 +219,50 @@ def test_native_charset_columns_lockstep(spark):
             # utf-8 there by spec rule; the census reports the DECLARED
             # name — that divergence is the documented boundary)
             assert sniff_encoding(r["html"].encode())[0] == name, r["padded"]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: the sniff/decode layer sits in front of EVERY text
+# payload; it must be total (never raise) and only ever answer from the
+# label table, no matter what bytes the crawl throws at it.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VALID_ANSWERS = {(n, c) for n, (c, _ls) in WHATWG_ENCODINGS.items()} | {
+    ("utf-8", "utf-8-sig"),
+    ("utf-16le", "utf-16"),
+    ("utf-16be", "utf-16"),
+}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_decode_web_total_on_raw_bytes(payload):
+    text, enc = decode_web(payload)
+    assert isinstance(text, str) and isinstance(enc, str)
+    hit = sniff_encoding(payload)
+    assert hit is None or hit in _VALID_ANSWERS
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(sorted(WHATWG_LABELS)),
+    st.binary(max_size=48),
+    st.binary(max_size=48),
+)
+def test_injected_declaration_never_derails(label, pre, post):
+    """A real declaration spliced between arbitrary byte noise: the sniff
+    must stay total and in-table; when the noise contains no earlier BOM
+    or declaration, the injected label itself must win."""
+    p = pre + f'<meta charset="{label}">'.encode() + post
+    hit = sniff_encoding(p)
+    assert hit is None or hit in _VALID_ANSWERS
+    decode_web(p)  # total
+    if not any(p.startswith(b) for b in (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")) \
+            and b"<meta" not in pre and b"charset" not in pre:
+        expected = lookup_whatwg(label)
+        if expected[0] in ("utf-16le", "utf-16be"):
+            expected = ("utf-8", "utf-8")
+        assert hit == expected, (label, pre)
