@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "doc_chunks",          # overlapping fixed-token chunking (stageless)
     "batch_assembly",      # length-bucketed inference batching
     "page_metadata",       # head metadata extraction (stageless)
+    "jsonld_meta",         # JSON-LD island harvest (stageless path reads)
+    "charset_census",      # WHATWG label table as literal map (no join)
     "cluster_split",       # leakage-free split (components + md5 CASE)
     "training_corpus",     # quality gate → dedup keepers → split
     "pack_sequences",      # fixed-token sequence packing
