@@ -31,7 +31,13 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 17  # v17: ~10% of HTML pages are DECLARED-CHARSET pages
+CORPUS_VERSION = 18  # v18: the declared-charset mix widens to 11 legacy
+# codecs — iso-2022-jp (STATEFUL escape-coded Japanese: ESC $ B / ESC ( B
+# shifts mid-stream, the one decode class the others never exercise),
+# euc-jp, gb18030, and big5 (TRADITIONAL Chinese — its repertoire is
+# disjoint enough from gbk's simplified vocab that a wrong-table decode
+# cannot round-trip) join the v17 set.
+# v17: ~10% of HTML pages are DECLARED-CHARSET pages
 # (windows-1251/koi8-r Cyrillic, shift_jis Japanese, gbk Chinese,
 # euc-kr Korean, iso-8859-7 Greek, windows-1252 accented Latin) carrying
 # a <meta charset>/<meta http-equiv> declaration under a random WHATWG
@@ -140,6 +146,19 @@ _CHARSET_VOCABS: dict[str, tuple[str, ...]] = {
         "façade piñata smörgås über göteborg zürich".split()
     ),
 }
+
+# v18 codecs: the Japanese list re-encodes cleanly in both JIS framings
+# (iso-2022-jp is the stateful escape-coded one — a decode class the
+# others never exercise); gb18030 is a superset of gbk so the simplified
+# list carries over; big5 gets its own TRADITIONAL list (encodability of
+# every word in its codec is pinned in tests/test_encoding.py).
+_CHARSET_VOCABS["iso-2022-jp"] = _CHARSET_VOCABS["shift_jis"]
+_CHARSET_VOCABS["euc-jp"] = _CHARSET_VOCABS["shift_jis"]
+_CHARSET_VOCABS["gb18030"] = _CHARSET_VOCABS["gbk"]
+_CHARSET_VOCABS["big5"] = tuple(
+    "台灣 時間 世界 技術 資訊 文件 文章 內容 搜尋 使用 需要 系統 "
+    "問題 資料 網頁 語言".split()
+)
 
 # utf-16 page content mixes scripts (the codec covers all of Unicode)
 _U16_VOCAB = (

@@ -125,6 +125,15 @@ def test_mislabeled_page_falls_back_to_chain():
     decode_web(odd)
 
 
+def test_charset_vocabs_encode_in_their_codec():
+    # every corpus vocab word must round-trip in its declared codec (the
+    # generator assumes it; big5's traditional list especially)
+    for name, vocab in corpus._CHARSET_VOCABS.items():
+        codec = WHATWG_ENCODINGS[name][0]
+        for w in vocab:
+            assert w.encode(codec).decode(codec) == w, (name, w)
+
+
 def test_extract_end_to_end_per_charset():
     cases = {
         "windows-1251": ("windows-1251", "слово москва время жизнь"),
@@ -133,6 +142,12 @@ def test_extract_end_to_end_per_charset():
         "euc-kr": ("korean", "한국 서울 시간 기술 정보 내용"),
         "iso-8859-7": ("greek", "αθήνα λέξη χρόνος κόσμος ζωή"),
         "windows-1252": ("latin1", "café naïve résumé déjà façade"),
+        # v18: the stateful escape-coded JIS framing + euc-jp + the
+        # all-Unicode gb superset + traditional-Chinese big5
+        "iso-2022-jp": ("csiso2022jp", "日本 東京 言葉 時間 情報 内容"),
+        "euc-jp": ("x-euc-jp", "日本 東京 言葉 時間 情報 内容"),
+        "gb18030": ("gb18030", "中国 北京 时间 技术 信息 内容"),
+        "big5": ("cn-big5", "台灣 時間 世界 技術 資訊 內容"),
     }
     for canonical, (label, words) in cases.items():
         content = (words + " ") * 8
@@ -168,7 +183,10 @@ def test_corpus_v17_charset_pages_roundtrip():
         if got.encoding and got.encoding != "utf-8":
             seen.add(got.encoding)
     # the charset mix must actually be exercised, not just generatable
-    assert {"windows-1251", "shift_jis", "gbk", "iso-8859-7"} <= seen, seen
+    assert {
+        "windows-1251", "shift_jis", "gbk", "iso-8859-7",
+        "iso-2022-jp", "big5",  # v18: escape-coded JIS + traditional zh
+    } <= seen, seen
     assert any(e.startswith("utf-16") for e in seen), seen
 
 
