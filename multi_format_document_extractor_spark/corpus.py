@@ -31,7 +31,15 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 18  # v18: the declared-charset mix widens to 11 legacy
+CORPUS_VERSION = 19  # v19: ~4% of HTML pages are UNDECLARED legacy pages
+# (no BOM, no meta charset — codec from the statistically-detectable set:
+# cp1251/koi8-r/greek/sjis/euc-kr/gbk/big5/iso-2022-jp) that only
+# oracle.detect_encoding (charset_normalizer-class deterministic
+# detection: script-class letter evidence, case coherence, frequency
+# markers, the iso-2022 ESC signature) recovers — the reference chain
+# reads them as latin-1 mojibake; the Japanese vocab gains kana function
+# words (real text is never kanji-only, and the detector keys on kana).
+# v18: the declared-charset mix widens to 11 legacy
 # codecs — iso-2022-jp (STATEFUL escape-coded Japanese: ESC $ B / ESC ( B
 # shifts mid-stream, the one decode class the others never exercise),
 # euc-jp, gb18030, and big5 (TRADITIONAL Chinese — its repertoire is
@@ -127,7 +135,10 @@ _CHARSET_VOCABS: dict[str, tuple[str, ...]] = {
     ),
     "shift_jis": tuple(
         "日本 東京 言葉 時間 世界 技術 情報 文書 記事 内容 検索 画面 "
-        "利用 場合 必要 説明 結果 方法".split()
+        "利用 場合 必要 説明 結果 方法 "
+        # kana function words (v19): real Japanese is never kanji-only,
+        # and the statistical detector keys on kana presence
+        "の です ます こと これ する した もの ため いる".split()
     ),
     "gbk": tuple(
         "中国 北京 时间 世界 技术 信息 文档 文章 内容 搜索 使用 需要 "
@@ -169,7 +180,17 @@ _U16_VOCAB = (
 )
 
 
-def _make_charset_html(rng: random.Random) -> tuple[bytes, str, int]:
+# undeclared pages draw only from codecs the statistical detector covers
+# (oracle.detect_encoding candidates + the iso-2022 ESC signature)
+_DETECTABLE = (
+    "windows-1251", "koi8-r", "iso-8859-7",
+    "shift_jis", "euc-kr", "gbk", "big5", "iso-2022-jp",
+)
+
+
+def _make_charset_html(
+    rng: random.Random, declared: bool = True
+) -> tuple[bytes, str, int]:
     """A declared-charset page (corpus v17): real-script content encoded in
     a legacy web codec, recoverable ONLY via the WHATWG meta-prescan /
     BOM sniff (oracle.sniff_encoding) — the reference chain would decode
@@ -178,10 +199,25 @@ def _make_charset_html(rng: random.Random) -> tuple[bytes, str, int]:
     ``<meta http-equiv="Content-Type" content="text/html; charset=X">``
     under a random WHATWG label with random case; ~1 in 8 pages is
     instead a BOM'd utf-16le/be document (BOM wins over any meta).
-    Returns (payload, expected_text, n_blocks)."""
+
+    With ``declared=False`` (corpus v19): an UNDECLARED legacy page — no
+    BOM, no charset anywhere (a decoy charset-free ``<meta>`` instead),
+    codec drawn from the statistically-detectable set — only
+    ``oracle.detect_encoding`` (or the iso-2022 ESC signature) recovers
+    it. Returns (payload, expected_text, n_blocks)."""
     from .oracle import WHATWG_ENCODINGS
 
-    if rng.random() < 0.125:
+    if not declared:
+        name = rng.choice(_DETECTABLE)
+        codec = WHATWG_ENCODINGS[name][0]
+        vocab = _CHARSET_VOCABS[name]
+        meta = rng.choice((
+            '<meta name="viewport" content="width=device-width">',
+            '<meta name="robots" content="index, follow">',
+            "",
+        ))
+        bom = b""
+    elif rng.random() < 0.125:
         name = rng.choice(("utf-16le", "utf-16be"))
         codec = "utf-16-le" if name == "utf-16le" else "utf-16-be"
         vocab = _U16_VOCAB
@@ -1545,10 +1581,17 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
             expected, n_blocks, fmt = b"", 0, "unknown"
             noisy = ""
         elif kind == "html":
-            if not oversized and rng.random() < 0.10:
+            r_cs = rng.random() if not oversized else 1.0
+            if r_cs < 0.10:
                 # v17 declared-charset page (meta prescan / BOM sniff)
                 payload, exp_s, n_blocks = _make_charset_html(rng)
                 noisy = exp_s  # raw bytes aren't utf-8; noisy = content
+            elif r_cs < 0.14:
+                # v19 UNDECLARED legacy page (statistical detection only)
+                payload, exp_s, n_blocks = _make_charset_html(
+                    rng, declared=False
+                )
+                noisy = exp_s
             else:
                 payload, exp_s, n_blocks = _make_html(rng, oversized)
                 noisy = payload.decode("utf-8")

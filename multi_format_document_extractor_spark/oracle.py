@@ -710,19 +710,234 @@ def sniff_encoding(payload: bytes) -> tuple[str, str] | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Statistical charset detection for UNDECLARED legacy pages
+# (charset_normalizer/chardet class, but deterministic and bounded). The
+# real web is full of pages that declare nothing and are not utf-8; the
+# reference chain turns those into latin-1 mojibake. The detector runs
+# ONLY on that path — no BOM, no meta declaration, strict utf-8 failed,
+# and the high-byte density says "non-Latin body text" — so every page
+# the chain handled before still decodes (and labels) exactly as before.
+#
+# Method, all pure arithmetic on a bounded sample:
+#   1. iso-2022-jp announces itself with an ESC $ B / ESC $ @ shift (its
+#      bytes are otherwise pure ASCII, so it is detected by signature
+#      BEFORE the utf-8 try in decode_web).
+#   2. CJK multibyte candidates (cp932 → cp949 → gbk → big5) must strict-
+#      decode the sample; each is scored by script evidence — kana
+#      fraction for Japanese (half-width kana floods mean a wrong table
+#      and reject), hangul fraction for Korean, Han fraction plus a
+#      simplified-vs-traditional marker-character vote for gbk vs big5.
+#   3. Single-byte candidates (windows-1251, koi8-r, iso-8859-7) always
+#      decode; they are scored by letter fraction, LOWERCASE fraction
+#      (the decisive cp1251↔koi8-r signal: each reads the other's text
+#      as all-caps because their case ranges are swapped), intra-word
+#      case alternation, and a top-frequency-letter hit rate per script.
+# Best passing candidate wins; fixed candidate order breaks ties; no
+# candidate passing its floors → None and the chain behaves as before.
+# Boundaries, stated: dense accented-Latin text (rare — real Latin text
+# is mostly ASCII) and very short or atypical CJK bodies can fall back
+# to the chain or cross-detect within a script family; the detector is a
+# best-effort fallback for undeclared pages, never an authority over a
+# declaration.
+# ---------------------------------------------------------------------------
+
+_DETECT_SAMPLE = 8192
+_DETECT_MIN_HIGH_FRAC = 0.10  # high-byte density gate (vs sample length)
+
+_FREQ_RU = set("оеаинтсрвлкмдпуя")
+_FREQ_EL = set("αοειτσνηρκπυςμλ")
+
+_SB_CANDIDATES = (
+    ("windows-1251", "cp1251", _FREQ_RU),
+    ("koi8-r", "koi8-r", _FREQ_RU),
+    ("iso-8859-7", "iso8859-7", _FREQ_EL),
+)
+
+# simplified-vs-traditional marker characters (divergent forms only)
+_MARK_SIMPLIFIED = set("时国说对会这来学实现电发东车马门问间见书长为点")
+_MARK_TRADITIONAL = set("時國說對會這來學實現電發東車馬門問間見書長為點")
+_MARK_HANGUL = set("이다의는에하고을가서지시기수로한국")
+
+
+def _strict_sample(payload: bytes, codec: str) -> str | None:
+    """Strict decode of the bounded sample, tolerating a multibyte
+    sequence cut by the sample boundary (trim up to 3 tail bytes)."""
+    sample = payload[:_DETECT_SAMPLE]
+    for trim in range(4):
+        try:
+            return sample[: len(sample) - trim or None].decode(codec)
+        except UnicodeDecodeError:
+            continue
+    return None
+
+
+def detect_encoding(payload: bytes) -> tuple[str, str] | None:
+    """Best-effort statistical detection (see block comment above).
+    Returns (canonical name, python codec) or None."""
+    sample = payload[:_DETECT_SAMPLE]
+    if not sample:
+        return None
+    n_high = sum(b > 127 for b in sample)
+    if n_high / len(sample) < _DETECT_MIN_HIGH_FRAC:
+        return None
+    # Accented-LATIN rejector: in Latin text, high bytes are lone accents
+    # EMBEDDED in ASCII words (café, naïve) — an ASCII letter sits right
+    # next to them — while Cyrillic/Greek/CJK body text runs high byte
+    # after high byte with ASCII only at word/markup boundaries. Without
+    # this, a dense run of accented French reads as plausible Greek
+    # (every latin-1 byte is some Greek letter too). A dominance floor
+    # backs it up: non-Latin pages keep high bytes a substantial share
+    # of letter-ish bytes even with English nav/footer chrome.
+    def _is_ascii_alpha(b: int) -> bool:
+        return 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A
+
+    # "part of an ASCII word" = an ASCII letter with another ASCII letter
+    # adjacent (run ≥ 2). The run requirement matters: multibyte trail
+    # bytes (big5/cp932 second bytes span 0x40-0x7E) often ARE lone
+    # ASCII-letter bytes sandwiched between high leads, and must not
+    # read as Latin mixing.
+    alpha = [_is_ascii_alpha(b) for b in sample]
+    in_word = [
+        a
+        and ((i > 0 and alpha[i - 1]) or (i + 1 < len(alpha) and alpha[i + 1]))
+        for i, a in enumerate(alpha)
+    ]
+    latin_mixed = sum(
+        (i > 0 and in_word[i - 1])
+        or (i + 1 < len(sample) and in_word[i + 1])
+        for i, b in enumerate(sample)
+        if b > 127
+    )
+    if latin_mixed / n_high > 0.3:
+        return None
+    n_ascii_alpha = sum(_is_ascii_alpha(b) for b in sample)
+    if n_high / (n_high + n_ascii_alpha) < 0.25:
+        return None
+
+    # --- CJK multibyte phase -------------------------------------------
+    best: tuple[float, int, str, str] | None = None
+
+    def consider(score: float, order: int, name: str, codec: str) -> None:
+        nonlocal best
+        key = (score, -order, name, codec)
+        if best is None or key > best:
+            best = key
+
+    for order, (name, codec) in enumerate(
+        (
+            ("shift_jis", "cp932"),
+            ("euc-kr", "cp949"),
+            ("gbk", "gbk"),
+            ("big5", "big5hkscs"),
+        )
+    ):
+        t = _strict_sample(payload, codec)
+        if t is None:
+            continue
+        hi = [c for c in t if ord(c) > 127]
+        if len(hi) < 8:
+            continue
+        kana = sum(0x3040 <= ord(c) <= 0x30FF for c in hi)
+        halfw = sum(0xFF61 <= ord(c) <= 0xFF9F for c in hi)
+        hangul = sum(0xAC00 <= ord(c) <= 0xD7A3 for c in hi)
+        han = sum(0x4E00 <= ord(c) <= 0x9FFF for c in hi)
+        n = len(hi)
+        if name == "shift_jis":
+            if halfw / n > 0.2 or kana / n < 0.05 or (kana + han) / n < 0.8:
+                continue
+            consider(2 * kana / n + han / n, order, name, codec)
+        elif name == "euc-kr":
+            if hangul / n < 0.5:
+                continue
+            marks = sum(c in _MARK_HANGUL for c in hi) / n
+            consider(hangul / n + 2 * marks, order, name, codec)
+        else:
+            if han / n < 0.8:
+                continue
+            marks = _MARK_SIMPLIFIED if name == "gbk" else _MARK_TRADITIONAL
+            consider(han / n + 2 * (sum(c in marks for c in hi) / n),
+                     order, name, codec)
+    if best is not None and best[0] >= 1.0:
+        return best[2], best[3]
+
+    # --- single-byte phase ---------------------------------------------
+    best = None
+    for order, (name, codec, freq) in enumerate(_SB_CANDIDATES):
+        t = sample.decode(codec, errors="replace")
+        hi = [c for c in t if ord(c) > 127]
+        if len(hi) < 8:
+            continue
+        letters = [c for c in hi if c.isalpha()]
+        lfrac = len(letters) / len(hi)
+        if lfrac < 0.9 or not letters:
+            continue
+        lower_frac = sum(c.islower() for c in letters) / len(letters)
+        freq_hit = sum(c.lower() in freq for c in letters) / len(letters)
+        if freq_hit < 0.35:
+            continue
+        # intra-word case alternation (wrong-table decodes alternate)
+        alt = 0
+        pairs = 0
+        prev: str | None = None
+        for c in t:
+            if c.isalpha():
+                if prev is not None:
+                    pairs += 1
+                    if prev.islower() and c.isupper():
+                        alt += 1
+                prev = c
+            else:
+                prev = None
+        alt_rate = alt / pairs if pairs else 0.0
+        consider(
+            0.4 * lfrac + 0.3 * freq_hit + 0.3 * lower_frac - 0.8 * alt_rate,
+            order,
+            name,
+            codec,
+        )
+    if best is not None and best[0] >= 0.6:
+        return best[2], best[3]
+    return None
+
+
+# iso-2022-jp shift sequences (JIS X 0208 two-byte mode); ESC never
+# appears in legitimate web text, and these bytes are valid ASCII/utf-8,
+# so the signature must be checked BEFORE the utf-8 strict try.
+_ISO2022_SIGS = (b"\x1b$B", b"\x1b$@")
+
+
 def decode_web(payload: bytes) -> tuple[str, str]:
-    """Decode a web payload: BOM > meta prescan > the reference chain.
+    """Decode a web payload: BOM > meta prescan > iso-2022 signature >
+    strict utf-8 > statistical detection > the reference chain.
     Declared codecs decode STRICTLY and fall back on failure, so a
-    mislabeled page degrades to the chain instead of raising; the
-    returned label is the WHATWG canonical name when a declaration won,
-    else the chain's pick ('utf-8'/'latin-1')."""
+    mislabeled page degrades instead of raising; the returned label is
+    the WHATWG canonical name when a declaration won, the canonical name
+    + '+detected' when statistics won, else the chain's pick
+    ('utf-8'/'latin-1')."""
     hit = sniff_encoding(payload)
     if hit is not None:
         name, codec = hit
         try:
             return payload.decode(codec), name
         except (UnicodeDecodeError, LookupError):
-            pass  # mislabeled page → reference chain below
+            pass  # mislabeled page → the undeclared ladder below
+    if any(sig in payload[:_DETECT_SAMPLE] for sig in _ISO2022_SIGS):
+        try:
+            return payload.decode("iso2022_jp"), "iso-2022-jp+detected"
+        except UnicodeDecodeError:
+            pass
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    det = detect_encoding(payload)
+    if det is not None:
+        name, codec = det
+        try:
+            return payload.decode(codec), name + "+detected"
+        except UnicodeDecodeError:
+            pass  # sample detected, full payload disagrees → chain
     return decode_chain(payload)
 
 

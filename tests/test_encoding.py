@@ -284,3 +284,87 @@ def test_injected_declaration_never_derails(label, pre, post):
         if expected[0] in ("utf-16le", "utf-16be"):
             expected = ("utf-8", "utf-8")
         assert hit == expected, (label, pre)
+
+
+# ---------------------------------------------------------------------------
+# Statistical detection for UNDECLARED legacy pages (corpus v19)
+# ---------------------------------------------------------------------------
+
+from multi_format_document_extractor_spark.oracle import (  # noqa: E402
+    detect_encoding,
+)
+
+
+def _undeclared_page(codec: str, words: str, reps: int = 6) -> bytes:
+    nav = "".join(f'<a href="/c{i}">home search data</a> ' for i in range(6))
+    body = (words + " ") * reps
+    return (
+        f"<html><head><title>page title here</title></head><body>"
+        f"<nav>{nav}</nav><p>{body.strip()}</p>"
+        f"<footer>about contact terms privacy</footer></body></html>"
+    ).encode(codec)
+
+
+def test_detect_encoding_per_script():
+    cases = {
+        "windows-1251": ("cp1251", "москва слово город время человек жизнь работа система вопрос ответ"),
+        "koi8-r": ("koi8-r", "россия язык страница сервер сеть файл данные таблица запрос фильтр"),
+        "iso-8859-7": ("iso8859-7", "αθήνα λέξη χρόνος κόσμος τεχνολογία πληροφορία κείμενο άρθρο ζωή"),
+        "shift_jis": ("cp932", "日本 の 東京 です 言葉 を 時間 と 世界 これ 技術 する 情報 ます"),
+        "euc-kr": ("cp949", "한국 서울 시간 세계 기술 정보 문서 기사 내용 검색 사용 필요 이것 하다"),
+        "gbk": ("gbk", "中国 北京 时间 世界 技术 信息 文档 文章 内容 搜索 使用 需要"),
+        "big5": ("big5hkscs", "台灣 時間 世界 技術 資訊 文件 文章 內容 搜尋 使用 需要 系統"),
+    }
+    for name, (codec, words) in cases.items():
+        p = _undeclared_page(codec, words)
+        assert detect_encoding(p) == (name, codec), name
+        text, enc = decode_web(p)
+        assert enc == name + "+detected", name
+        assert words.split()[0] in text, name
+
+
+def test_detect_encoding_latin_negatives():
+    # accented-Latin text must NEVER be claimed, even artificially dense —
+    # the chain's latin-1 pick is correct for it and fixtures rely on it
+    for codec, words in (
+        ("latin-1", "café naïve résumé déjà façade et la vie en rose"),
+        ("latin-1", "für schöne grüße über die straße der äöü"),
+        ("cp1252", "‘curly’ “quotes” – dashes — and €uro"),
+    ):
+        p = _undeclared_page(codec, words, reps=25)
+        assert detect_encoding(p) is None, words
+    # pure ASCII and valid utf-8 never reach the detector via decode_web
+    assert detect_encoding(b"<html>hello world</html>" * 30) is None
+    assert decode_web("<p>привет мир</p>".encode("utf-8"))[1] == "utf-8"
+
+
+def test_iso2022_signature_detection():
+    p = _undeclared_page("iso2022_jp", "日本 の 東京 です 言葉 を 時間")
+    assert b"\x1b$B" in p
+    text, enc = decode_web(p)
+    assert enc == "iso-2022-jp+detected" and "日本" in text
+
+
+def test_declaration_beats_detection():
+    # a declared label wins even when statistics would also fire
+    words = "москва слово город время человек жизнь работа система"
+    doc = (
+        '<html><head><meta charset="windows-1251"></head><body><p>'
+        + (words + " ") * 6
+        + "</p></body></html>"
+    ).encode("cp1251")
+    assert decode_web(doc)[1] == "windows-1251"  # no '+detected'
+
+
+def test_corpus_v19_undeclared_pages_roundtrip():
+    rows = corpus.gen_rows(3000, seed=101)
+    seen: set[str] = set()
+    for r in rows:
+        if r.format != "html":
+            continue
+        got = extract(r.html)
+        assert got.ok and got.text == r.text_expected, r.url
+        if got.encoding and got.encoding.endswith("+detected"):
+            seen.add(got.encoding.removesuffix("+detected"))
+    assert {"windows-1251", "iso-2022-jp"} <= seen, seen
+    assert len(seen) >= 5, seen
