@@ -772,13 +772,48 @@ def _strict_sample(payload: bytes, codec: str) -> str | None:
     return None
 
 
+# Per-codec byte→property tables for the single-byte phase (a single-byte
+# codec is a 256-entry char table, so isalpha/islower/isupper/frequency
+# become uint8 lookups and the whole scoring pass runs as numpy masks —
+# semantics identical to char-level scoring because byte i always decodes
+# to the same char). Built lazily once per process.
+_SB_TABLES: dict[str, tuple[np.ndarray, ...]] = {}
+
+
+def _sb_tables(codec: str, freq: set[str]) -> tuple[np.ndarray, ...]:
+    tabs = _SB_TABLES.get(codec)
+    if tabs is None:
+        chars = [bytes([i]).decode(codec, errors="replace") for i in range(256)]
+        is_letter = np.array([c.isalpha() for c in chars], dtype=bool)
+        is_lower = np.array([c.islower() for c in chars], dtype=bool)
+        is_upper = np.array([c.isupper() for c in chars], dtype=bool)
+        is_freq = np.array([c.lower() in freq for c in chars], dtype=bool)
+        tabs = (is_letter, is_lower, is_upper, is_freq)
+        _SB_TABLES[codec] = tabs
+    return tabs
+
+
+def _codepoints(t: str) -> np.ndarray:
+    return np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+
+
+_MARK_HANGUL_CP = np.array(sorted(ord(c) for c in _MARK_HANGUL), np.uint32)
+_MARK_SIMP_CP = np.array(sorted(ord(c) for c in _MARK_SIMPLIFIED), np.uint32)
+_MARK_TRAD_CP = np.array(sorted(ord(c) for c in _MARK_TRADITIONAL), np.uint32)
+
+
 def detect_encoding(payload: bytes) -> tuple[str, str] | None:
     """Best-effort statistical detection (see block comment above).
-    Returns (canonical name, python codec) or None."""
+    Returns (canonical name, python codec) or None. Every per-byte /
+    per-char measure is a numpy mask (the detector sits on the UDF hot
+    path for every undeclared non-utf-8 page, so the scoring must not
+    cost python-loop time on 8 KiB samples)."""
     sample = payload[:_DETECT_SAMPLE]
     if not sample:
         return None
-    n_high = sum(b > 127 for b in sample)
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    high = arr > 127
+    n_high = int(high.sum())
     if n_high / len(sample) < _DETECT_MIN_HIGH_FRAC:
         return None
     # Accented-LATIN rejector: in Latin text, high bytes are lone accents
@@ -789,29 +824,29 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
     # (every latin-1 byte is some Greek letter too). A dominance floor
     # backs it up: non-Latin pages keep high bytes a substantial share
     # of letter-ish bytes even with English nav/footer chrome.
-    def _is_ascii_alpha(b: int) -> bool:
-        return 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A
-
+    #
     # "part of an ASCII word" = an ASCII letter with another ASCII letter
     # adjacent (run ≥ 2). The run requirement matters: multibyte trail
     # bytes (big5/cp932 second bytes span 0x40-0x7E) often ARE lone
     # ASCII-letter bytes sandwiched between high leads, and must not
     # read as Latin mixing.
-    alpha = [_is_ascii_alpha(b) for b in sample]
-    in_word = [
-        a
-        and ((i > 0 and alpha[i - 1]) or (i + 1 < len(alpha) and alpha[i + 1]))
-        for i, a in enumerate(alpha)
-    ]
-    latin_mixed = sum(
-        (i > 0 and in_word[i - 1])
-        or (i + 1 < len(sample) and in_word[i + 1])
-        for i, b in enumerate(sample)
-        if b > 127
-    )
+    alpha = ((arr >= 0x41) & (arr <= 0x5A)) | ((arr >= 0x61) & (arr <= 0x7A))
+
+    def _left(m: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(m)
+        out[1:] = m[:-1]
+        return out
+
+    def _right(m: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(m)
+        out[:-1] = m[1:]
+        return out
+
+    in_word = alpha & (_left(alpha) | _right(alpha))
+    latin_mixed = int((high & (_left(in_word) | _right(in_word))).sum())
     if latin_mixed / n_high > 0.3:
         return None
-    n_ascii_alpha = sum(_is_ascii_alpha(b) for b in sample)
+    n_ascii_alpha = int(alpha.sum())
     if n_high / (n_high + n_ascii_alpha) < 0.25:
         return None
 
@@ -835,14 +870,15 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         t = _strict_sample(payload, codec)
         if t is None:
             continue
-        hi = [c for c in t if ord(c) > 127]
-        if len(hi) < 8:
+        cp = _codepoints(t)
+        hi = cp[cp > 127]
+        n = int(hi.size)
+        if n < 8:
             continue
-        kana = sum(0x3040 <= ord(c) <= 0x30FF for c in hi)
-        halfw = sum(0xFF61 <= ord(c) <= 0xFF9F for c in hi)
-        hangul = sum(0xAC00 <= ord(c) <= 0xD7A3 for c in hi)
-        han = sum(0x4E00 <= ord(c) <= 0x9FFF for c in hi)
-        n = len(hi)
+        kana = int(((hi >= 0x3040) & (hi <= 0x30FF)).sum())
+        halfw = int(((hi >= 0xFF61) & (hi <= 0xFF9F)).sum())
+        hangul = int(((hi >= 0xAC00) & (hi <= 0xD7A3)).sum())
+        han = int(((hi >= 0x4E00) & (hi <= 0x9FFF)).sum())
         if name == "shift_jis":
             if halfw / n > 0.2 or kana / n < 0.05 or (kana + han) / n < 0.8:
                 continue
@@ -850,45 +886,45 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         elif name == "euc-kr":
             if hangul / n < 0.5:
                 continue
-            marks = sum(c in _MARK_HANGUL for c in hi) / n
+            marks = int(np.isin(hi, _MARK_HANGUL_CP).sum()) / n
             consider(hangul / n + 2 * marks, order, name, codec)
         else:
             if han / n < 0.8:
                 continue
-            marks = _MARK_SIMPLIFIED if name == "gbk" else _MARK_TRADITIONAL
-            consider(han / n + 2 * (sum(c in marks for c in hi) / n),
-                     order, name, codec)
+            mk = _MARK_SIMP_CP if name == "gbk" else _MARK_TRAD_CP
+            consider(
+                han / n + 2 * (int(np.isin(hi, mk).sum()) / n),
+                order,
+                name,
+                codec,
+            )
     if best is not None and best[0] >= 1.0:
         return best[2], best[3]
 
     # --- single-byte phase ---------------------------------------------
     best = None
     for order, (name, codec, freq) in enumerate(_SB_CANDIDATES):
-        t = sample.decode(codec, errors="replace")
-        hi = [c for c in t if ord(c) > 127]
-        if len(hi) < 8:
+        is_letter, is_lower, is_upper, is_freq = _sb_tables(codec, freq)
+        # byte i decodes to a fixed char, so these ARE the decoded text's
+        # per-char properties; hi == high (all bytes >127 decode >127)
+        if n_high < 8:
             continue
-        letters = [c for c in hi if c.isalpha()]
-        lfrac = len(letters) / len(hi)
-        if lfrac < 0.9 or not letters:
+        hletters = is_letter[arr] & high
+        n_letters = int(hletters.sum())
+        lfrac = n_letters / n_high
+        if lfrac < 0.9 or not n_letters:
             continue
-        lower_frac = sum(c.islower() for c in letters) / len(letters)
-        freq_hit = sum(c.lower() in freq for c in letters) / len(letters)
+        lower_frac = int((is_lower[arr] & hletters).sum()) / n_letters
+        freq_hit = int((is_freq[arr] & hletters).sum()) / n_letters
         if freq_hit < 0.35:
             continue
-        # intra-word case alternation (wrong-table decodes alternate)
-        alt = 0
-        pairs = 0
-        prev: str | None = None
-        for c in t:
-            if c.isalpha():
-                if prev is not None:
-                    pairs += 1
-                    if prev.islower() and c.isupper():
-                        alt += 1
-                prev = c
-            else:
-                prev = None
+        # intra-word case alternation (wrong-table decodes alternate):
+        # adjacent letter pairs where a lowercase is followed by an
+        # uppercase (ASCII letters participate, as in real words)
+        letter = is_letter[arr]
+        pair = letter[:-1] & letter[1:]
+        pairs = int(pair.sum())
+        alt = int((pair & is_lower[arr][:-1] & is_upper[arr][1:]).sum())
         alt_rate = alt / pairs if pairs else 0.0
         consider(
             0.4 * lfrac + 0.3 * freq_hit + 0.3 * lower_frac - 0.8 * alt_rate,
