@@ -5186,3 +5186,34 @@ def jsonld_meta(spark, sf_dir):
         W.jsonld_field(ld, "$.author.name").alias("author"),
         W.jsonld_field(ld, "$.keywords[0]").alias("kw0"),
     )
+
+
+@q("encoding_census")  # rows-only: the encoding column is decided INSIDE
+# the extraction UDF (BOM / WHATWG meta prescan / iso-2022 signature /
+# statistical detection / fallback chain over raw bytes) — SQL cannot
+# reproduce the decode ladder; the per-page values are byte-identity
+# pinned by the T1 corpus roundtrip (tests/test_encoding.py) and the
+# fresh-seed verify drive.
+def encoding_census(spark, sf_dir):
+    """Corpus-QA census of HOW pages decoded: per (format, encoding
+    label) doc counts over the extraction output — declared canonical
+    names, '<name>+detected' statistical picks (v19), the utf-8/latin-1
+    chain, and error rows with no encoding. The first report a curator
+    reads when a crawl slice's mojibake rate is in question, and the
+    operational face of the whole v17-v19 encoding layer. Scale shape:
+    rides the extraction stage, then ONE ≤(7×~20)-group aggregation
+    Exchange, map-side combined."""
+    from ..operators.extract import extract_pages
+    from ..sources.pages import read_pages
+    from .queries import _corpus_dir
+
+    pages = read_pages(spark, _corpus_dir() + "/pages.parquet")
+    out = extract_pages(pages)
+    return (
+        out.groupBy("format", "encoding")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "detected",
+            F.coalesce(F.col("encoding").endswith("+detected"), F.lit(False)),
+        )
+    )
