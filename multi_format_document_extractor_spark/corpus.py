@@ -31,7 +31,11 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 19  # v19: ~4% of HTML pages are UNDECLARED legacy pages
+CORPUS_VERSION = 20  # v20: the charset layer covers the unicameral
+# scripts — Arabic (windows-1256), Hebrew (windows-1255), Thai
+# (windows-874) pages appear BOTH declared and undeclared; undeclared
+# ones exercise the detector's caseless-coherence branch (no lowercase
+# signal exists in those scripts). v19: ~4% of HTML pages are UNDECLARED legacy pages
 # (no BOM, no meta charset — codec from the statistically-detectable set:
 # cp1251/koi8-r/greek/sjis/euc-kr/gbk/big5/iso-2022-jp) that only
 # oracle.detect_encoding (charset_normalizer-class deterministic
@@ -170,6 +174,20 @@ _CHARSET_VOCABS["big5"] = tuple(
     "台灣 時間 世界 技術 資訊 文件 文章 內容 搜尋 使用 需要 系統 "
     "問題 資料 網頁 語言".split()
 )
+# v20 unicameral scripts (Arabic, Hebrew, Thai) — the detector's caseless
+# coherence branch; every word round-trip-pinned like the rest
+_CHARSET_VOCABS["windows-1256"] = tuple(
+    "السلام عليكم مدينة كتاب ماء سماء يوم خبر مقال بحث نظام سؤال "
+    "جواب وقت عالم".split()
+)
+_CHARSET_VOCABS["windows-1255"] = tuple(
+    "שלום עולם עיר ספר מים שמים יום חדשות מאמר חיפוש מערכת שאלה "
+    "תשובה זמן".split()
+)
+_CHARSET_VOCABS["windows-874"] = tuple(
+    "กรุงเทพ เมือง หนังสือ น้ำ ฟ้า วัน ข่าว บทความ ค้นหา ระบบ คำถาม "
+    "คำตอบ เวลา โลก".split()
+)
 
 # utf-16 page content mixes scripts (the codec covers all of Unicode)
 _U16_VOCAB = (
@@ -185,6 +203,7 @@ _U16_VOCAB = (
 _DETECTABLE = (
     "windows-1251", "koi8-r", "iso-8859-7",
     "shift_jis", "euc-kr", "gbk", "big5", "iso-2022-jp",
+    "windows-1256", "windows-1255", "windows-874",  # unicameral (v20)
 )
 
 

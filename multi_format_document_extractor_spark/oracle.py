@@ -747,11 +747,23 @@ _DETECT_MIN_HIGH_FRAC = 0.10  # high-byte density gate (vs sample length)
 
 _FREQ_RU = set("оеаинтсрвлкмдпуя")
 _FREQ_EL = set("αοειτσνηρκπυςμλ")
+# unicameral scripts (no case signal — coherence is CASELESSNESS there)
+_FREQ_AR = set("اليمونرتبهةعسدكف")
+_FREQ_HE = set("יוהלארתמשבםעננד")
+_FREQ_TH = set("านรกองเมยวบทคสลิ้ัื")
 
+# (canonical, codec, frequent letters, bicameral?) — bicameral scripts
+# score lowercase coherence (the cp1251/koi8-r discriminator); unicameral
+# ones score CASELESS coherence, which symmetrically penalizes wrong-table
+# reads in both directions (Arabic read as cp1251 turns cased, Russian
+# read as cp1256 turns caseless-with-wrong-frequencies).
 _SB_CANDIDATES = (
-    ("windows-1251", "cp1251", _FREQ_RU),
-    ("koi8-r", "koi8-r", _FREQ_RU),
-    ("iso-8859-7", "iso8859-7", _FREQ_EL),
+    ("windows-1251", "cp1251", _FREQ_RU, True),
+    ("koi8-r", "koi8-r", _FREQ_RU, True),
+    ("iso-8859-7", "iso8859-7", _FREQ_EL, True),
+    ("windows-1256", "cp1256", _FREQ_AR, False),
+    ("windows-1255", "cp1255", _FREQ_HE, False),
+    ("windows-874", "cp874", _FREQ_TH, False),
 )
 
 # simplified-vs-traditional marker characters (divergent forms only)
@@ -783,8 +795,16 @@ _SB_TABLES: dict[str, tuple[np.ndarray, ...]] = {}
 def _sb_tables(codec: str, freq: set[str]) -> tuple[np.ndarray, ...]:
     tabs = _SB_TABLES.get(codec)
     if tabs is None:
+        import unicodedata
+
         chars = [bytes([i]).decode(codec, errors="replace") for i in range(256)]
-        is_letter = np.array([c.isalpha() for c in chars], dtype=bool)
+        # combining marks (Mn) count as letter-ish: Thai vowels/tone
+        # marks and Hebrew/Arabic points are part of words, and str
+        # .isalpha() excludes them
+        is_letter = np.array(
+            [c.isalpha() or unicodedata.category(c) == "Mn" for c in chars],
+            dtype=bool,
+        )
         is_lower = np.array([c.islower() for c in chars], dtype=bool)
         is_upper = np.array([c.isupper() for c in chars], dtype=bool)
         is_freq = np.array([c.lower() in freq for c in chars], dtype=bool)
@@ -903,7 +923,7 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
 
     # --- single-byte phase ---------------------------------------------
     best = None
-    for order, (name, codec, freq) in enumerate(_SB_CANDIDATES):
+    for order, (name, codec, freq, bicameral) in enumerate(_SB_CANDIDATES):
         is_letter, is_lower, is_upper, is_freq = _sb_tables(codec, freq)
         # byte i decodes to a fixed char, so these ARE the decoded text's
         # per-char properties; hi == high (all bytes >127 decode >127)
@@ -915,9 +935,18 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         if lfrac < 0.9 or not n_letters:
             continue
         lower_frac = int((is_lower[arr] & hletters).sum()) / n_letters
+        uncased_frac = (
+            int((hletters & ~is_lower[arr] & ~is_upper[arr]).sum())
+            / n_letters
+        )
         freq_hit = int((is_freq[arr] & hletters).sum()) / n_letters
         if freq_hit < 0.35:
             continue
+        # case coherence: bicameral scripts want mostly-lowercase (the
+        # cp1251/koi8-r discriminator: each reads the other as all-caps);
+        # unicameral ones want CASELESS letters — symmetric penalties for
+        # wrong-table reads in both directions
+        case_term = lower_frac if bicameral else uncased_frac
         # intra-word case alternation (wrong-table decodes alternate):
         # adjacent letter pairs where a lowercase is followed by an
         # uppercase (ASCII letters participate, as in real words)
@@ -927,7 +956,7 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         alt = int((pair & is_lower[arr][:-1] & is_upper[arr][1:]).sum())
         alt_rate = alt / pairs if pairs else 0.0
         consider(
-            0.4 * lfrac + 0.3 * freq_hit + 0.3 * lower_frac - 0.8 * alt_rate,
+            0.4 * lfrac + 0.3 * freq_hit + 0.3 * case_term - 0.8 * alt_rate,
             order,
             name,
             codec,

@@ -314,6 +314,10 @@ def test_detect_encoding_per_script():
         "euc-kr": ("cp949", "한국 서울 시간 세계 기술 정보 문서 기사 내용 검색 사용 필요 이것 하다"),
         "gbk": ("gbk", "中国 北京 时间 世界 技术 信息 文档 文章 内容 搜索 使用 需要"),
         "big5": ("big5hkscs", "台灣 時間 世界 技術 資訊 文件 文章 內容 搜尋 使用 需要 系統"),
+        # unicameral scripts (v20): caseless-coherence branch
+        "windows-1256": ("cp1256", "السلام عليكم مدينة كتاب ماء سماء يوم خبر مقال بحث نظام"),
+        "windows-1255": ("cp1255", "שלום עולם עיר ספר מים שמים יום חדשות מאמר חיפוש מערכת"),
+        "windows-874": ("cp874", "กรุงเทพ เมือง หนังสือ น้ำ ฟ้า วัน ข่าว บทความ ค้นหา ระบบ"),
     }
     for name, (codec, words) in cases.items():
         p = _undeclared_page(codec, words)
@@ -368,3 +372,5 @@ def test_corpus_v19_undeclared_pages_roundtrip():
             seen.add(got.encoding.removesuffix("+detected"))
     assert {"windows-1251", "iso-2022-jp"} <= seen, seen
     assert len(seen) >= 5, seen
+    # v20: at least one unicameral script must appear detected
+    assert seen & {"windows-1256", "windows-1255", "windows-874"}, seen
