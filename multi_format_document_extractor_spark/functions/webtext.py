@@ -604,12 +604,22 @@ def whatwg_canonical(label: Column) -> Column:
 # never leaves the scan stage.
 # ---------------------------------------------------------------------------
 
-JSONLD_SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
+# Attribute-tolerant + dot-all: real publishers pretty-print the JSON
+# across lines and write the script tag with extra attributes, any
+# attribute order, single/double/no quotes, and any case — all accepted.
+# \x27 is the apostrophe, spelled as an escape so the pattern can be
+# interpolated into a single-quoted DuckDB SQL literal unchanged (the
+# oracle SQL and this constant must stay character-identical).
+JSONLD_SCRIPT_RE = (
+    r'(?is)<script\b[^>]*\btype\s*=\s*["\x27]?application/ld\+json["\x27]?'
+    r"[^>]*>(.*?)</script\s*>"
+)
 
 
 def jsonld_block(html: Column) -> Column:
     """The first JSON-LD island's raw JSON text, NULL when the page has
-    none. Non-greedy body match — a second island or trailing markup
+    none. Non-greedy dot-all body match — multiline pretty-printed
+    islands are lifted whole, and a second island or trailing markup
     never bleeds in; islands are matched verbatim (no comment/CDATA
     stripping — publishers emit bare JSON there)."""
     b = F.regexp_extract(html, JSONLD_SCRIPT_RE, 1)

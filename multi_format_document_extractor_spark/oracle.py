@@ -744,6 +744,13 @@ def sniff_encoding(payload: bytes) -> tuple[str, str] | None:
 
 _DETECT_SAMPLE = 8192
 _DETECT_MIN_HIGH_FRAC = 0.10  # high-byte density gate (vs sample length)
+# Evidence floor: no candidate may win on fewer than this many script
+# letters (decoded high codepoints in the CJK phase, high letter bytes in
+# the single-byte phase). Tiny or binary-ish payloads — hypothesis found
+# an 8-byte sample confidently labeled cp1251 — must fall to the chain:
+# a handful of high bytes is consistent with EVERY legacy codec, so a
+# claim from them is noise, and it skews the encoding census downstream.
+_DETECT_MIN_LETTERS = 32
 
 _FREQ_RU = set("оеаинтсрвлкмдпуя")
 _FREQ_EL = set("αοειτσνηρκπυςμλ")
@@ -834,6 +841,8 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
     arr = np.frombuffer(sample, dtype=np.uint8)
     high = arr > 127
     n_high = int(high.sum())
+    if n_high < _DETECT_MIN_LETTERS:
+        return None  # evidence floor: letters ≤ high bytes in every phase
     if n_high / len(sample) < _DETECT_MIN_HIGH_FRAC:
         return None
     # Accented-LATIN rejector: in Latin text, high bytes are lone accents
@@ -893,7 +902,7 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         cp = _codepoints(t)
         hi = cp[cp > 127]
         n = int(hi.size)
-        if n < 8:
+        if n < _DETECT_MIN_LETTERS:
             continue
         kana = int(((hi >= 0x3040) & (hi <= 0x30FF)).sum())
         halfw = int(((hi >= 0xFF61) & (hi <= 0xFF9F)).sum())
@@ -927,12 +936,12 @@ def detect_encoding(payload: bytes) -> tuple[str, str] | None:
         is_letter, is_lower, is_upper, is_freq = _sb_tables(codec, freq)
         # byte i decodes to a fixed char, so these ARE the decoded text's
         # per-char properties; hi == high (all bytes >127 decode >127)
-        if n_high < 8:
-            continue
         hletters = is_letter[arr] & high
         n_letters = int(hletters.sum())
+        if n_letters < _DETECT_MIN_LETTERS:
+            continue
         lfrac = n_letters / n_high
-        if lfrac < 0.9 or not n_letters:
+        if lfrac < 0.9:
             continue
         lower_frac = int((is_lower[arr] & hletters).sum()) / n_letters
         uncased_frac = (
@@ -975,18 +984,29 @@ _ISO2022_SIGS = (b"\x1b$B", b"\x1b$@")
 def decode_web(payload: bytes) -> tuple[str, str]:
     """Decode a web payload: BOM > meta prescan > iso-2022 signature >
     strict utf-8 > statistical detection > the reference chain.
-    Declared codecs decode STRICTLY and fall back on failure, so a
-    mislabeled page degrades instead of raising; the returned label is
-    the WHATWG canonical name when a declaration won, the canonical name
-    + '+detected' when statistics won, else the chain's pick
+
+    Declared-codec error handling is split by family, matching how the
+    real web lies: a LEGACY declaration (cp1251, shift_jis, …) is
+    authoritative and decodes with per-byte U+FFFD replacement — the
+    WHATWG decoder semantics — so one stray byte (0x98 in cp1251, 0x81
+    in cp1252) no longer demotes a correctly-declared page to whole-
+    document latin-1 mojibake. A UTF declaration (utf-8 via BOM/meta,
+    utf-16 via BOM) stays STRICT with fallback to the undeclared ladder,
+    because "declares utf-8, is actually legacy" is the common
+    real-world mislabel and the ladder recovers it. The returned label
+    is the WHATWG canonical name when a declaration won, the canonical
+    name + '+detected' when statistics won, else the chain's pick
     ('utf-8'/'latin-1')."""
     hit = sniff_encoding(payload)
     if hit is not None:
         name, codec = hit
-        try:
-            return payload.decode(codec), name
-        except (UnicodeDecodeError, LookupError):
-            pass  # mislabeled page → the undeclared ladder below
+        if codec in ("utf-8", "utf-8-sig", "utf-16"):
+            try:
+                return payload.decode(codec), name
+            except UnicodeDecodeError:
+                pass  # mislabeled/truncated page → the ladder below
+        else:
+            return payload.decode(codec, errors="replace"), name
     if any(sig in payload[:_DETECT_SAMPLE] for sig in _ISO2022_SIGS):
         try:
             return payload.decode("iso2022_jp"), "iso-2022-jp+detected"

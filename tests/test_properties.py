@@ -24,11 +24,26 @@ from multi_format_document_extractor_spark.oracle import (
     FORMAT_TEXT,
     FORMAT_UNKNOWN,
     FORMAT_ZIP,
+    WHATWG_LABELS,
+    _DETECT_MIN_LETTERS,
+    _ISO2022_SIGS,
+    _SB_CANDIDATES,
     extract,
     sniff_format,
 )
 
 any_bytes = st.binary(min_size=0, max_size=4096)
+
+# decode_web's closed answer space: WHATWG canonical names (declaration
+# won), '<canonical>+detected' for the statistical/signature candidates,
+# and the chain picks. Anything else is a bug.
+_DECODE_ANSWERS = (
+    {name for name, _codec in WHATWG_LABELS.values()}
+    | {"utf-8", "latin-1"}
+    | {"iso-2022-jp+detected"}
+    | {name + "+detected" for name, _c, _f, _b in _SB_CANDIDATES}
+    | {n + "+detected" for n in ("shift_jis", "euc-kr", "gbk", "big5")}
+)
 
 
 @settings(max_examples=300, deadline=None)
@@ -46,15 +61,27 @@ def test_extract_is_total_and_deterministic(payload):
         b.encoding,
     )
     assert a.checksum == zlib.crc32(a.text)
-    # encoding chain: html/text record the decode pick (utf-8 when the
-    # payload is valid utf-8, else latin-1 — the total fallback); formats
-    # that never reach decode_chain record None
+    # encoding: html/text/csv record decode_web's pick — any member of
+    # its closed answer space (a declaration the payload happens to
+    # carry, a statistical '<name>+detected' claim when the evidence
+    # floor is met, or a chain pick); formats that never reach the
+    # decoder record None. When the payload carries no declaration, no
+    # iso-2022 signature, and too few high bytes to clear the detector's
+    # evidence floor, the answer must be exactly the chain's.
     if a.format in (FORMAT_HTML, FORMAT_TEXT, FORMAT_CSV) and a.ok:
-        try:
-            payload.decode("utf-8")
-            assert a.encoding == "utf-8"
-        except UnicodeDecodeError:
-            assert a.encoding == "latin-1"
+        assert a.encoding in _DECODE_ANSWERS, a.encoding
+        undeclared = (
+            not payload.startswith((b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"))
+            and b"<meta" not in payload[:1024].lower()
+            and not any(sig in payload for sig in _ISO2022_SIGS)
+        )
+        n_high = sum(b > 127 for b in payload)
+        if undeclared and n_high < _DETECT_MIN_LETTERS:
+            try:
+                payload.decode("utf-8")
+                assert a.encoding == "utf-8"
+            except UnicodeDecodeError:
+                assert a.encoding == "latin-1"
     else:
         assert a.encoding is None
     assert a.format in (
