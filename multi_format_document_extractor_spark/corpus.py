@@ -31,7 +31,12 @@ import pyarrow.parquet as pq
 
 # Bump when generator output changes for a given (n, seed): cache dirs
 # (bench.py, scaling_bench) embed this so a stale corpus is never reused.
-CORPUS_VERSION = 20  # v20: the charset layer covers the unicameral
+CORPUS_VERSION = 21  # v21: ~22% of PDFs are SCANNED documents — page
+# content is a raster image XObject (gray/1-bit/RGB Flate ± PNG
+# predictor ± /Decode inversion, or /DCTDecode JPEG) whose text exists
+# only as FONT5X7 pixels, some pages with a typeset header above the
+# scan; extraction must decode the raster and glyph-classify it in
+# reading order (oracle._pdf_image_spans). v20: the charset layer covers the unicameral
 # scripts — Arabic (windows-1256), Hebrew (windows-1255), Thai
 # (windows-874) pages appear BOTH declared and undeclared; undeclared
 # ones exercise the detector's caseless-coherence branch (no lowercase
@@ -573,6 +578,7 @@ def _build_pdf(
     f1_widths: list[int] | None = None,
     widths_indirect: bool = False,
     cid_widths: tuple[bytes, int] | None = None,
+    images: dict[str, tuple[bytes, bytes]] | None = None,
 ) -> bytes:
     """Assemble a minimal multi-page PDF. Corpus v4 exercises the
     real-subset container features the parser supports (VERDICT r3 #1):
@@ -605,6 +611,13 @@ def _build_pdf(
     subset-embedded-font layout real writers emit, where codes are NOT
     character values. ``indirect_resources`` stores the page /Resources
     dict as its own indirect object instead of inline.
+
+    Corpus v21 scanned pages: ``images`` maps an XObject resource name
+    (e.g. ``Im0``) to (dict-head fragment sans /Type//Subtype//Length,
+    raw stream data); each becomes a ``/Type /XObject /Subtype /Image``
+    stream object referenced from the page /Resources ``/XObject``
+    dict — the layout a scanner/print driver emits, where page content
+    is one ``cm … Do`` painting and the text lives only in pixels.
 
     Corpus v16 metrics: ``f1_widths`` turns /F1 into an INDIRECT font
     object carrying real glyph metrics — ``/FirstChar 32`` + ``/Widths``
@@ -704,6 +717,22 @@ def _build_pdf(
         )
         font_frag += f" /{fname} {font_num} 0 R"
     font_frag += " >>"
+    if images:
+        xfrags: list[str] = []
+        for iname, (ihead, idata) in images.items():
+            inum = next_int_obj
+            next_int_obj += 1
+            objs.append(
+                (
+                    inum,
+                    b"<< /Type /XObject /Subtype /Image " + ihead
+                    + f" /Length {len(idata)} >>\nstream\n".encode()
+                    + idata
+                    + b"\nendstream",
+                )
+            )
+            xfrags.append(f"/{iname} {inum} 0 R")
+        font_frag += " /XObject << " + " ".join(xfrags) + " >>"
     if indirect_resources:
         res_num = next_int_obj
         next_int_obj += 1
@@ -1166,6 +1195,126 @@ def _make_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     return payload, "\n\n".join(page_texts), n_pages
 
 
+def _make_scanned_pdf(rng: random.Random) -> tuple[bytes, str, int]:
+    """Scanned-document PDF (corpus v21): each page's content is a raster
+    image XObject painted with ``q w 0 0 h tx ty cm /ImN Do Q`` — the
+    text exists only as pixels, the reference's OCR scenario
+    (src/parsers/ocr_parser.py:59-217 feeds page images to EasyOCR;
+    src/ai_pipeline.py:343-388 renders PDF→image for the vision model).
+    Lines render in the shared FONT5X7 glyph grid, and the sample data
+    rotates over the encodings real scanners emit: 8-bit DeviceGray
+    Flate, Flate + PNG Up predictor (/DecodeParms), /Decode [1 0]
+    inverted gray, 1-bit DeviceGray stencils, DeviceRGB Flate, and
+    /DCTDecode (a real JPEG body — baseline or progressive per
+    render_jpeg's own mix). ~35% of pages put a real text operator
+    header ABOVE the scan, so reading order must interleave typeset and
+    classified text. The container reuses every _build_pdf feature
+    (permuted object layout, PDF 1.5 ObjStm/XRef-stream, filtered
+    content streams)."""
+    from .oracle import GLYPH_H, _render_ink_pixels, render_jpeg
+
+    n_pages = rng.randint(1, 2)
+    page_streams: list[bytes] = []
+    page_texts: list[str] = []
+    images: dict[str, tuple[bytes, bytes]] = {}
+    for pi in range(n_pages):
+        n_lines = rng.randint(2, 5)
+        lines = [
+            _words(rng, rng.randint(2, 4)).upper() for _ in range(n_lines)
+        ]
+        variant = rng.choices(
+            ("flate", "pred", "inv", "bits1", "rgb", "dct"),
+            weights=(25, 15, 10, 15, 10, 25),
+        )[0]
+        name = f"Im{pi}"
+        if variant == "dct":
+            w = max(len(ln) for ln in lines) * 6
+            h = len(lines) * GLYPH_H
+            data = render_jpeg(lines)
+            head = (
+                f"/Width {w} /Height {h} /ColorSpace /DeviceGray"
+                f" /BitsPerComponent 8 /Filter /DCTDecode"
+            )
+        else:
+            w, h, ink = _render_ink_pixels(lines)
+            if variant == "bits1":
+                stride = (w + 7) // 8
+                raster = bytearray(b"\xff" * (stride * h))
+                for x, y in ink:  # DeviceGray 1-bit: sample 0 = black
+                    raster[y * stride + (x >> 3)] &= ~(1 << (7 - (x & 7)))
+                data = zlib.compress(bytes(raster))
+                head = (
+                    f"/Width {w} /Height {h} /ColorSpace /DeviceGray"
+                    f" /BitsPerComponent 1 /Filter /FlateDecode"
+                )
+            elif variant == "rgb":
+                buf = bytearray(b"\xff" * (3 * w * h))
+                for x, y in ink:  # dark navy ink: luma 28, well under 128
+                    o = 3 * (y * w + x)
+                    buf[o], buf[o + 1], buf[o + 2] = 20, 20, 90
+                data = zlib.compress(bytes(buf))
+                head = (
+                    f"/Width {w} /Height {h} /ColorSpace /DeviceRGB"
+                    f" /BitsPerComponent 8 /Filter /FlateDecode"
+                )
+            else:
+                bg, fg = (0, 255) if variant == "inv" else (255, 0)
+                gray = bytearray(bytes([bg]) * (w * h))
+                for x, y in ink:
+                    gray[y * w + x] = fg
+                if variant == "pred":
+                    # PNG Up predictor over w-byte rows, tagged per row —
+                    # the layout scanner drivers emit on image streams
+                    pred = bytearray()
+                    prev = bytes(w)
+                    for r in range(0, len(gray), w):
+                        row = bytes(gray[r : r + w])
+                        pred.append(2)
+                        pred += bytes(
+                            (row[i] - prev[i]) & 0xFF for i in range(w)
+                        )
+                        prev = row
+                    data = zlib.compress(bytes(pred))
+                    parms = (
+                        f" /DecodeParms << /Predictor 12 /Columns {w} >>"
+                    )
+                else:
+                    data = zlib.compress(bytes(gray))
+                    parms = ""
+                decode = " /Decode [1 0]" if variant == "inv" else ""
+                head = (
+                    f"/Width {w} /Height {h} /ColorSpace /DeviceGray"
+                    f" /BitsPerComponent 8 /Filter /FlateDecode"
+                    f"{parms}{decode}"
+                )
+        images[name] = (head.encode(), data)
+        scale = rng.choice((1.5, 2.0, 3.0))
+        w_pt, h_pt = w * scale, h * scale
+        tx = rng.choice((40.0, 60.0))
+        ty = 720.0 - h_pt
+        place = f"q {w_pt:g} 0 0 {h_pt:g} {tx:g} {ty:g} cm /{name} Do Q"
+        header: str | None = None
+        if rng.random() < 0.35:
+            # mixed page: typeset header above the scan — classified
+            # image lines must interleave below it in reading order
+            header = _words(rng, rng.randint(2, 5))
+            place = (
+                f"BT /F1 12 Tf 1 0 0 1 {tx:g} 740 Tm "
+                f"({_pdf_escape(header)}) Tj ET\n" + place
+            )
+        page_streams.append(place.encode())
+        body = "\n".join(lines)
+        page_texts.append(f"{header}\n{body}" if header else body)
+    payload = _build_pdf(
+        page_streams,
+        stream_filter="flate" if rng.random() < 0.4 else None,
+        permute=rng if rng.random() < 0.4 else None,
+        objstm=rng.random() < 0.2,
+        images=images,
+    )
+    return payload, "\n\n".join(page_texts), n_pages
+
+
 # ---------------------------------------------------------------------------
 # Plain-text pages
 # ---------------------------------------------------------------------------
@@ -1616,7 +1765,10 @@ def gen_rows(n: int, seed: int = 42) -> list[PageRow]:
                 noisy = payload.decode("utf-8")
             expected, fmt = exp_s.encode("utf-8"), "html"
         elif kind == "pdf":
-            payload, exp_s, n_blocks = _make_pdf(rng)
+            if rng.random() < 0.22:  # v21: scanned (raster-XObject) docs
+                payload, exp_s, n_blocks = _make_scanned_pdf(rng)
+            else:
+                payload, exp_s, n_blocks = _make_pdf(rng)
             expected, fmt = exp_s.encode("utf-8"), "pdf"
             noisy = exp_s
         elif kind == "docx":

@@ -8,12 +8,13 @@ pool) is real and tested. PNG, GIF, and JPEG decode FOR REAL via the stdlib
 codecs in oracle.py, resize is a REAL fixed-point bilinear resample over
 those decoded rasters (PNG re-encode on the way out), WAV audio parses for
 real, and animated-GIF frame sampling is REAL (GCE timeline decode +
-partial-rect compositing). The remaining codec steps (mp4/webm video;
-containers with no stdlib codec like webp/tiff) are STUBBED because the
-sandbox has no image/video libraries —
-``decode_image_stub`` produces a deterministic fake "decode" and a
-clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
-plug in on a real cluster.
+partial-rect compositing). mp4/mov CONTAINER metadata (dims, duration)
+parses for real via the ISO-BMFF box-walk below; only the remaining
+codec steps (mp4/webm FRAME decode; containers with no stdlib codec
+like webp/tiff) are STUBBED because the sandbox has no image/video
+libraries — ``decode_image_stub`` produces a deterministic fake
+"decode" and a clearly-marked NotImplementedError hook shows where
+pillow/ffmpeg would plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ if TYPE_CHECKING:
 
 MEDIA_META_DDL = (
     "doc_id long, media_type string, n_bytes long, digest string, "
-    "width int, height int"
+    "width int, height int, duration_ms long"
 )
 
 _MAGIC = {
@@ -48,9 +49,83 @@ def sniff_media(payload: bytes | None) -> str:
     for magic, mt in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return mt
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"  # ISO-BMFF family (mp4/mov/m4a share it)
     if payload[:4] == b"RIFF":
         return _RIFF_FORMS.get(payload[8:12], "application/octet-stream")
     return "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (mp4/mov) metadata: a REAL stdlib box-walk (ISO 14496-12).
+# Frame DECODE stays an environment hook (H.264/VP9 entropy coding is not
+# stdlib territory), but the container structure is plain length-tagged
+# boxes: moov → mvhd carries the movie timescale + duration, each
+# trak → tkhd carries the track's presentation size as 16.16 fixed-point.
+# This shrinks the mp4 stub surface to pixel decode only — dims/duration
+# report for real (round-4 VERDICT "Next round" #6).
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end):
+    32-bit size (1 → 64-bit largesize follows, 0 → runs to the end);
+    malformed sizes stop the walk instead of raising."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from the moov box, or None when the
+    payload is not ISO-BMFF / carries no moov. Width/height are the max
+    over video tracks' tkhd 16.16 sizes (version 0 and 1 layouts both
+    read); duration converts mvhd ticks through its timescale."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    for typ, a, b in _iter_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        w = h = dur_ms = 0
+        for t2, c, d in _iter_boxes(payload, a, b):
+            if t2 == b"mvhd" and d - c >= 20:
+                ver = payload[c]
+                if ver == 1 and d - c >= 32:
+                    scale = int.from_bytes(payload[c + 20 : c + 24], "big")
+                    dur = int.from_bytes(payload[c + 24 : c + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[c + 12 : c + 16], "big")
+                    dur = int.from_bytes(payload[c + 16 : c + 20], "big")
+                if scale:
+                    dur_ms = dur * 1000 // scale
+            elif t2 == b"trak":
+                for t3, e, f in _iter_boxes(payload, c, d):
+                    if t3 != b"tkhd":
+                        continue
+                    off = e + (88 if payload[e] == 1 else 76)
+                    if off + 8 <= f:
+                        tw = int.from_bytes(payload[off : off + 4], "big") >> 16
+                        th = (
+                            int.from_bytes(payload[off + 4 : off + 8], "big")
+                            >> 16
+                        )
+                        if tw and th:
+                            w, h = max(w, tw), max(h, th)
+        return w, h, dur_ms  # first moov is authoritative
+    return None
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
@@ -87,29 +162,39 @@ def decode_image_stub(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
-def _dims_of(p: bytes | None) -> tuple[int, int]:
-    """Real dims for decodable PNGs/GIFs/JPEGs, digest-stub dims for
-    unknown containers, (0, 0) for null/corrupt payloads — never an
-    exception (the error-as-data rule)."""
+def _meta_of(p: bytes | None) -> tuple[int, int, int]:
+    """(width, height, duration_ms): real dims for decodable
+    PNGs/GIFs/JPEGs (duration 0 — stills), real box-walk metadata for
+    ISO-BMFF video, digest-stub dims for unknown containers, zeros for
+    null/corrupt payloads — never an exception (the error-as-data
+    rule)."""
     if p is None:
-        return 0, 0
+        return 0, 0, 0
     if (
         p[:8] == b"\x89PNG\r\n\x1a\n"
         or p[:4] == b"GIF8"
         or p[:3] == b"\xff\xd8\xff"
     ):
         try:
-            return decode_image(p)
+            w, h = decode_image(p)
+            return w, h, 0
         except Exception:  # noqa: BLE001 — corrupt container, dims unknown
-            return 0, 0
-    return decode_image_stub(p)
+            return 0, 0, 0
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        try:
+            meta = mp4_metadata(p)
+        except Exception:  # noqa: BLE001 — malformed box tree
+            meta = None
+        return meta if meta is not None else (0, 0, 0)
+    w, h = decode_image_stub(p)
+    return w, h, 0
 
 
 def _meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     # per-partition decoder pool slot (mirrors operators/extract.ParserPool)
     for pdf in batches:
         payloads = list(pdf["payload"])
-        dims = [_dims_of(p) for p in payloads]
+        metas = [_meta_of(p) for p in payloads]
         out = pdf[["doc_id"]].copy()
         out["media_type"] = [sniff_media(p) for p in payloads]
         out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
@@ -117,8 +202,9 @@ def _meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
             hashlib.sha256(p).hexdigest()[:16] if p is not None else ""
             for p in payloads
         ]
-        out["width"] = [d[0] for d in dims]
-        out["height"] = [d[1] for d in dims]
+        out["width"] = [m[0] for m in metas]
+        out["height"] = [m[1] for m in metas]
+        out["duration_ms"] = [m[2] for m in metas]
         yield out
 
 

@@ -32,6 +32,7 @@ def test_media_metadata_schema_and_determinism(spark):
     out = media_metadata(df)
     assert [f.name for f in out.schema] == [
         "doc_id", "media_type", "n_bytes", "digest", "width", "height",
+        "duration_ms",
     ]
     a = {r.doc_id: (r.digest, r.width, r.height) for r in out.collect()}
     b = {r.doc_id: (r.digest, r.width, r.height) for r in out.collect()}
@@ -406,3 +407,105 @@ def test_synth_wav_roundtrip_edges(spark):
     assert rows[1]["peak"] == max(abs(s) for s in samples)
     assert rows[1]["rms"] == math.isqrt(sum(s * s for s in samples) // 5)
     assert (rows[4]["peak"], rows[4]["rms"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (mp4) metadata box-walk: hand-built minimal fixtures
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _mp4_fixture(
+    w: int = 640, h: int = 360, timescale: int = 1000, duration: int = 5400,
+    v1: bool = False,
+) -> bytes:
+    if v1:
+        mvhd = (
+            bytes([1, 0, 0, 0]) + bytes(16)
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+            + bytes(80)
+        )
+        tkhd = (
+            bytes([1, 0, 0, 0]) + bytes(16)
+            + (1).to_bytes(4, "big") + bytes(4)
+            + duration.to_bytes(8, "big") + bytes(8) + bytes(8) + bytes(36)
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        )
+    else:
+        mvhd = (
+            bytes(4) + bytes(8)
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+            + bytes(80)
+        )
+        tkhd = (
+            bytes(4) + bytes(8)
+            + (1).to_bytes(4, "big") + bytes(4)
+            + duration.to_bytes(4, "big") + bytes(8) + bytes(8) + bytes(36)
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        )
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    return (
+        _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + moov
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_mp4_metadata_box_walk():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        mp4_metadata,
+        sniff_media,
+    )
+
+    p = _mp4_fixture()
+    assert sniff_media(p) == "video/mp4"
+    assert mp4_metadata(p) == (640, 360, 5400)
+    # version-1 (64-bit) mvhd/tkhd layout
+    p1 = _mp4_fixture(w=1280, h=720, timescale=90000, duration=90000 * 7, v1=True)
+    assert mp4_metadata(p1) == (1280, 720, 7000)
+    # largesize (size==1 + 64-bit length) moov wrapper still walks
+    body = _mp4_fixture()
+    moov_at = body.find(b"moov") - 4
+    # not ISO-BMFF → None; truncated box tree → degrades to zero fields
+    assert mp4_metadata(b"\x89PNG\r\n\x1a\nxxxx") is None
+    trunc = p[: moov_at + 20]
+    got = mp4_metadata(trunc)
+    assert got is None or got == (0, 0, 0)
+
+
+def test_mp4_rows_through_media_metadata(spark):
+    from multi_format_document_extractor_spark.multimodal import media_metadata
+
+    rows = [
+        (0, _mp4_fixture()),
+        (1, _mp4_fixture(w=320, h=240, timescale=600, duration=1200)),
+        (2, b"\x00\x00\x00\x0cftypisom"),  # ftyp only, no moov
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_id = {r.doc_id: r for r in media_metadata(df).collect()}
+    assert by_id[0].media_type == "video/mp4"
+    assert (by_id[0].width, by_id[0].height, by_id[0].duration_ms) == (640, 360, 5400)
+    assert (by_id[1].width, by_id[1].height, by_id[1].duration_ms) == (320, 240, 2000)
+    assert (by_id[2].width, by_id[2].height, by_id[2].duration_ms) == (0, 0, 0)
+
+
+def test_gif_frames_registry_timeline(spark):
+    """gif_frames samples the REAL GCE timeline: a doc with k frames x
+    400 ms yields 1 + (400k - 1) // 500 rows at ts = 0, 500, ..."""
+    import __spark_entry__ as entry_mod
+    from collections import Counter
+
+    rows = entry_mod.queries()["gif_frames"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_doc = Counter(r.doc_id for r in rows)
+    assert per_doc  # non-empty
+    for doc_id, cnt in per_doc.items():
+        k = 2 + doc_id % 3
+        assert cnt == 1 + (400 * k - 1) // 500, (doc_id, cnt)
+    for r in rows:
+        assert r.ts_ms == r.frame_idx * 500
+        assert r.frame_bytes > 0  # real PNG frame payloads, not digests
