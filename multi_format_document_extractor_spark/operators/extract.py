@@ -21,11 +21,11 @@ Scale design (north rule):
   moving the whole corpus through the network; the scan split does it for
   free. Residual risk: single rows larger than a split are atomic (route
   ``length(html) > cap`` to a truncating path), and *compute* skew (bytes ≠
-  cost) — corpus v5's real decoders measure up to ~115× per-byte variance
-  across formats (BENCH.md §"Per-format compute cost"), which is why
-  ``extract_pages_routed`` below routes the heavy-format byte slice
-  (~3% of bytes) through the salted path while the html/text bulk keeps
-  the zero-shuffle split.
+  cost) — the real decoders measure a ~52× per-byte spread across formats
+  (corpus v21, BENCH.md §"Per-format compute cost"), which is why
+  ``extract_pages_routed`` below routes the ≥20× heavy-format byte slice
+  (~2.8% of bytes) through the salted path while the html/text/csv/zip
+  bulk keeps the zero-shuffle split.
   (b) **Salted repartition** on ``pmod(xxhash64(url), S)``
   (``salt_partitions=S``): breaks host/layout skew *by construction* before
   the UDF — AQE only sees skew after a stage has straggled, and it cannot
@@ -285,15 +285,18 @@ def enrich_extracted(extracted: DataFrame) -> DataFrame:
     )
 
 
-# Formats whose measured per-byte extraction cost exceeds ~5x the html
-# baseline (ms/MB on corpus v5, single thread: html 21, text 58, csv 158,
-# zip 168, pdf 213, image 2337, pbm 2453 — table in BENCH.md §"Per-format
-# compute cost"). The v4/v5 real decoders (Flate PDF, PNG unfilter, GIF
-# LZW + glyph classify) widened the spread far past the <=2x the pure split plan's
-# balance argument assumes, BUT these formats are a tiny byte fraction
-# (~3% of corpus bytes), so shuffling only them is cheap while the html/
-# text bulk keeps the zero-shuffle scan-split balance.
-HEAVY_FORMATS = ("pdf", "zip", "csv", "image", "pbm")
+# Formats whose measured per-byte extraction cost exceeds ~20x the html
+# baseline (ms/MB on corpus v21, single thread: html 18, text 69, csv 128,
+# zip 142, pbm 402, pdf 455, image 958 — table in BENCH.md §"Per-format
+# compute cost"). Re-derived from that table each corpus revision
+# (round-4 VERDICT #3): the original v5 list also shuffled csv and zip,
+# drawn at a ~115x spread where they measured ~8x — but at ≤8x a solid
+# csv/zip scan split is a tolerable straggler while an Exchange is a
+# guaranteed cost, so only the ≥20x formats ride the salted branch. They
+# are a tiny byte fraction (~2.8% of corpus bytes — pdf 2.5%, image
+# 0.25%, pbm 0.03%), so shuffling only them is cheap while the
+# html/text/csv/zip bulk keeps the zero-shuffle scan-split balance.
+HEAVY_FORMATS = ("pdf", "image", "pbm")
 
 
 def extract_pages_routed(
@@ -305,18 +308,20 @@ def extract_pages_routed(
 ) -> DataFrame:
     """Format-routed extraction (round-3 VERDICT "Next round" #7): the
     scan-split plan hands every task equal input BYTES, which balances
-    COMPUTE only while per-byte cost is roughly format-uniform. Corpus
-    v5's real decoders broke that (~115x spread, table above), so this
-    variant routes by the native format sniff:
+    COMPUTE only while per-byte cost is roughly format-uniform. The real
+    decoders broke that (~52x spread at corpus v21, table above), so
+    this variant routes by the native format sniff:
 
-    - LIGHT formats (html/text — ~97% of corpus bytes): the zero-shuffle
-      split path, exactly as ``extract_pages``.
-    - HEAVY formats (~3% of bytes, up to 100x per-byte cost): salted
-      repartition before the UDF, so a format-clustered input layout
-      (e.g. a table sorted by format, where whole scan splits would be
-      solid PBM/PDF) cannot produce 100x-cost straggler tasks. The
-      shuffle moves only the heavy slice — the full-payload-shuffle
-      objection to salting everything does not apply.
+    - LIGHT formats (html/text/csv/zip — ~97% of corpus bytes, per-byte
+      cost within ~8x of html): the zero-shuffle split path, exactly as
+      ``extract_pages``.
+    - HEAVY formats (pdf/image/pbm — ~2.8% of bytes, 20-52x per-byte
+      cost): salted repartition before the UDF, so a format-clustered
+      input layout (e.g. a table sorted by format, where whole scan
+      splits would be solid PBM/PDF) cannot produce 50x-cost straggler
+      tasks. The shuffle moves only the heavy slice — the
+      full-payload-shuffle objection to salting everything does not
+      apply.
 
     Output rows are byte-identical to ``extract_pages`` (same UDF, same
     pool) — only the physical routing differs; the union's two
