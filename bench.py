@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "neardup_components",  # connected components (iterative)
     "inverted_index",      # capped posting lists (skew-split window)
     "asof_state",          # as-of join (union-window, no join node)
+    "media_dims",          # WebP/TIFF/mp4 container-geometry roundtrip (r5)
+    "audio_container_meta",  # mp3/Ogg container-metadata roundtrip (r5)
 ]
 
 

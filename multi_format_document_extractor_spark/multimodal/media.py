@@ -8,13 +8,17 @@ pool) is real and tested. PNG, GIF, and JPEG decode FOR REAL via the stdlib
 codecs in oracle.py, resize is a REAL fixed-point bilinear resample over
 those decoded rasters (PNG re-encode on the way out), WAV audio parses for
 real, and animated-GIF frame sampling is REAL (GCE timeline decode +
-partial-rect compositing). mp4/mov CONTAINER metadata (dims, duration)
-parses for real via the ISO-BMFF box-walk below; only the remaining
-codec steps (mp4/webm FRAME decode; containers with no stdlib codec
-like webp/tiff) are STUBBED because the sandbox has no image/video
-libraries — ``decode_image_stub`` produces a deterministic fake
-"decode" and a clearly-marked NotImplementedError hook shows where
-pillow/ffmpeg would plug in on a real cluster.
+partial-rect compositing). CONTAINER metadata parses for real across the
+compressed formats too: mp4/mov dims+duration via the ISO-BMFF box-walk,
+WebP geometry via the RIFF VP8/VP8L/VP8X chunk walk, TIFF geometry via
+the IFD entry walk, mp3 rate/frames/duration via the MPEG frame-header
+chain, and Ogg Vorbis/Opus rate/channels/duration via the page walk —
+each with a writer half so roundtrips are oracle-checkable. Only the
+compressed PIXEL/PCM decode steps (mp4/webm frames, VP8/TIFF-LZW rasters,
+MDCT audio) are STUBBED because the sandbox has no media libraries —
+``decode_image_stub`` produces a deterministic fake "decode" and a
+clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
+plug in on a real cluster.
 """
 
 from __future__ import annotations
@@ -37,6 +41,10 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
+    b"II*\x00": "image/tiff",
+    b"MM\x00*": "image/tiff",
+    b"OggS": "audio/ogg",
+    b"ID3": "audio/mpeg",
 }
 
 # RIFF is a container family — the form type at offset 8 picks the member
@@ -53,6 +61,12 @@ def sniff_media(payload: bytes | None) -> str:
         return "video/mp4"  # ISO-BMFF family (mp4/mov/m4a share it)
     if payload[:4] == b"RIFF":
         return _RIFF_FORMS.get(payload[8:12], "application/octet-stream")
+    # bare MPEG-audio sync (no ID3 tag): a strictly VALID first frame
+    # header only — version/layer/bitrate/samplerate index sanity keeps
+    # random binaries from being claimed (JPEG's FF D8 fails the
+    # second-byte sync mask, so order vs _MAGIC is immaterial)
+    if len(payload) >= 4 and _mp3_frame_header(payload, 0) is not None:
+        return "audio/mpeg"
     return "application/octet-stream"
 
 
@@ -128,6 +142,181 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def render_mp4(w: int, h: int, duration_ms: int) -> bytes:
+    """A REAL minimal ISO-BMFF container: ftyp + moov{mvhd, trak{tkhd}}
+    at timescale 1000 (1 tick = 1 ms) with the track's 16.16 fixed-point
+    presentation size — the writer half of mp4_metadata (container
+    structure, not a video encoder; there is no mdat)."""
+    mvhd = (
+        bytes(12)  # version/flags + creation/modification times
+        + (1000).to_bytes(4, "big")  # timescale: ms ticks
+        + duration_ms.to_bytes(4, "big")
+        + bytes(80)  # rate/volume/matrix/predefines/next-track
+    )
+    tkhd = (
+        bytes(76)  # version/flags, times, track id, duration, matrix…
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big")
+    )
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+# ---------------------------------------------------------------------------
+# WebP + TIFF dimensions: REAL stdlib header walks (round 5). The pixel
+# payloads stay environment hooks (VP8 arithmetic coding / TIFF's codec zoo
+# are not stdlib territory) but the CONTAINERS are plain tagged structures:
+# WebP is a RIFF chunk list whose VP8 /VP8L/VP8X chunks each carry geometry
+# in a documented fixed layout (RFC 9649 §2.3-2.5), TIFF is an endian-tagged
+# IFD entry walk (TIFF 6.0 §2). Writer halves live beside the parsers so the
+# registry roundtrip query and tests share one container definition —
+# the same pattern as render_wav/wav_features.
+# ---------------------------------------------------------------------------
+
+
+def _riff_webp(chunk: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    inner = chunk + len(body).to_bytes(4, "little") + body + pad
+    return b"RIFF" + (4 + len(inner)).to_bytes(4, "little") + b"WEBP" + inner
+
+
+def render_webp(w: int, h: int, variant: str = "vp8l", body: bytes = b"") -> bytes:
+    """A REAL WebP container for (w, h) in any of the three chunk forms:
+    ``vp8l`` (lossless: 0x2F signature + 14-bit-1 packed LE fields),
+    ``vp8`` (lossy keyframe: frame tag + 9D 01 2A start code + 14-bit LE
+    sizes), ``vp8x`` (extended: 24-bit LE canvas-1 fields). ``body`` is
+    the opaque compressed bitstream tail — this is the CONTAINER writer
+    (geometry/metadata), not a pixel codec."""
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise ValueError("webp geometry out of 14-bit range")
+    if variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        return _riff_webp(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little") + body)
+    if variant == "vp8":
+        tag = (1 << 4) | (0x100 << 5)  # keyframe, version 0, show_frame, psize
+        hdr = (
+            tag.to_bytes(3, "little")
+            + b"\x9d\x01\x2a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+        )
+        return _riff_webp(b"VP8 ", hdr + body)
+    if variant == "vp8x":
+        hdr = (
+            bytes(4)  # flags + reserved (no alpha/anim/ICC/EXIF)
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        return _riff_webp(b"VP8X", hdr + body)
+    raise ValueError(f"unknown webp variant {variant!r}")
+
+
+def webp_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP RIFF chunk walk, or None when the
+    payload is not WebP / no geometry-bearing chunk parses. VP8X canvas
+    size wins when present (it is required to lead extended files);
+    otherwise the first VP8 keyframe / VP8L stream header answers.
+    Malformed chunk sizes stop the walk instead of raising."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if fourcc == b"VP8X" and size >= 10:
+            return (
+                1 + int.from_bytes(body[4:7], "little"),
+                1 + int.from_bytes(body[7:10], "little"),
+            )
+        if fourcc == b"VP8L" and size >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            return 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)
+        if fourcc == b"VP8 " and size >= 10:
+            if body[0] & 1 or body[3:6] != b"\x9d\x01\x2a":
+                return None  # interframe / bad start code: no geometry
+            return (
+                int.from_bytes(body[6:8], "little") & 0x3FFF,
+                int.from_bytes(body[8:10], "little") & 0x3FFF,
+            )
+        pos += 8 + size + (size & 1)  # chunks are even-aligned
+    return None
+
+
+def render_tiff(w: int, h: int, big_endian: bool = False) -> bytes:
+    """A REAL minimal TIFF: uncompressed gray8, one strip, the eight
+    baseline-required IFD entries, deterministic (x+y)-gradient pixels.
+    Both byte orders write so the parser's endian dispatch is testable."""
+    bo = "big" if big_endian else "little"
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, bo)
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, bo)
+
+    def entry(tag: int, typ: int, val: int) -> bytes:
+        # SHORT inline values are left-justified in the 4-byte field
+        inline = u16(val) + b"\x00\x00" if typ == 3 else u32(val)
+        return u16(tag) + u16(typ) + u32(1) + inline
+
+    n_entries = 8
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * n_entries + 4
+    ifd = u16(n_entries) + b"".join(
+        (
+            entry(256, 3, w),  # ImageWidth
+            entry(257, 4, h),  # ImageLength (LONG: both types must parse)
+            entry(258, 3, 8),  # BitsPerSample
+            entry(259, 3, 1),  # Compression: none
+            entry(262, 3, 1),  # Photometric: BlackIsZero
+            entry(273, 4, strip_off),  # StripOffsets
+            entry(278, 3, min(h, 0xFFFF)),  # RowsPerStrip
+            entry(279, 4, w * h),  # StripByteCounts
+        )
+    ) + u32(0)
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + u32(ifd_off)
+    px = bytes((x + y) & 0xFF for y in range(h) for x in range(w))
+    return header + ifd + px
+
+
+def tiff_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first IFD's ImageWidth/ImageLength tags
+    (SHORT or LONG, either byte order), or None when the payload is not
+    TIFF / the walk runs off the buffer / either tag is absent."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    off = int.from_bytes(payload[4:8], bo)
+    if off + 2 > len(payload):
+        return None
+    n = int.from_bytes(payload[off : off + 2], bo)
+    w = h = 0
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(payload):
+            return None
+        tag = int.from_bytes(payload[e : e + 2], bo)
+        typ = int.from_bytes(payload[e + 2 : e + 4], bo)
+        if tag in (256, 257) and typ in (3, 4):
+            width_bytes = payload[e + 8 : e + 10] if typ == 3 else payload[e + 8 : e + 12]
+            val = int.from_bytes(width_bytes, bo)
+            if tag == 256:
+                w = val
+            else:
+                h = val
+    return (w, h) if w and h else None
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode and return (w, h). PNG, GIF, and JPEG all decode FOR REAL
     via the stdlib codecs in oracle.py (v4 retired the S8 stub for PNG,
@@ -154,9 +343,9 @@ def decode_image(payload: bytes) -> tuple[int, int]:
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode for containers with no stdlib codec
-    (e.g. webp/tiff carried as octet-stream): dimensions derived from a
-    content digest — stable across runs/executors, exercising the full
+    """Deterministic fake decode for containers no walk above claims
+    (unrecognized magic carried as octet-stream): dimensions derived from
+    a content digest — stable across runs/executors, exercising the full
     Arrow round-trip."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
@@ -164,10 +353,11 @@ def decode_image_stub(payload: bytes) -> tuple[int, int]:
 
 def _meta_of(p: bytes | None) -> tuple[int, int, int]:
     """(width, height, duration_ms): real dims for decodable
-    PNGs/GIFs/JPEGs (duration 0 — stills), real box-walk metadata for
-    ISO-BMFF video, digest-stub dims for unknown containers, zeros for
-    null/corrupt payloads — never an exception (the error-as-data
-    rule)."""
+    PNGs/GIFs/JPEGs (duration 0 — stills), real header-walk geometry for
+    WebP/TIFF stills, real container metadata for ISO-BMFF video and
+    mp3/Ogg audio (dims 0 — no picture), digest-stub dims for unknown
+    containers, zeros for null/corrupt payloads — never an exception
+    (the error-as-data rule)."""
     if p is None:
         return 0, 0, 0
     if (
@@ -180,12 +370,28 @@ def _meta_of(p: bytes | None) -> tuple[int, int, int]:
             return w, h, 0
         except Exception:  # noqa: BLE001 — corrupt container, dims unknown
             return 0, 0, 0
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        dims = webp_dims(p)
+        return (*dims, 0) if dims is not None else (0, 0, 0)
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        dims = tiff_dims(p)
+        return (*dims, 0) if dims is not None else (0, 0, 0)
     if len(p) >= 12 and p[4:8] == b"ftyp":
         try:
             meta = mp4_metadata(p)
         except Exception:  # noqa: BLE001 — malformed box tree
             meta = None
         return meta if meta is not None else (0, 0, 0)
+    if p[:4] == b"OggS":
+        try:
+            return 0, 0, ogg_metadata(p)[3]
+        except Exception:  # noqa: BLE001 — corrupt page chain
+            return 0, 0, 0
+    if p[:3] == b"ID3" or _mp3_frame_header(p, 0) is not None:
+        try:
+            return 0, 0, mp3_metadata(p)[4]
+        except Exception:  # noqa: BLE001 — tag with no audio frames
+            return 0, 0, 0
     w, h = decode_image_stub(p)
     return w, h, 0
 
@@ -385,18 +591,271 @@ def wav_features(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     return rate, ch, width, n_frames, duration_ms, peak, rms
 
 
+# ---------------------------------------------------------------------------
+# mp3 + Ogg CONTAINER metadata: REAL stdlib walks (round 5), the audio
+# analog of the ISO-BMFF box-walk above. Entropy decode of the compressed
+# audio stays out of scope (MDCT/Huffman are codec territory); the
+# containers are plain framed structures: MPEG audio is a chain of
+# self-sizing frame headers (ISO 11172-3 §2.4.1), Ogg is a CRC-tagged page
+# sequence whose first page carries the codec identification header and
+# whose last granule position counts PCM samples (RFC 3533, RFC 7845).
+# Sample rate / channels / frame count / duration therefore report for
+# real; writer halves share the layout so roundtrips are oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# bitrate (kbps) tables by (mpeg1?, layer); index 0 = "free" and 15 =
+# invalid are rejected in the header check
+_MP3_BITRATES = {
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(
+    payload: bytes, pos: int
+) -> tuple[int, int, int, int] | None:
+    """Parse a strictly VALID MPEG-audio frame header at ``pos`` →
+    (frame_len, samples_per_frame, sample_rate, channels) or None. All
+    reserved index values (version 01, layer 00, bitrate 0/15,
+    samplerate 11) reject, so random binaries are never claimed."""
+    if pos + 4 > len(payload):
+        return None
+    h0, h1, h2, h3 = payload[pos : pos + 4]
+    if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (h1 >> 3) & 3
+    layer = 4 - ((h1 >> 1) & 3)  # bits 11/10/01 → layer 1/2/3
+    br_idx = h2 >> 4
+    sr_idx = (h2 >> 2) & 3
+    if ver_bits == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    mpeg1 = ver_bits == 3
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    bps = _MP3_BITRATES[(mpeg1, layer)][br_idx] * 1000
+    pad = (h2 >> 1) & 1
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bps // rate + pad) * 4
+    else:
+        spf = 1152 if (layer == 2 or mpeg1) else 576
+        frame_len = spf // 8 * bps // rate + pad
+    channels = 1 if (h3 >> 6) == 3 else 2
+    return frame_len, spf, rate, channels
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (syncsafe size), else 0."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    b = payload[6:10]
+    return 10 + (
+        ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+    )
+
+
+def mp3_metadata(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, channels, n_frames, total_samples, duration_ms) from
+    a full frame-header walk: skip any ID3v2 tag, then chain self-sizing
+    frame headers until the sync breaks; only COMPLETE frames count (a
+    truncated tail frame carries no decodable audio). Raises when no
+    complete frame parses — error-as-data upstream, the wav_features
+    contract."""
+    pos = _id3v2_size(payload)
+    frames = samples = 0
+    rate = channels = 0
+    while True:
+        hdr = _mp3_frame_header(payload, pos)
+        if hdr is None or pos + hdr[0] > len(payload):
+            break
+        frame_len, spf, rate, channels = hdr
+        frames += 1
+        samples += spf
+        pos += frame_len
+    if not frames:
+        raise ValueError("no complete MPEG audio frame")
+    return rate, channels, frames, samples, samples * 1000 // rate
+
+
+def render_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3: bool = False,
+) -> bytes:
+    """A REAL MPEG-1 Layer III frame chain: each frame is a valid header
+    plus a zeroed main-data body of the exact self-sized length (the
+    container writer — silence, not an encoder), optionally behind an
+    ID3v2 tag. Writer/parser share the header tables above."""
+    sr_idx = (44100, 48000, 32000).index(sample_rate)
+    br_idx = _MP3_BITRATES[(True, 3)].index(bitrate_kbps)
+    h1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG1, Layer III, no CRC
+    h3 = (3 << 6) if channels == 1 else 0
+    hdr = bytes([0xFF, h1, (br_idx << 4) | (sr_idx << 2), h3])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(frame_len - 4)
+    tag = b""
+    if id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 16]) + bytes(16)
+    return tag + frame * n_frames
+
+
+# Ogg page CRC: 32-bit, polynomial 0x04C11DB7, init 0, NOT reflected,
+# no final xor (RFC 3533 §6) — distinct from zlib's crc32.
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def _ogg_page(
+    serial: int,
+    seq: int,
+    granule: int,
+    packet: bytes,
+    *,
+    bos: bool = False,
+    eos: bool = False,
+) -> bytes:
+    lacing = bytes([255] * (len(packet) // 255) + [len(packet) % 255])
+    head = (
+        b"OggS\x00"
+        + bytes([(2 if bos else 0) | (4 if eos else 0)])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + bytes(4)  # CRC placeholder
+        + bytes([len(lacing)])
+        + lacing
+    )
+    crc = _ogg_crc(head + packet)
+    return head[:22] + crc.to_bytes(4, "little") + head[26:] + packet
+
+
+def render_ogg(
+    total_samples: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    codec: str = "vorbis",
+) -> bytes:
+    """A REAL two-page Ogg stream: BOS page carrying the codec's
+    identification header (Vorbis ISO or OpusHead layout), EOS page whose
+    granule position is the PCM sample total — the fields every Ogg
+    duration probe reads. The compressed audio packets themselves are out
+    of scope (container writer, not an encoder)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + bytes(4)  # version 0
+            + bytes([channels])
+            + sample_rate.to_bytes(4, "little")
+            + bytes(12)  # bitrate max/nominal/min: unset
+            + bytes([0xB8])  # blocksizes 2^8 / 2^11
+            + b"\x01"  # framing bit
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + (312).to_bytes(2, "little")  # pre-skip
+            + sample_rate.to_bytes(4, "little")  # original input rate
+            + bytes(3)  # output gain + mapping family 0
+        )
+    else:
+        raise ValueError(f"unknown ogg codec {codec!r}")
+    p0 = _ogg_page(0x5370616B, 0, 0, ident, bos=True)
+    p1 = _ogg_page(0x5370616B, 1, total_samples, b"\x00", eos=True)
+    return p0 + p1
+
+
+def ogg_metadata(payload: bytes) -> tuple[str, int, int, int]:
+    """(codec, sample_rate, channels, duration_ms) from an Ogg page walk:
+    the BOS page's identification header names the codec and geometry,
+    the highest non-negative granule position counts PCM samples. Opus
+    granules tick at 48 kHz regardless of the input rate and lead with a
+    pre-skip (RFC 7845 §4-5); duration subtracts it. Raises when no
+    valid page / known ident header parses."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    codec = ""
+    rate = channels = 0
+    pre_skip = 0
+    last_granule = 0
+    pos = 0
+    while pos + 27 <= len(payload) and payload[pos : pos + 4] == b"OggS":
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        nsegs = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            break
+        body_start = pos + 27 + nsegs
+        body_len = sum(lacing)
+        body = payload[body_start : body_start + body_len]
+        if len(body) < body_len:
+            break
+        if not codec:
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 14:
+                codec = "opus"
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        pos = body_start + body_len
+    if not codec or not rate:
+        raise ValueError("no known Ogg identification header")
+    if codec == "opus":
+        dur_ms = max(0, last_granule - pre_skip) * 1000 // 48000
+    else:
+        dur_ms = last_granule * 1000 // rate
+    return codec, rate, channels, dur_ms
+
+
 def audio_metadata(df: DataFrame) -> DataFrame:
     """df(doc_id, payload BINARY) → typed audio metadata via one
-    mapInPandas stage (the audio analog of media_metadata). WAVs parse
-    for REAL; other containers carry null feature columns with the
-    sniffed media_type preserved."""
+    mapInPandas stage (the audio analog of media_metadata). WAV parses
+    for REAL (PCM features included); mp3 and Ogg containers parse for
+    REAL at the container level (rate/channels/frames/duration; PCM
+    features null — entropy decode is codec territory); anything else
+    carries null feature columns with the sniffed media_type preserved."""
 
     def feats(p: bytes | None):
         if p is None:
             return (None,) * 7
         try:
             return wav_features(p)
-        except Exception:  # noqa: BLE001 — non-WAV or corrupt container
+        except Exception:  # noqa: BLE001 — non-WAV: try the other containers
+            pass
+        try:
+            if p[:4] == b"OggS":
+                _codec, rate, ch, dur = ogg_metadata(p)
+                return rate, ch, None, None, dur, None, None
+            rate, ch, n_frames, samples, dur = mp3_metadata(p)
+            return rate, ch, None, samples, dur, None, None
+        except Exception:  # noqa: BLE001 — unknown or corrupt container
             return (None,) * 7
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -509,3 +509,184 @@ def test_gif_frames_registry_timeline(spark):
     for r in rows:
         assert r.ts_ms == r.frame_idx * 500
         assert r.frame_bytes > 0  # real PNG frame payloads, not digests
+
+
+# ---------------------------------------------------------------------------
+# Round 5: REAL container walks — WebP/TIFF geometry, mp3 frame chain,
+# Ogg page walk — and their writer halves.
+# ---------------------------------------------------------------------------
+
+
+def test_webp_dims_all_chunk_forms():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_webp,
+        sniff_media,
+        webp_dims,
+    )
+
+    for variant in ("vp8l", "vp8", "vp8x"):
+        p = render_webp(307, 211, variant, body=b"\xaa" * 9)
+        assert sniff_media(p) == "image/webp"
+        assert webp_dims(p) == (307, 211), variant
+    # 14-bit extremes survive the packed layouts
+    assert webp_dims(render_webp(16384, 1, "vp8l")) == (16384, 1)
+    assert webp_dims(render_webp(1, 16384, "vp8l")) == (1, 16384)
+    # odd-sized chunk before the geometry chunk: even-alignment padding
+    # must be skipped, not mis-walked
+    from multi_format_document_extractor_spark.multimodal.media import _riff_webp
+
+    vp8l = render_webp(50, 60, "vp8l")[12:]  # the inner chunk alone
+    odd = _riff_webp(b"XMP ", b"\x01\x02\x03")[:12]  # RIFF hdr w/ XMP len
+    prefixed = (
+        b"RIFF"
+        + (4 + 8 + 4 + len(vp8l)).to_bytes(4, "little")
+        + b"WEBP"
+        + b"XMP "
+        + (3).to_bytes(4, "little")
+        + b"\x01\x02\x03\x00"  # pad byte
+        + vp8l
+    )
+    assert webp_dims(prefixed) == (50, 60)
+    # malformed: truncated chunk body, interframe VP8, non-WebP RIFF
+    assert webp_dims(b"RIFF\x20\x00\x00\x00WEBPVP8L\xff\xff\xff\xff\x2f") is None
+    bad_vp8 = render_webp(10, 10, "vp8")
+    bad_vp8 = bad_vp8.replace(b"\x9d\x01\x2a", b"\x00\x00\x00")
+    assert webp_dims(bad_vp8) is None
+    assert webp_dims(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_tiff_dims_both_byte_orders():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_tiff,
+        sniff_media,
+        tiff_dims,
+    )
+
+    for be in (False, True):
+        p = render_tiff(123, 45, big_endian=be)
+        assert sniff_media(p) == "image/tiff"
+        assert tiff_dims(p) == (123, 45)
+    # a LONG-typed ImageLength and SHORT-typed ImageWidth both parse
+    # (render_tiff writes exactly that mix); IFD offset past the buffer
+    # and a missing tag both degrade to None instead of raising
+    assert tiff_dims(b"II*\x00\xff\xff\xff\xff") is None
+    assert tiff_dims(b"MM\x00*\x00\x00\x00\x08\x00\x00\x00\x00\x00\x00") is None
+    assert tiff_dims(b"not a tiff") is None
+
+
+def test_mp3_frame_walk():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        mp3_metadata,
+        render_mp3,
+        sniff_media,
+    )
+
+    # all three MPEG-1 sample rates, mono + stereo, with/without ID3v2
+    for sr in (44100, 48000, 32000):
+        for ch in (1, 2):
+            p = render_mp3(9, 128, sr, ch, id3=ch == 1)
+            assert sniff_media(p) == "audio/mpeg"
+            rate, c, nf, samples, dur = mp3_metadata(p)
+            assert (rate, c, nf, samples) == (sr, ch, 9, 9 * 1152)
+            assert dur == 9 * 1152 * 1000 // sr
+    # a truncated final frame carries no decodable audio: not counted
+    p = render_mp3(3)
+    rate, _c, nf, _s, _d = mp3_metadata(p[:-1])
+    assert nf == 2
+    # ID3 tag with no frames / random bytes: error-as-data raise
+    import hashlib
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp3_metadata(b"ID3\x04\x00\x00\x00\x00\x00\x04junk")
+    with pytest.raises(ValueError):
+        mp3_metadata(hashlib.sha256(b"x").digest() * 4)
+    # reserved header index values never sniff as audio
+    assert sniff_media(b"\xff\xfb\xf0\x00") == "application/octet-stream"  # br=15
+    assert sniff_media(b"\xff\xeb\x90\x00") == "application/octet-stream"  # ver=01
+
+
+def test_ogg_page_walk():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        _ogg_crc,
+        ogg_metadata,
+        render_ogg,
+        sniff_media,
+    )
+
+    # the RFC 3533 CRC parameterization (poly 0x04C11DB7, init 0, no
+    # reflection, no final xor) — published check value
+    assert _ogg_crc(b"123456789") == 0x89A1897F
+    p = render_ogg(44100 * 3 + 7, 44100, 2, "vorbis")
+    assert sniff_media(p) == "audio/ogg"
+    assert ogg_metadata(p) == ("vorbis", 44100, 2, (44100 * 3 + 7) * 1000 // 44100)
+    # Opus granules tick at 48 kHz and lead with the 312-sample pre-skip
+    p = render_ogg(48000 * 2 + 312, 48000, 1, "opus")
+    assert ogg_metadata(p) == ("opus", 48000, 1, 2000)
+    # truncated page chain keeps the fields already walked
+    full = render_ogg(44100, 44100, 2, "vorbis")
+    codec, rate, ch, dur = ogg_metadata(full[:60])
+    assert (codec, rate, ch, dur) == ("vorbis", 44100, 2, 0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ogg_metadata(b"OggS\x00\x00" + b"\x00" * 40)  # no ident header
+    with pytest.raises(ValueError):
+        ogg_metadata(b"not ogg")
+
+
+def test_media_metadata_new_containers_spark(spark):
+    from multi_format_document_extractor_spark.multimodal import media_metadata
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_mp3,
+        render_ogg,
+        render_tiff,
+        render_webp,
+    )
+
+    rows = [
+        (0, render_webp(320, 240, "vp8x")),
+        (1, render_tiff(64, 32, big_endian=True)),
+        (2, render_mp3(10)),
+        (3, render_ogg(88200, 44100, 2, "vorbis")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_id = {r.doc_id: r for r in media_metadata(df).collect()}
+    assert (by_id[0].media_type, by_id[0].width, by_id[0].height) == (
+        "image/webp", 320, 240,
+    )
+    assert (by_id[1].media_type, by_id[1].width, by_id[1].height) == (
+        "image/tiff", 64, 32,
+    )
+    assert (by_id[2].media_type, by_id[2].duration_ms) == (
+        "audio/mpeg", 10 * 1152 * 1000 // 44100,
+    )
+    assert (by_id[3].media_type, by_id[3].duration_ms) == ("audio/ogg", 2000)
+
+
+def test_audio_metadata_mp3_ogg_spark(spark):
+    from multi_format_document_extractor_spark.multimodal import audio_metadata
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_mp3,
+        render_ogg,
+    )
+
+    rows = [
+        (0, render_mp3(6, 128, 48000, 1)),
+        (1, render_ogg(24000, 48000, 2, "opus")),
+        (2, b"ID3\x04not-audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_id = {r.doc_id: r for r in audio_metadata(df).collect()}
+    assert (
+        by_id[0].media_type, by_id[0].sample_rate, by_id[0].channels,
+        by_id[0].n_frames, by_id[0].duration_ms,
+    ) == ("audio/mpeg", 48000, 1, 6 * 1152, 6 * 1152 * 1000 // 48000)
+    # PCM features stay null: container walk, not entropy decode
+    assert by_id[0].peak is None and by_id[0].sample_width is None
+    assert (
+        by_id[1].media_type, by_id[1].sample_rate, by_id[1].channels,
+        by_id[1].duration_ms,
+    ) == ("audio/ogg", 48000, 2, (24000 - 312) * 1000 // 48000)
+    assert by_id[2].sample_rate is None and by_id[2].media_type == "audio/mpeg"

@@ -433,3 +433,18 @@ def test_jsonld_meta_is_stageless(spark):
     p = plan(QUERIES["jsonld_meta"](spark, SF_DIR))
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_media_container_roundtrips_are_stageless(spark):
+    """The round-5 container-roundtrip queries (media_dims,
+    audio_container_meta) must stay scan → build-UDF → walk-UDF with no
+    Exchange: both mapInPandas stages are 1:1 on doc_id, so any shuffle
+    would move full media payloads (the 100 TB no-no the extraction
+    split plan exists to avoid)."""
+    from multi_format_document_extractor_spark.plans.queries import QUERIES
+
+    for name in ("media_dims", "audio_container_meta"):
+        p = plan(QUERIES[name](spark, SF_DIR))
+        assert p.count("MapInPandas") == 2, name
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
