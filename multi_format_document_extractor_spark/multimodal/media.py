@@ -11,10 +11,11 @@ real, and animated-GIF frame sampling is REAL (GCE timeline decode +
 partial-rect compositing). CONTAINER metadata parses for real across the
 compressed formats too: mp4/mov dims+duration via the ISO-BMFF box-walk,
 WebP geometry via the RIFF VP8/VP8L/VP8X chunk walk, TIFF geometry via
-the IFD entry walk, mp3 rate/frames/duration via the MPEG frame-header
-chain, and Ogg Vorbis/Opus rate/channels/duration via the page walk —
-each with a writer half so roundtrips are oracle-checkable. Only the
-compressed PIXEL/PCM decode steps (mp4/webm frames, VP8/TIFF-LZW rasters,
+the IFD entry walk, BMP via the DIB header, mp3 rate/frames/duration via
+the MPEG frame-header chain, Ogg Vorbis/Opus rate/channels/duration via
+the page walk, and FLAC via the STREAMINFO bit fields — each with a
+writer half so roundtrips are oracle-checkable. Only the compressed
+PIXEL/PCM decode steps (mp4/webm frames, VP8/TIFF-LZW rasters,
 MDCT audio) are STUBBED because the sandbox has no media libraries —
 ``decode_image_stub`` produces a deterministic fake "decode" and a
 clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
@@ -45,6 +46,7 @@ _MAGIC = {
     b"MM\x00*": "image/tiff",
     b"OggS": "audio/ogg",
     b"ID3": "audio/mpeg",
+    b"fLaC": "audio/flac",
 }
 
 # RIFF is a container family — the form type at offset 8 picks the member
@@ -67,6 +69,10 @@ def sniff_media(payload: bytes | None) -> str:
     # second-byte sync mask, so order vs _MAGIC is immaterial)
     if len(payload) >= 4 and _mp3_frame_header(payload, 0) is not None:
         return "audio/mpeg"
+    # "BM" alone is a 2-byte magic weak enough to hit real text; claim
+    # BMP only when the DIB header actually parses
+    if payload[:2] == b"BM" and bmp_dims(payload) is not None:
+        return "image/bmp"
     return "application/octet-stream"
 
 
@@ -249,6 +255,57 @@ def webp_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def render_bmp(w: int, h: int, top_down: bool = False) -> bytes:
+    """A REAL minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + 24-bpp
+    pixel rows padded to 4 bytes, deterministic gradient. ``top_down``
+    writes a negative height (the DIB convention for row order) — the
+    parser must report magnitude."""
+    row = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h):
+        line = bytearray()
+        for x in range(w):
+            v = (x + y) & 0xFF
+            line += bytes((v, v, v))
+        line += bytes(row - len(line))
+        px += line
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + bytes(4)  # BI_RGB
+        + len(px).to_bytes(4, "little")
+        + bytes(16)  # ppm + palette fields
+    )
+    hdr = (
+        b"BM"
+        + (14 + len(info) + len(px)).to_bytes(4, "little")
+        + bytes(4)
+        + (14 + len(info)).to_bytes(4, "little")
+    )
+    return hdr + info + px
+
+
+def bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, |height|) from a BITMAPINFOHEADER (or newer — all start
+    with the same 4 fields), or None when the payload is not BMP / the
+    header is truncated / the old 12-byte BITMAPCOREHEADER shows up
+    (16-bit fields, different layout — rare enough to decline)."""
+    if payload[:2] != b"BM" or len(payload) < 26:
+        return None
+    # known BITMAPINFOHEADER-family sizes only — the 2-byte "BM" magic
+    # is weak, so the DIB size field carries the discrimination load
+    if int.from_bytes(payload[14:18], "little") not in (40, 52, 56, 108, 124):
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    if not (0 < w <= 1 << 20 and h != 0 and abs(h) <= 1 << 20):
+        return None
+    return w, abs(h)
+
+
 def render_tiff(w: int, h: int, big_endian: bool = False) -> bytes:
     """A REAL minimal TIFF: uncompressed gray8, one strip, the eight
     baseline-required IFD entries, deterministic (x+y)-gradient pixels.
@@ -376,6 +433,19 @@ def _meta_of(p: bytes | None) -> tuple[int, int, int]:
     if p[:4] in (b"II*\x00", b"MM\x00*"):
         dims = tiff_dims(p)
         return (*dims, 0) if dims is not None else (0, 0, 0)
+    if p[:2] == b"BM":
+        dims = bmp_dims(p)
+        if dims is not None:
+            return *dims, 0
+        # 2-byte magic too weak to condemn the payload: fall through to
+        # the digest stub like any other unrecognized container
+        w, h = decode_image_stub(p)
+        return w, h, 0
+    if p[:4] == b"fLaC":
+        try:
+            return 0, 0, flac_metadata(p)[4]
+        except Exception:  # noqa: BLE001 — truncated STREAMINFO
+            return 0, 0, 0
     if len(p) >= 12 and p[4:8] == b"ftyp":
         try:
             meta = mp4_metadata(p)
@@ -834,13 +904,63 @@ def ogg_metadata(payload: bytes) -> tuple[str, int, int, int]:
     return codec, rate, channels, dur_ms
 
 
+def render_flac(
+    total_samples: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """A REAL FLAC container head: the fLaC marker + a last-flagged
+    STREAMINFO metadata block carrying rate (20 bits), channels-1
+    (3 bits), bps-1 (5 bits) and the 36-bit total-sample count — the
+    fields every FLAC duration probe reads (container writer, no
+    frames)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    ).to_bytes(8, "big")
+    info = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + bytes(6)  # min/max framesize: unknown
+        + packed
+        + bytes(16)  # md5 of raw audio: unset
+    )
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+
+def flac_metadata(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms) from the STREAMINFO block (always the first metadata
+    block per spec). Raises when the marker/block is absent or rate is
+    zero — error-as-data upstream."""
+    if payload[:4] != b"fLaC" or len(payload) < 8:
+        raise ValueError("not a FLAC stream")
+    if payload[4] & 0x7F != 0:
+        raise ValueError("first metadata block is not STREAMINFO")
+    size = int.from_bytes(payload[5:8], "big")
+    block = payload[8 : 8 + size]
+    if size < 34 or len(block) < 34:
+        raise ValueError("truncated STREAMINFO")
+    packed = int.from_bytes(block[10:18], "big")
+    rate = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if not rate:
+        raise ValueError("zero sample rate")
+    return rate, ch, bps, total, total * 1000 // rate
+
+
 def audio_metadata(df: DataFrame) -> DataFrame:
     """df(doc_id, payload BINARY) → typed audio metadata via one
     mapInPandas stage (the audio analog of media_metadata). WAV parses
-    for REAL (PCM features included); mp3 and Ogg containers parse for
-    REAL at the container level (rate/channels/frames/duration; PCM
-    features null — entropy decode is codec territory); anything else
-    carries null feature columns with the sniffed media_type preserved."""
+    for REAL (PCM features included); mp3, Ogg, and FLAC containers
+    parse for REAL at the container level (rate/channels/frames/
+    duration; PCM features null — entropy decode is codec territory);
+    anything else carries null feature columns with the sniffed
+    media_type preserved."""
 
     def feats(p: bytes | None):
         if p is None:
@@ -853,6 +973,9 @@ def audio_metadata(df: DataFrame) -> DataFrame:
             if p[:4] == b"OggS":
                 _codec, rate, ch, dur = ogg_metadata(p)
                 return rate, ch, None, None, dur, None, None
+            if p[:4] == b"fLaC":
+                rate, ch, bps, total, dur = flac_metadata(p)
+                return rate, ch, bps // 8, total, dur, None, None
             rate, ch, n_frames, samples, dur = mp3_metadata(p)
             return rate, ch, None, samples, dur, None, None
         except Exception:  # noqa: BLE001 — unknown or corrupt container

@@ -2102,11 +2102,11 @@ def audio_roundtrip(spark, sf_dir):
 
 _MEDIA_DIMS_SQL = """
     SELECT doc_id,
-           CASE doc_id % 5 WHEN 3 THEN 'image/tiff' WHEN 4 THEN 'video/mp4'
-                ELSE 'image/webp' END AS media_type,
+           CASE doc_id % 6 WHEN 3 THEN 'image/tiff' WHEN 4 THEN 'video/mp4'
+                WHEN 5 THEN 'image/bmp' ELSE 'image/webp' END AS media_type,
            CAST(16 + (doc_id * 7) % 300 AS INT) AS width,
            CAST(16 + (doc_id * 13) % 200 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 5 = 4 THEN (doc_id % 7 + 1) * 1000
+           CAST(CASE WHEN doc_id % 6 = 4 THEN (doc_id % 7 + 1) * 1000
                      ELSE 0 END AS BIGINT) AS duration_ms
     FROM documents WHERE doc_id < 250
 """
@@ -2117,12 +2117,13 @@ def media_dims(spark, sf_dir):
     """Still/video container geometry round-trip (round 5): each doc
     renders a REAL container seeded by doc_id — WebP in all three chunk
     forms (VP8L lossless bits, VP8X extended canvas, VP8 lossy keyframe),
-    TIFF in both byte orders, ISO-BMFF mp4 — and ``media_metadata``
-    (ONE mapInPandas stage) walks the headers back out. The DuckDB
-    oracle recomputes geometry from doc_id alone, so a hash match proves
-    writer AND parser for every container form externally (reference
-    media path: src/parsers/ocr_parser.py:59-62 treats media as opaque
-    payload + typed metadata)."""
+    TIFF in both byte orders, ISO-BMFF mp4, BMP in both row orders
+    (negative-height top-down files must report magnitude) — and
+    ``media_metadata`` (ONE mapInPandas stage) walks the headers back
+    out. The DuckDB oracle recomputes geometry from doc_id alone, so a
+    hash match proves writer AND parser for every container form
+    externally (reference media path: src/parsers/ocr_parser.py:59-62
+    treats media as opaque payload + typed metadata)."""
     from ..multimodal import media_metadata
 
     d = (
@@ -2134,7 +2135,12 @@ def media_dims(spark, sf_dir):
     def build(it):
         import pandas as pd
 
-        from ..multimodal.media import render_mp4, render_tiff, render_webp
+        from ..multimodal.media import (
+            render_bmp,
+            render_mp4,
+            render_tiff,
+            render_webp,
+        )
 
         for pdf in it:
             ids = [int(i) for i in pdf["doc_id"]]
@@ -2142,7 +2148,7 @@ def media_dims(spark, sf_dir):
             for doc_id in ids:
                 w = 16 + (doc_id * 7) % 300
                 h = 16 + (doc_id * 13) % 200
-                v = doc_id % 5
+                v = doc_id % 6
                 if v == 0:
                     p = render_webp(w, h, "vp8l")
                 elif v == 1:
@@ -2151,8 +2157,10 @@ def media_dims(spark, sf_dir):
                     p = render_webp(w, h, "vp8")
                 elif v == 3:
                     p = render_tiff(w, h, big_endian=doc_id % 2 == 1)
-                else:
+                elif v == 4:
                     p = render_mp4(w, h, (doc_id % 7 + 1) * 1000)
+                else:
+                    p = render_bmp(w, h, top_down=doc_id % 4 == 1)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -2165,25 +2173,36 @@ def media_dims(spark, sf_dir):
 _AUDIO_META_SQL = """
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg'
+                WHEN doc_id % 6 = 5 THEN 'audio/flac'
                 ELSE 'audio/ogg' END AS media_type,
            CAST(CASE WHEN doc_id % 2 = 0 THEN
                        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                             ELSE 32000 END
-                     WHEN doc_id % 4 = 1 THEN 44100
-                     ELSE 48000 END AS INT) AS sample_rate,
+                     WHEN doc_id % 6 = 1 THEN 44100
+                     WHEN doc_id % 6 = 3 THEN 48000
+                     ELSE CASE (doc_id // 2) % 3 WHEN 0 THEN 44100
+                               WHEN 1 THEN 48000 ELSE 96000 END
+                END AS INT) AS sample_rate,
            CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
            CAST(CASE WHEN doc_id % 2 = 0 THEN (5 + doc_id % 20) * 1152
+                     WHEN doc_id % 6 = 5 THEN
+                       44100 * (1 + doc_id % 4) + doc_id % 777
                 END AS BIGINT) AS n_frames,
            CAST(CASE WHEN doc_id % 2 = 0 THEN
                        ((5 + doc_id % 20) * 1152 * 1000)
                        // (CASE doc_id % 3 WHEN 0 THEN 44100
                                 WHEN 1 THEN 48000 ELSE 32000 END)
-                     WHEN doc_id % 4 = 1 THEN
+                     WHEN doc_id % 6 = 1 THEN
                        ((8000 * (1 + doc_id % 5) + doc_id % 997) * 1000)
                        // 44100
-                     ELSE
+                     WHEN doc_id % 6 = 3 THEN
                        ((48000 * (1 + doc_id % 3) + doc_id % 500) * 1000)
-                       // 48000 END AS BIGINT) AS duration_ms
+                       // 48000
+                     ELSE
+                       ((44100 * (1 + doc_id % 4) + doc_id % 777) * 1000)
+                       // (CASE (doc_id // 2) % 3 WHEN 0 THEN 44100
+                                WHEN 1 THEN 48000 ELSE 96000 END)
+                END AS BIGINT) AS duration_ms
     FROM documents WHERE doc_id < 250
 """
 
@@ -2194,11 +2213,12 @@ def audio_container_meta(spark, sf_dir):
     a REAL MPEG-1 Layer III frame chain (three sample rates, mono/stereo,
     every fourth behind an ID3v2 tag — the frame-header walk must skip
     it), odd docs a REAL Ogg stream (Vorbis ident + granule pages, or
-    OpusHead with its 48 kHz granule clock and pre-skip), and
-    ``audio_metadata`` (ONE mapInPandas stage) walks
-    rate/channels/frames/duration back out. The oracle recomputes every
-    field from doc_id, proving both writers and both container walks
-    externally — the mp3/ogg analog of ``audio_roundtrip``."""
+    OpusHead with its 48 kHz granule clock and pre-skip) or a REAL FLAC
+    head (fLaC marker + STREAMINFO bit fields), and ``audio_metadata``
+    (ONE mapInPandas stage) walks rate/channels/frames/duration back
+    out. The oracle recomputes every field from doc_id, proving all
+    three writers and container walks externally — the compressed-audio
+    analog of ``audio_roundtrip``."""
     from ..multimodal import audio_metadata
 
     d = (
@@ -2210,7 +2230,7 @@ def audio_container_meta(spark, sf_dir):
     def build(it):
         import pandas as pd
 
-        from ..multimodal.media import render_mp3, render_ogg
+        from ..multimodal.media import render_flac, render_mp3, render_ogg
 
         for pdf in it:
             ids = [int(i) for i in pdf["doc_id"]]
@@ -2222,12 +2242,16 @@ def audio_container_meta(spark, sf_dir):
                     p = render_mp3(
                         5 + doc_id % 20, 128, sr, ch, id3=doc_id % 4 == 0
                     )
-                elif doc_id % 4 == 1:
+                elif doc_id % 6 == 1:
                     samples = 8000 * (1 + doc_id % 5) + doc_id % 997
                     p = render_ogg(samples, 44100, ch, "vorbis")
-                else:
+                elif doc_id % 6 == 3:
                     granule = 48000 * (1 + doc_id % 3) + 312 + doc_id % 500
                     p = render_ogg(granule, 48000, ch, "opus")
+                else:
+                    sr = (44100, 48000, 96000)[(doc_id // 2) % 3]
+                    total = 44100 * (1 + doc_id % 4) + doc_id % 777
+                    p = render_flac(total, sr, ch)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -690,3 +690,53 @@ def test_audio_metadata_mp3_ogg_spark(spark):
         by_id[1].duration_ms,
     ) == ("audio/ogg", 48000, 2, (24000 - 312) * 1000 // 48000)
     assert by_id[2].sample_rate is None and by_id[2].media_type == "audio/mpeg"
+
+
+def test_bmp_dims_and_weak_magic():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        bmp_dims,
+        decode_image_stub,
+        render_bmp,
+        sniff_media,
+        _meta_of,
+    )
+
+    for td in (False, True):  # bottom-up and top-down (negative height)
+        p = render_bmp(123, 45, top_down=td)
+        assert sniff_media(p) == "image/bmp"
+        assert bmp_dims(p) == (123, 45)
+    # "BM" is a weak 2-byte magic: text starting with it must NOT be
+    # claimed — sniff declines and media_metadata keeps the digest stub
+    txt = b"BM plain text that happens to start with BM, a sentence."
+    assert bmp_dims(txt) is None
+    assert sniff_media(txt) == "application/octet-stream"
+    assert _meta_of(txt) == (*decode_image_stub(txt), 0)
+    # BITMAPCOREHEADER (12-byte DIB) is declined by design
+    core = b"BM" + bytes(12) + (12).to_bytes(4, "little") + bytes(8)
+    assert bmp_dims(core) is None
+
+
+def test_flac_streaminfo_walk():
+    import pytest
+
+    from multi_format_document_extractor_spark.multimodal.media import (
+        flac_metadata,
+        render_flac,
+        sniff_media,
+        _meta_of,
+    )
+
+    p = render_flac(44100 * 3 + 7, 44100, 2, 16)
+    assert sniff_media(p) == "audio/flac"
+    assert flac_metadata(p) == (
+        44100, 2, 16, 44100 * 3 + 7, (44100 * 3 + 7) * 1000 // 44100,
+    )
+    assert _meta_of(p) == (0, 0, (44100 * 3 + 7) * 1000 // 44100)
+    # 96k/24-bit exercises the full 20/5-bit field widths
+    assert flac_metadata(render_flac(192000, 96000, 1, 24)) == (
+        96000, 1, 24, 192000, 2000,
+    )
+    with pytest.raises(ValueError):
+        flac_metadata(b"fLaC\x80\x00\x05short")
+    with pytest.raises(ValueError):
+        flac_metadata(b"not flac")
