@@ -11,11 +11,12 @@ real, and animated-GIF frame sampling is REAL (GCE timeline decode +
 partial-rect compositing). CONTAINER metadata parses for real across the
 compressed formats too: mp4/mov dims+duration via the ISO-BMFF box-walk,
 WebP geometry via the RIFF VP8/VP8L/VP8X chunk walk, TIFF geometry via
-the IFD entry walk, BMP via the DIB header, mp3 rate/frames/duration via
+the IFD entry walk, BMP via the DIB header, webm via the Matroska/EBML
+element walk, AVI via the LIST-hdrl walk, mp3 rate/frames/duration via
 the MPEG frame-header chain, Ogg Vorbis/Opus rate/channels/duration via
 the page walk, and FLAC via the STREAMINFO bit fields — each with a
 writer half so roundtrips are oracle-checkable. Only the compressed
-PIXEL/PCM decode steps (mp4/webm frames, VP8/TIFF-LZW rasters,
+PIXEL/PCM decode steps (mp4/webm/avi frames, VP8/TIFF-LZW rasters,
 MDCT audio) are STUBBED because the sandbox has no media libraries —
 ``decode_image_stub`` produces a deterministic fake "decode" and a
 clearly-marked NotImplementedError hook shows where pillow/ffmpeg would
@@ -47,6 +48,7 @@ _MAGIC = {
     b"OggS": "audio/ogg",
     b"ID3": "audio/mpeg",
     b"fLaC": "audio/flac",
+    b"\x1a\x45\xdf\xa3": "video/webm",
 }
 
 # RIFF is a container family — the form type at offset 8 picks the member
@@ -170,6 +172,170 @@ def render_mp4(w: int, h: int, duration_ms: int) -> bytes:
     )
     moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd))
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+# ---------------------------------------------------------------------------
+# webm (Matroska/EBML) + AVI metadata: the remaining named video
+# containers, same contract as the ISO-BMFF walk — structure is REAL
+# (EBML varint elements / RIFF LIST chunks), frame decode stays the
+# environment hook.
+# ---------------------------------------------------------------------------
+
+
+def _ebml_varint(buf: bytes, pos: int, keep_marker: bool):
+    """Parse one EBML variable-length integer at ``pos`` →
+    (value, next_pos, all_value_bits_set) or None on malformed input.
+    Element IDs keep the length-marker bit, sizes strip it; a size with
+    every value bit set means "unknown — runs to the parent's end"."""
+    if pos >= len(buf) or buf[pos] == 0:
+        return None
+    b0 = buf[pos]
+    length, mask = 1, 0x80
+    while not b0 & mask:
+        mask >>= 1
+        length += 1
+    if pos + length > len(buf):
+        return None
+    val = b0 if keep_marker else b0 & (mask - 1)
+    for i in range(1, length):
+        val = (val << 8) | buf[pos + i]
+    all_ones = not keep_marker and val == (1 << (7 * length)) - 1
+    return val, pos + length, all_ones
+
+
+_EBML_MASTERS = frozenset(
+    (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0)
+)  # Segment, Info, Tracks, TrackEntry, Video
+
+
+def webm_metadata(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, duration_ms) from an EBML element walk: Segment →
+    Info carries TimestampScale (ns/tick, default 10^6) and the float
+    Duration in ticks; Tracks → TrackEntry → Video carries
+    PixelWidth/PixelHeight. Raises when the EBML magic is absent;
+    truncated trees degrade to whatever fields were walked."""
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML/Matroska stream")
+    import struct
+
+    state = {"scale": 1_000_000, "dur": 0.0, "w": 0, "h": 0}
+
+    def walk(a: int, b: int) -> None:
+        pos = a
+        while pos < b:
+            r = _ebml_varint(payload, pos, True)
+            if r is None:
+                return
+            eid, pos, _ = r
+            r = _ebml_varint(payload, pos, False)
+            if r is None:
+                return
+            size, pos, unknown = r
+            end = b if unknown else min(pos + size, b)
+            if eid in _EBML_MASTERS:
+                walk(pos, end)
+            elif eid == 0x2AD7B1 and end > pos:  # TimestampScale
+                state["scale"] = int.from_bytes(payload[pos:end], "big") or state["scale"]
+            elif eid == 0x4489:  # Duration (float32 or float64)
+                raw = payload[pos:end]
+                if len(raw) == 4:
+                    state["dur"] = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    state["dur"] = struct.unpack(">d", raw)[0]
+            elif eid == 0xB0 and end > pos:  # PixelWidth
+                state["w"] = max(state["w"], int.from_bytes(payload[pos:end], "big"))
+            elif eid == 0xBA and end > pos:  # PixelHeight
+                state["h"] = max(state["h"], int.from_bytes(payload[pos:end], "big"))
+            pos = end
+
+    # skip the EBML header element, then walk the rest (Segment level)
+    r = _ebml_varint(payload, 0, True)
+    r2 = _ebml_varint(payload, r[1], False) if r else None
+    start = (r2[1] + r2[0]) if r2 else 4
+    walk(min(start, len(payload)), len(payload))
+    dur_ms = int(state["dur"] * state["scale"] // 1_000_000)
+    return state["w"], state["h"], dur_ms
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    n = len(body)
+    # minimal size encoding with the length marker bit
+    for slen in range(1, 9):
+        if n < (1 << (7 * slen)) - 1:
+            break
+    size = ((1 << (7 * slen)) | n).to_bytes(slen, "big")
+    return eid.to_bytes(id_len, "big") + size + body
+
+
+def render_webm(w: int, h: int, duration_ms: int) -> bytes:
+    """A REAL minimal Matroska/webm head: EBML header (DocType webm) +
+    Segment{Info{TimestampScale 10^6, Duration float64},
+    Tracks{TrackEntry{Video{PixelWidth, PixelHeight}}}} — the fields a
+    duration/geometry probe reads (container writer, no clusters)."""
+    import struct
+
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(0x4489, struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_el(
+        0xE0,
+        _ebml_el(0xB0, w.to_bytes(2, "big")) + _ebml_el(0xBA, h.to_bytes(2, "big")),
+    )
+    tracks = _ebml_el(0x1654AE6B, _ebml_el(0xAE, video))
+    return header + _ebml_el(0x18538067, info + tracks)
+
+
+def avi_metadata(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from the RIFF 'AVI ' main header
+    (LIST hdrl → avih: µs/frame, total frames, dims), or None when the
+    payload is not AVI / carries no parseable avih."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    def walk(a: int, b: int):
+        pos = a
+        while pos + 8 <= b:
+            four = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_a, body_b = pos + 8, min(pos + 8 + size, b)
+            if four == b"LIST" and body_b - body_a >= 4:
+                r = walk(body_a + 4, body_b)
+                if r is not None:
+                    return r
+            elif four == b"avih" and body_b - body_a >= 40:
+                uspf = int.from_bytes(payload[body_a : body_a + 4], "little")
+                frames = int.from_bytes(
+                    payload[body_a + 16 : body_a + 20], "little"
+                )
+                w = int.from_bytes(payload[body_a + 32 : body_a + 36], "little")
+                h = int.from_bytes(payload[body_a + 36 : body_a + 40], "little")
+                return w, h, uspf * frames // 1000
+            pos += 8 + size + (size & 1)
+        return None
+
+    return walk(12, len(payload))
+
+
+def render_avi(w: int, h: int, n_frames: int, us_per_frame: int = 40_000) -> bytes:
+    """A REAL minimal AVI: RIFF 'AVI ' + LIST hdrl + the 56-byte avih
+    main header (µs/frame, total frames, dims) — the fields avi_metadata
+    reads (container writer, no movi data)."""
+    avih = (
+        us_per_frame.to_bytes(4, "little")
+        + bytes(12)
+        + n_frames.to_bytes(4, "little")
+        + bytes(12)
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + bytes(16)
+    )
+    chunk = b"avih" + len(avih).to_bytes(4, "little") + avih
+    hdrl = b"LIST" + (4 + len(chunk)).to_bytes(4, "little") + b"hdrl" + chunk
+    return b"RIFF" + (4 + len(hdrl)).to_bytes(4, "little") + b"AVI " + hdrl
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +617,14 @@ def _meta_of(p: bytes | None) -> tuple[int, int, int]:
             meta = mp4_metadata(p)
         except Exception:  # noqa: BLE001 — malformed box tree
             meta = None
+        return meta if meta is not None else (0, 0, 0)
+    if p[:4] == b"\x1a\x45\xdf\xa3":
+        try:
+            return webm_metadata(p)
+        except Exception:  # noqa: BLE001 — malformed EBML tree
+            return 0, 0, 0
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        meta = avi_metadata(p)
         return meta if meta is not None else (0, 0, 0)
     if p[:4] == b"OggS":
         try:

@@ -2102,11 +2102,14 @@ def audio_roundtrip(spark, sf_dir):
 
 _MEDIA_DIMS_SQL = """
     SELECT doc_id,
-           CASE doc_id % 6 WHEN 3 THEN 'image/tiff' WHEN 4 THEN 'video/mp4'
-                WHEN 5 THEN 'image/bmp' ELSE 'image/webp' END AS media_type,
+           CASE doc_id % 8 WHEN 3 THEN 'image/tiff' WHEN 4 THEN 'video/mp4'
+                WHEN 5 THEN 'image/bmp' WHEN 6 THEN 'video/webm'
+                WHEN 7 THEN 'video/avi' ELSE 'image/webp' END AS media_type,
            CAST(16 + (doc_id * 7) % 300 AS INT) AS width,
            CAST(16 + (doc_id * 13) % 200 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 6 = 4 THEN (doc_id % 7 + 1) * 1000
+           CAST(CASE WHEN doc_id % 8 = 4 THEN (doc_id % 7 + 1) * 1000
+                     WHEN doc_id % 8 = 6 THEN (doc_id % 9 + 1) * 500
+                     WHEN doc_id % 8 = 7 THEN (doc_id % 6 + 1) * 1000
                      ELSE 0 END AS BIGINT) AS duration_ms
     FROM documents WHERE doc_id < 250
 """
@@ -2118,12 +2121,14 @@ def media_dims(spark, sf_dir):
     renders a REAL container seeded by doc_id — WebP in all three chunk
     forms (VP8L lossless bits, VP8X extended canvas, VP8 lossy keyframe),
     TIFF in both byte orders, ISO-BMFF mp4, BMP in both row orders
-    (negative-height top-down files must report magnitude) — and
-    ``media_metadata`` (ONE mapInPandas stage) walks the headers back
-    out. The DuckDB oracle recomputes geometry from doc_id alone, so a
-    hash match proves writer AND parser for every container form
-    externally (reference media path: src/parsers/ocr_parser.py:59-62
-    treats media as opaque payload + typed metadata)."""
+    (negative-height top-down files must report magnitude), Matroska
+    webm (EBML varint walk, float64 Duration × TimestampScale), and AVI
+    (LIST hdrl → avih) — and ``media_metadata`` (ONE mapInPandas stage)
+    walks the headers back out. The DuckDB oracle recomputes geometry
+    from doc_id alone, so a hash match proves writer AND parser for
+    every container form externally (reference media path:
+    src/parsers/ocr_parser.py:59-62 treats media as opaque payload +
+    typed metadata)."""
     from ..multimodal import media_metadata
 
     d = (
@@ -2136,9 +2141,11 @@ def media_dims(spark, sf_dir):
         import pandas as pd
 
         from ..multimodal.media import (
+            render_avi,
             render_bmp,
             render_mp4,
             render_tiff,
+            render_webm,
             render_webp,
         )
 
@@ -2148,7 +2155,7 @@ def media_dims(spark, sf_dir):
             for doc_id in ids:
                 w = 16 + (doc_id * 7) % 300
                 h = 16 + (doc_id * 13) % 200
-                v = doc_id % 6
+                v = doc_id % 8
                 if v == 0:
                     p = render_webp(w, h, "vp8l")
                 elif v == 1:
@@ -2159,8 +2166,12 @@ def media_dims(spark, sf_dir):
                     p = render_tiff(w, h, big_endian=doc_id % 2 == 1)
                 elif v == 4:
                     p = render_mp4(w, h, (doc_id % 7 + 1) * 1000)
-                else:
+                elif v == 5:
                     p = render_bmp(w, h, top_down=doc_id % 4 == 1)
+                elif v == 6:
+                    p = render_webm(w, h, (doc_id % 9 + 1) * 500)
+                else:
+                    p = render_avi(w, h, 25 * (doc_id % 6 + 1), 40_000)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

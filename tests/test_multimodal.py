@@ -740,3 +740,44 @@ def test_flac_streaminfo_walk():
         flac_metadata(b"fLaC\x80\x00\x05short")
     with pytest.raises(ValueError):
         flac_metadata(b"not flac")
+
+
+def test_webm_ebml_walk():
+    import pytest
+
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_webm,
+        sniff_media,
+        webm_metadata,
+        _meta_of,
+    )
+
+    p = render_webm(1280, 720, 5400)
+    assert sniff_media(p) == "video/webm"
+    assert webm_metadata(p) == (1280, 720, 5400)
+    assert _meta_of(p) == (1280, 720, 5400)
+    # float64 Duration is integer-exact well past day-scale timelines
+    assert webm_metadata(render_webm(100, 100, 86_400_000))[2] == 86_400_000
+    # truncated EBML tree degrades to walked-so-far, never raises
+    w, h, d = webm_metadata(p[: len(p) // 2])
+    assert isinstance(w, int) and isinstance(d, int)
+    with pytest.raises(ValueError):
+        webm_metadata(b"not ebml")
+
+
+def test_avi_hdrl_walk():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        avi_metadata,
+        render_avi,
+        sniff_media,
+        _meta_of,
+    )
+
+    p = render_avi(640, 480, 250, 40_000)  # 25 fps x 10 s
+    assert sniff_media(p) == "video/avi"
+    assert avi_metadata(p) == (640, 480, 10_000)
+    assert _meta_of(p) == (640, 480, 10_000)
+    # AVI form with no avih: None at the parser, zeros at the metadata op
+    assert avi_metadata(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert _meta_of(b"RIFF\x04\x00\x00\x00AVI ") == (0, 0, 0)
+    assert avi_metadata(b"RIFF\x00\x00\x00\x00WAVE") is None
