@@ -220,7 +220,9 @@ def webm_metadata(payload: bytes) -> tuple[int, int, int]:
 
     state = {"scale": 1_000_000, "dur": 0.0, "w": 0, "h": 0}
 
-    def walk(a: int, b: int) -> None:
+    def walk(a: int, b: int, depth: int = 0) -> None:
+        if depth > 8:  # real trees are ≤4 deep; crafted nesting stops here
+            return
         pos = a
         while pos < b:
             r = _ebml_varint(payload, pos, True)
@@ -233,7 +235,7 @@ def webm_metadata(payload: bytes) -> tuple[int, int, int]:
             size, pos, unknown = r
             end = b if unknown else min(pos + size, b)
             if eid in _EBML_MASTERS:
-                walk(pos, end)
+                walk(pos, end, depth + 1)
             elif eid == 0x2AD7B1 and end > pos:  # TimestampScale
                 state["scale"] = int.from_bytes(payload[pos:end], "big") or state["scale"]
             elif eid == 0x4489:  # Duration (float32 or float64)
@@ -296,14 +298,16 @@ def avi_metadata(payload: bytes) -> tuple[int, int, int] | None:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
 
-    def walk(a: int, b: int):
+    def walk(a: int, b: int, depth: int = 0):
+        if depth > 8:  # real AVI nests ~3 LISTs; crafted nesting stops here
+            return None
         pos = a
         while pos + 8 <= b:
             four = payload[pos : pos + 4]
             size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
             body_a, body_b = pos + 8, min(pos + 8 + size, b)
             if four == b"LIST" and body_b - body_a >= 4:
-                r = walk(body_a + 4, body_b)
+                r = walk(body_a + 4, body_b, depth + 1)
                 if r is not None:
                     return r
             elif four == b"avih" and body_b - body_a >= 40:

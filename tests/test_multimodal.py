@@ -781,3 +781,76 @@ def test_avi_hdrl_walk():
     assert avi_metadata(b"RIFF\x04\x00\x00\x00AVI ") is None
     assert _meta_of(b"RIFF\x04\x00\x00\x00AVI ") == (0, 0, 0)
     assert avi_metadata(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+# ---------------------------------------------------------------------------
+# Totality fuzz: every container walk must be total on arbitrary bytes —
+# None/zero-field degrade or a documented ValueError, never any other
+# exception (the walks run inside the error-as-data mapInPandas stages).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_raw = st.binary(max_size=512)
+_structured = st.one_of(
+    _raw,
+    # magic-prefixed noise drives the walks past their first gate
+    st.tuples(
+        st.sampled_from(
+            [
+                b"RIFF\x20\x00\x00\x00WEBP", b"RIFF\x20\x00\x00\x00AVI ",
+                b"II*\x00", b"MM\x00*", b"BM", b"fLaC", b"OggS", b"ID3",
+                b"\x1a\x45\xdf\xa3", b"\xff\xfb", b"\x00\x00\x00\x18ftyp",
+            ]
+        ),
+        _raw,
+    ).map(lambda t: t[0] + t[1]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_structured)
+def test_container_walks_are_total(payload):
+    from multi_format_document_extractor_spark.multimodal.media import (
+        _meta_of,
+        avi_metadata,
+        bmp_dims,
+        flac_metadata,
+        mp3_metadata,
+        mp4_metadata,
+        ogg_metadata,
+        sniff_media,
+        tiff_dims,
+        webm_metadata,
+        webp_dims,
+    )
+
+    for fn in (webp_dims, tiff_dims, bmp_dims, avi_metadata, mp4_metadata):
+        r = fn(payload)
+        assert r is None or isinstance(r, tuple)
+    for fn in (mp3_metadata, ogg_metadata, flac_metadata, webm_metadata):
+        try:
+            r = fn(payload)
+            assert isinstance(r, tuple)
+        except ValueError:
+            pass  # the documented reject
+    assert isinstance(sniff_media(payload), str)
+    meta = _meta_of(payload)  # the Spark-facing entry: NEVER raises
+    assert isinstance(meta, tuple) and len(meta) == 3
+
+
+def test_crafted_deep_nesting_is_bounded():
+    """Adversarial deeply-nested master elements must not blow the
+    recursion limit: 50k nested EBML TrackEntry / AVI LIST frames."""
+    from multi_format_document_extractor_spark.multimodal.media import (
+        avi_metadata,
+        webm_metadata,
+    )
+
+    deep = b"\x1a\x45\xdf\xa3\x82hi" + b"\xae\xff" * 50_000
+    w, h, d = webm_metadata(deep)  # depth-capped walk, no RecursionError
+    assert (w, h, d) == (0, 0, 0)
+    lists = b"LIST" + (10**9).to_bytes(4, "little") + b"hdrl"
+    avi = b"RIFF" + (10**9).to_bytes(4, "little") + b"AVI " + lists * 20_000
+    assert avi_metadata(avi) is None
