@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "asof_state",          # as-of join (union-window, no join node)
     "media_dims",          # WebP/TIFF/mp4 container-geometry roundtrip (r5)
     "audio_container_meta",  # mp3/Ogg container-metadata roundtrip (r5)
+    "media_tags",          # ID3v2/EXIF provenance-tag harvest (r5)
 ]
 
 

@@ -3,6 +3,7 @@ from .media import (  # noqa: F401
     decode_image_stub,
     extract_features,
     media_metadata,
+    media_tags,
     resize_images,
     sample_frames,
     synth_wav_roundtrip,

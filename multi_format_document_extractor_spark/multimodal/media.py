@@ -544,6 +544,216 @@ def tiff_dims(payload: bytes) -> tuple[int, int] | None:
     return (w, h) if w and h else None
 
 
+# ---------------------------------------------------------------------------
+# Provenance tags: EXIF (JPEG APP1 → TIFF IFD ASCII tags) and ID3v2 text
+# frames — the metadata a crawl pipeline harvests for media attribution.
+# Same REAL-structure / writer-half contract as the geometry walks.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0132: "shot_at"}
+
+
+def _tiff_ascii_tags(tiff: bytes, wanted: dict[int, str]) -> dict[str, str]:
+    """ASCII-typed IFD0 entries from a TIFF blob (both byte orders):
+    {name: text} for the ``wanted`` {tag: name} map. Values ≤4 bytes are
+    inline, longer ones sit at an offset from the TIFF header start
+    (TIFF 6.0 §2); trailing NULs strip. Malformed walks return what
+    parsed so far."""
+    if tiff[:4] == b"II*\x00":
+        bo = "little"
+    elif tiff[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return {}
+    out: dict[str, str] = {}
+    off = int.from_bytes(tiff[4:8], bo)
+    if off + 2 > len(tiff):
+        return out
+    n = int.from_bytes(tiff[off : off + 2], bo)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            return out
+        tag = int.from_bytes(tiff[e : e + 2], bo)
+        typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+        if tag not in wanted or typ != 2:
+            continue
+        count = int.from_bytes(tiff[e + 4 : e + 8], bo)
+        if count <= 4:
+            raw = tiff[e + 8 : e + 8 + count]
+        else:
+            voff = int.from_bytes(tiff[e + 8 : e + 12], bo)
+            raw = tiff[voff : voff + count]
+        out[wanted[tag]] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    return out
+
+
+def exif_meta(payload: bytes) -> dict[str, str]:
+    """{make, model, shot_at} from a JPEG's APP1 Exif segment (present
+    keys only, {} when the payload is not JPEG / carries no Exif). The
+    segment scan walks marker-length pairs and stops at SOS — it never
+    touches entropy-coded data."""
+    if payload[:2] != b"\xff\xd8":
+        return {}
+    pos = 2
+    while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data follows
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _tiff_ascii_tags(body[6:], _EXIF_TAGS)
+        pos += 2 + seg_len
+    return {}
+
+
+def render_exif_jpeg(make: str, model: str, shot_at: str) -> bytes:
+    """A REAL minimal JPEG carrying an APP1 Exif segment (SOI + APP1 +
+    EOI; no scan data — a provenance fixture, not an image): IFD0 with
+    the three ASCII tags, out-of-line values, little-endian TIFF."""
+    vals = [v.encode("ascii") + b"\x00" for v in (make, model, shot_at)]
+    n = 3
+    ifd_off = 8
+    val_off = ifd_off + 2 + 12 * n + 4
+    entries = b""
+    cur = val_off
+    for (tag, _), v in zip(sorted(_EXIF_TAGS.items()), vals):
+        entries += (
+            tag.to_bytes(2, "little")
+            + (2).to_bytes(2, "little")
+            + len(v).to_bytes(4, "little")
+            + (cur.to_bytes(4, "little") if len(v) > 4 else v.ljust(4, b"\x00"))
+        )
+        if len(v) > 4:
+            cur += len(v)
+    tiff = (
+        b"II*\x00"
+        + ifd_off.to_bytes(4, "little")
+        + n.to_bytes(2, "little")
+        + entries
+        + bytes(4)
+        + b"".join(v for v in vals if len(v) > 4)
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8\xff\xe1"
+        + (2 + len(app1)).to_bytes(2, "big")
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def id3_tags(payload: bytes) -> dict[str, str]:
+    """Text frames from a leading ID3v2.3/2.4 tag: {frame_id: text} for
+    T*** frames (TIT2 title, TPE1 artist, TALB album, …). v3 frame sizes
+    are plain big-endian, v4 syncsafe; text encodings 0 (latin-1) and
+    3 (utf-8) decode, trailing NULs strip. {} when no tag/frames
+    parse."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+    major = payload[3]
+    if major not in (3, 4):
+        return {}
+    end = _id3v2_size(payload)
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= min(end, len(payload)):
+        fid = payload[pos : pos + 4]
+        if not fid.isalnum() or not fid.isupper():
+            break
+        b = payload[pos + 4 : pos + 8]
+        if major == 4:
+            size = (
+                ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14)
+                | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+            )
+        else:
+            size = int.from_bytes(b, "big")
+        body = payload[pos + 10 : pos + 10 + size]
+        if len(body) < size:
+            break
+        if fid[:1] == b"T" and size >= 1:
+            enc, raw = body[0], body[1:].rstrip(b"\x00")
+            if enc == 0:
+                out[fid.decode()] = raw.decode("latin-1", "replace")
+            elif enc == 3:
+                out[fid.decode()] = raw.decode("utf-8", "replace")
+        pos += 10 + size
+    return out
+
+
+def render_id3v2(frames: dict[str, str], version: int = 4) -> bytes:
+    """A REAL ID3v2.3/2.4 tag carrying the given text frames — prepend
+    to an MPEG frame chain for a tagged mp3. v4 writes syncsafe frame
+    sizes + utf-8 text, v3 plain big-endian sizes + latin-1."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 / v2.4 write")
+    body = b""
+    for fid, text in frames.items():
+        if version == 4:
+            fbody = b"\x03" + text.encode("utf-8")
+            n = len(fbody)
+            size = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            fbody = b"\x00" + text.encode("latin-1")
+            size = len(fbody).to_bytes(4, "big")
+        body += fid.encode("ascii") + size + b"\x00\x00" + fbody
+    n = len(body)
+    header = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return header + body
+
+
+MEDIA_TAGS_DDL = (
+    "doc_id long, media_type string, title string, artist string, "
+    "album string, make string, model string, shot_at string"
+)
+
+
+def media_tags(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload BINARY) → provenance tags via one mapInPandas
+    stage: ID3v2 title/artist/album for MPEG audio, EXIF make/model/
+    shot_at for JPEG stills; absent tags are null (error-as-data — a
+    malformed tag block yields nulls, never an exception)."""
+
+    def one(p: bytes | None):
+        if p is None:
+            return (None,) * 6
+        try:
+            if p[:3] == b"ID3":
+                t = id3_tags(p)
+                return t.get("TIT2"), t.get("TPE1"), t.get("TALB"), None, None, None
+            if p[:2] == b"\xff\xd8":
+                e = exif_meta(p)
+                return None, None, None, e.get("make"), e.get("model"), e.get("shot_at")
+        except Exception:  # noqa: BLE001 — hostile tag block
+            pass
+        return (None,) * 6
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = list(pdf["payload"])
+            rows = [one(p) for p in payloads]
+            out = pdf[["doc_id"]].copy()
+            out["media_type"] = [sniff_media(p) for p in payloads]
+            for i, col in enumerate(
+                ("title", "artist", "album", "make", "model", "shot_at")
+            ):
+                out[col] = [r[i] for r in rows]
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, schema=MEDIA_TAGS_DDL
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode and return (w, h). PNG, GIF, and JPEG all decode FOR REAL
     via the stdlib codecs in oracle.py (v4 retired the S8 stub for PNG,

@@ -2181,6 +2181,82 @@ def media_dims(spark, sf_dir):
     )
 
 
+_MEDIA_TAGS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg'
+                ELSE 'image/jpeg' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN
+                'TITLE ' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 2 = 0 THEN
+                'ARTIST ' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+           CASE WHEN doc_id % 2 = 0 THEN
+                'ALBUM ' || CAST(doc_id % 13 AS VARCHAR) END AS album,
+           CASE WHEN doc_id % 2 = 1 THEN
+                'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 2 = 1 THEN
+                'MODEL ' || CAST(doc_id % 11 AS VARCHAR) END AS model,
+           CASE WHEN doc_id % 2 = 1 THEN
+                '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                || ':00' END AS shot_at
+    FROM documents WHERE doc_id < 250
+"""
+
+
+@q("media_tags", _MEDIA_TAGS_SQL)
+def media_tags_query(spark, sf_dir):
+    """Provenance-tag harvest round-trip (round 5): even docs render a
+    REAL tagged mp3 (ID3v2.4 syncsafe/utf-8 on every fourth doc, v2.3
+    big-endian/latin-1 otherwise — both frame-size dialects must parse)
+    and odd docs a REAL JPEG APP1 Exif segment (TIFF IFD ASCII tags,
+    inline and out-of-line values); ``media_tags`` (ONE mapInPandas
+    stage) harvests title/artist/album and make/model/shot_at back. The
+    oracle recomputes every string from doc_id — the attribution
+    metadata a media crawl keeps alongside payload bytes."""
+    from ..multimodal import media_tags
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 250)
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from ..multimodal.media import (
+            render_exif_jpeg,
+            render_id3v2,
+            render_mp3,
+        )
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for doc_id in ids:
+                if doc_id % 2 == 0:
+                    tag = render_id3v2(
+                        {
+                            "TIT2": f"TITLE {doc_id}",
+                            "TPE1": f"ARTIST {doc_id % 7}",
+                            "TALB": f"ALBUM {doc_id % 13}",
+                        },
+                        version=4 if doc_id % 4 == 0 else 3,
+                    )
+                    p = tag + render_mp3(3)
+                else:
+                    p = render_exif_jpeg(
+                        f"CAM{doc_id % 5}",
+                        f"MODEL {doc_id % 11}",
+                        f"2026:01:{1 + doc_id % 28:02d} 12:{doc_id % 60:02d}:00",
+                    )
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    gen = d.mapInPandas(build, "doc_id long, payload binary")
+    return media_tags(gen)
+
+
 _AUDIO_META_SQL = """
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg'

@@ -854,3 +854,64 @@ def test_crafted_deep_nesting_is_bounded():
     lists = b"LIST" + (10**9).to_bytes(4, "little") + b"hdrl"
     avi = b"RIFF" + (10**9).to_bytes(4, "little") + b"AVI " + lists * 20_000
     assert avi_metadata(avi) is None
+
+
+def test_exif_and_id3_tag_walks():
+    import pytest
+
+    from multi_format_document_extractor_spark.multimodal.media import (
+        exif_meta,
+        id3_tags,
+        mp3_metadata,
+        render_exif_jpeg,
+        render_id3v2,
+        render_mp3,
+        sniff_media,
+    )
+
+    p = render_exif_jpeg("CAM1", "MODEL X100", "2026:01:05 12:30:00")
+    assert sniff_media(p) == "image/jpeg"
+    assert exif_meta(p) == {
+        "make": "CAM1", "model": "MODEL X100", "shot_at": "2026:01:05 12:30:00",
+    }
+    # inline (≤4-byte) ASCII values take the other IFD value path
+    assert exif_meta(render_exif_jpeg("abc", "m", "d")) == {
+        "make": "abc", "model": "m", "shot_at": "d",
+    }
+    assert exif_meta(b"\xff\xd8\xff\xd9") == {}
+    assert exif_meta(b"not jpeg") == {}
+    frames = {"TIT2": "My Title", "TPE1": "Artist Nämé", "TALB": "Album 9"}
+    for ver in (3, 4):  # both frame-size dialects + text encodings
+        tagged = render_id3v2(frames, version=ver) + render_mp3(3)
+        assert id3_tags(tagged) == frames, ver
+        # the tag must not break the frame-chain walk underneath
+        assert mp3_metadata(tagged)[2] == 3
+    assert id3_tags(b"ID3\x04\x00\x00\x00\x00\x00\x00") == {}
+    with pytest.raises(ValueError):
+        render_id3v2({}, version=2)
+
+
+def test_media_tags_spark(spark):
+    from multi_format_document_extractor_spark.multimodal import media_tags
+    from multi_format_document_extractor_spark.multimodal.media import (
+        render_exif_jpeg,
+        render_id3v2,
+        render_mp3,
+    )
+
+    rows = [
+        (0, render_id3v2({"TIT2": "T0", "TPE1": "A0"}) + render_mp3(2)),
+        (1, render_exif_jpeg("CAMX", "MX", "2026:02:01 00:00:00")),
+        (2, b"\xff\xd8\xff\xd9"),  # JPEG, no Exif: all-null tag columns
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_id = {r.doc_id: r for r in media_tags(df).collect()}
+    assert (by_id[0].media_type, by_id[0].title, by_id[0].artist, by_id[0].album) == (
+        "audio/mpeg", "T0", "A0", None,
+    )
+    assert (by_id[1].make, by_id[1].model, by_id[1].shot_at) == (
+        "CAMX", "MX", "2026:02:01 00:00:00",
+    )
+    assert by_id[2].make is None and by_id[2].media_type == "image/jpeg"
+    assert by_id[3].title is None and by_id[3].media_type == "unknown"

@@ -443,7 +443,7 @@ def test_media_container_roundtrips_are_stageless(spark):
     split plan exists to avoid)."""
     from multi_format_document_extractor_spark.plans.queries import QUERIES
 
-    for name in ("media_dims", "audio_container_meta"):
+    for name in ("media_dims", "audio_container_meta", "media_tags"):
         p = plan(QUERIES[name](spark, SF_DIR))
         assert p.count("MapInPandas") == 2, name
         assert "Exchange" not in p, name
