@@ -711,6 +711,46 @@ def render_id3v2(frames: dict[str, str], version: int = 4) -> bytes:
     return header + body
 
 
+def png_text_chunks(payload: bytes) -> dict[str, str]:
+    """tEXt chunks from a PNG: {keyword: text} (PNG 1.2 §4.2.3 — keyword
+    and latin-1 text split on the first NUL). Chunk walk stops at IEND
+    or any malformed length; {} when the payload is not PNG."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return {}
+    out: dict[str, str] = {}
+    pos = 8
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size or typ == b"IEND":
+            break
+        if typ == b"tEXt" and b"\x00" in body:
+            k, v = body.split(b"\x00", 1)
+            out[k.decode("latin-1", "replace")] = v.decode("latin-1", "replace")
+        pos += 12 + size  # length + type + data + CRC
+    return out
+
+
+def add_png_text(png: bytes, kv: dict[str, str]) -> bytes:
+    """Insert tEXt chunks (with real CRCs) after IHDR — the writer half
+    of png_text_chunks, composing with any real PNG (oracle.render_png
+    output stays decodable by standard readers)."""
+    import zlib
+
+    chunks = b""
+    for k, v in kv.items():
+        body = k.encode("latin-1") + b"\x00" + v.encode("latin-1")
+        chunks += (
+            len(body).to_bytes(4, "big")
+            + b"tEXt"
+            + body
+            + zlib.crc32(b"tEXt" + body).to_bytes(4, "big")
+        )
+    ihdr_end = 8 + 4 + 4 + int.from_bytes(png[8:12], "big") + 4
+    return png[:ihdr_end] + chunks + png[ihdr_end:]
+
+
 MEDIA_TAGS_DDL = (
     "doc_id long, media_type string, title string, artist string, "
     "album string, make string, model string, shot_at string"
@@ -720,8 +760,9 @@ MEDIA_TAGS_DDL = (
 def media_tags(df: DataFrame) -> DataFrame:
     """df(doc_id, payload BINARY) → provenance tags via one mapInPandas
     stage: ID3v2 title/artist/album for MPEG audio, EXIF make/model/
-    shot_at for JPEG stills; absent tags are null (error-as-data — a
-    malformed tag block yields nulls, never an exception)."""
+    shot_at for JPEG stills, tEXt Title/Author for PNGs; absent tags are
+    null (error-as-data — a malformed tag block yields nulls, never an
+    exception)."""
 
     def one(p: bytes | None):
         if p is None:
@@ -733,6 +774,9 @@ def media_tags(df: DataFrame) -> DataFrame:
             if p[:2] == b"\xff\xd8":
                 e = exif_meta(p)
                 return None, None, None, e.get("make"), e.get("model"), e.get("shot_at")
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                t = png_text_chunks(p)
+                return t.get("Title"), t.get("Author"), None, None, None, None
         except Exception:  # noqa: BLE001 — hostile tag block
             pass
         return (None,) * 6

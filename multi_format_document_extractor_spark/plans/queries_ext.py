@@ -2183,19 +2183,23 @@ def media_dims(spark, sf_dir):
 
 _MEDIA_TAGS_SQL = """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg'
-                ELSE 'image/jpeg' END AS media_type,
-           CASE WHEN doc_id % 2 = 0 THEN
-                'TITLE ' || CAST(doc_id AS VARCHAR) END AS title,
-           CASE WHEN doc_id % 2 = 0 THEN
-                'ARTIST ' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
-           CASE WHEN doc_id % 2 = 0 THEN
+           CASE doc_id % 3 WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'image/jpeg'
+                ELSE 'image/png' END AS media_type,
+           CASE WHEN doc_id % 3 = 0 THEN
+                'TITLE ' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 2 THEN
+                'PNG TITLE ' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 3 = 0 THEN
+                'ARTIST ' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 3 = 2 THEN
+                'AUTHOR ' || CAST(doc_id % 9 AS VARCHAR) END AS artist,
+           CASE WHEN doc_id % 3 = 0 THEN
                 'ALBUM ' || CAST(doc_id % 13 AS VARCHAR) END AS album,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id % 3 = 1 THEN
                 'CAM' || CAST(doc_id % 5 AS VARCHAR) END AS make,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id % 3 = 1 THEN
                 'MODEL ' || CAST(doc_id % 11 AS VARCHAR) END AS model,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id % 3 = 1 THEN
                 '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
                 || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
                 || ':00' END AS shot_at
@@ -2205,11 +2209,12 @@ _MEDIA_TAGS_SQL = """
 
 @q("media_tags", _MEDIA_TAGS_SQL)
 def media_tags_query(spark, sf_dir):
-    """Provenance-tag harvest round-trip (round 5): even docs render a
-    REAL tagged mp3 (ID3v2.4 syncsafe/utf-8 on every fourth doc, v2.3
-    big-endian/latin-1 otherwise — both frame-size dialects must parse)
-    and odd docs a REAL JPEG APP1 Exif segment (TIFF IFD ASCII tags,
-    inline and out-of-line values); ``media_tags`` (ONE mapInPandas
+    """Provenance-tag harvest round-trip (round 5): docs cycle through a
+    REAL tagged mp3 (ID3v2.4 syncsafe/utf-8 on even doc_ids, v2.3
+    big-endian/latin-1 otherwise — both frame-size dialects must parse),
+    a REAL JPEG APP1 Exif segment (TIFF IFD ASCII tags, inline and
+    out-of-line values), and a REAL decodable PNG with tEXt chunks
+    (CRC-correct, inserted after IHDR); ``media_tags`` (ONE mapInPandas
     stage) harvests title/artist/album and make/model/shot_at back. The
     oracle recomputes every string from doc_id — the attribution
     metadata a media crawl keeps alongside payload bytes."""
@@ -2225,30 +2230,42 @@ def media_tags_query(spark, sf_dir):
         import pandas as pd
 
         from ..multimodal.media import (
+            add_png_text,
             render_exif_jpeg,
             render_id3v2,
             render_mp3,
         )
+        from ..oracle import render_png
 
+        base_png = render_png(["A"])
         for pdf in it:
             ids = [int(i) for i in pdf["doc_id"]]
             payloads = []
             for doc_id in ids:
-                if doc_id % 2 == 0:
+                v = doc_id % 3
+                if v == 0:
                     tag = render_id3v2(
                         {
                             "TIT2": f"TITLE {doc_id}",
                             "TPE1": f"ARTIST {doc_id % 7}",
                             "TALB": f"ALBUM {doc_id % 13}",
                         },
-                        version=4 if doc_id % 4 == 0 else 3,
+                        version=4 if doc_id % 2 == 0 else 3,
                     )
                     p = tag + render_mp3(3)
-                else:
+                elif v == 1:
                     p = render_exif_jpeg(
                         f"CAM{doc_id % 5}",
                         f"MODEL {doc_id % 11}",
                         f"2026:01:{1 + doc_id % 28:02d} 12:{doc_id % 60:02d}:00",
+                    )
+                else:
+                    p = add_png_text(
+                        base_png,
+                        {
+                            "Title": f"PNG TITLE {doc_id}",
+                            "Author": f"AUTHOR {doc_id % 9}",
+                        },
                     )
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -915,3 +915,25 @@ def test_media_tags_spark(spark):
     )
     assert by_id[2].make is None and by_id[2].media_type == "image/jpeg"
     assert by_id[3].title is None and by_id[3].media_type == "unknown"
+
+
+def test_png_text_chunks_roundtrip():
+    from multi_format_document_extractor_spark.multimodal.media import (
+        add_png_text,
+        media_tags,
+        png_text_chunks,
+    )
+    from multi_format_document_extractor_spark.oracle import (
+        png_decode_gray8,
+        render_png,
+    )
+
+    png = render_png(["HELLO"])
+    tagged = add_png_text(png, {"Title": "T1", "Author": "A1"})
+    assert png_text_chunks(tagged) == {"Title": "T1", "Author": "A1"}
+    # the inserted chunks are CRC-correct and the image still decodes
+    # pixel-identically — tEXt rides a REAL PNG, not a husk
+    assert png_decode_gray8(tagged)[:2] == png_decode_gray8(png)[:2]
+    assert bytes(png_decode_gray8(tagged)[2]) == bytes(png_decode_gray8(png)[2])
+    assert png_text_chunks(png) == {}
+    assert png_text_chunks(b"\x89PNG\r\n\x1a\n\xff\xff\xff\xff") == {}
