@@ -1038,8 +1038,9 @@ def resize_images(df: DataFrame, w: int, h: int) -> DataFrame:
 # Audio: REAL stdlib WAV support — header parse via the `wave` module plus
 # integer-exact PCM features (peak / RMS via math.isqrt — no float in the
 # data path). 8-bit unsigned and 16-bit signed PCM, mono or multi-channel.
-# Non-WAV containers (mp3/ogg/flac) stay on the digest stub below; corrupt
-# WAVs are error-as-data (null feature columns).
+# mp3/Ogg/FLAC parse for real at the CONTAINER level (walks below); their
+# PCM features stay null — entropy decode is codec territory. Corrupt or
+# unknown containers are error-as-data (null feature columns).
 # ---------------------------------------------------------------------------
 
 AUDIO_META_DDL = (
