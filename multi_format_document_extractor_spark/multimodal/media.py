@@ -54,6 +54,14 @@ _MAGIC = {
 # RIFF is a container family — the form type at offset 8 picks the member
 _RIFF_FORMS = {b"WAVE": "audio/wav", b"AVI ": "video/avi", b"WEBP": "image/webp"}
 
+# Hostile-input bounds shared by every container walk: geometry above
+# _DIM_CAP or durations above _MS_CAP are treated as malformed (zeros /
+# field skipped) — a crafted header must DEGRADE per the error-as-data
+# rule, not ride through Python unbounded and then overflow the int32 /
+# int64 Arrow columns, which would fail the whole mapInPandas batch.
+_DIM_CAP = 1 << 20
+_MS_CAP = 1 << 53
+
 
 def sniff_media(payload: bytes | None) -> str:
     if not payload:
@@ -132,7 +140,9 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
                     scale = int.from_bytes(payload[c + 12 : c + 16], "big")
                     dur = int.from_bytes(payload[c + 16 : c + 20], "big")
                 if scale:
-                    dur_ms = dur * 1000 // scale
+                    # 64-bit v1 tick counts with a tiny timescale exceed
+                    # int64 milliseconds — cap, don't crash the column
+                    dur_ms = min(dur * 1000 // scale, _MS_CAP)
             elif t2 == b"trak":
                 for t3, e, f in _iter_boxes(payload, c, d):
                     if t3 != b"tkhd":
@@ -245,9 +255,13 @@ def webm_metadata(payload: bytes) -> tuple[int, int, int]:
                 elif len(raw) == 8:
                     state["dur"] = struct.unpack(">d", raw)[0]
             elif eid == 0xB0 and end > pos:  # PixelWidth
-                state["w"] = max(state["w"], int.from_bytes(payload[pos:end], "big"))
+                v = int.from_bytes(payload[pos:end], "big")
+                if v <= _DIM_CAP:  # hostile size: skip the field
+                    state["w"] = max(state["w"], v)
             elif eid == 0xBA and end > pos:  # PixelHeight
-                state["h"] = max(state["h"], int.from_bytes(payload[pos:end], "big"))
+                v = int.from_bytes(payload[pos:end], "big")
+                if v <= _DIM_CAP:
+                    state["h"] = max(state["h"], v)
             pos = end
 
     # skip the EBML header element, then walk the rest (Segment level)
@@ -255,7 +269,12 @@ def webm_metadata(payload: bytes) -> tuple[int, int, int]:
     r2 = _ebml_varint(payload, r[1], False) if r else None
     start = (r2[1] + r2[0]) if r2 else 4
     walk(min(start, len(payload)), len(payload))
-    dur_ms = int(state["dur"] * state["scale"] // 1_000_000)
+    # a crafted float Duration (inf/nan/1e300) or giant TimestampScale
+    # must degrade to 0/capped, not overflow the int64 column
+    import math
+
+    ms = state["dur"] * (state["scale"] / 1_000_000)
+    dur_ms = 0 if not math.isfinite(ms) or ms < 0 else int(min(ms, _MS_CAP))
     return state["w"], state["h"], dur_ms
 
 
@@ -317,7 +336,9 @@ def avi_metadata(payload: bytes) -> tuple[int, int, int] | None:
                 )
                 w = int.from_bytes(payload[body_a + 32 : body_a + 36], "little")
                 h = int.from_bytes(payload[body_a + 36 : body_a + 40], "little")
-                return w, h, uspf * frames // 1000
+                if not (0 < w <= _DIM_CAP and 0 < h <= _DIM_CAP):
+                    return None  # crafted 32-bit dims: malformed, not data
+                return w, h, min(uspf * frames // 1000, _MS_CAP)
             pos += 8 + size + (size & 1)
         return None
 
@@ -471,7 +492,7 @@ def bmp_dims(payload: bytes) -> tuple[int, int] | None:
         return None
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
-    if not (0 < w <= 1 << 20 and h != 0 and abs(h) <= 1 << 20):
+    if not (0 < w <= _DIM_CAP and h != 0 and abs(h) <= _DIM_CAP):
         return None
     return w, abs(h)
 
@@ -515,28 +536,13 @@ def render_tiff(w: int, h: int, big_endian: bool = False) -> bytes:
 
 def tiff_dims(payload: bytes) -> tuple[int, int] | None:
     """(width, height) from the first IFD's ImageWidth/ImageLength tags
-    (SHORT or LONG, either byte order), or None when the payload is not
-    TIFF / the walk runs off the buffer / either tag is absent."""
-    if payload[:4] == b"II*\x00":
-        bo = "little"
-    elif payload[:4] == b"MM\x00*":
-        bo = "big"
-    else:
-        return None
-    off = int.from_bytes(payload[4:8], bo)
-    if off + 2 > len(payload):
-        return None
-    n = int.from_bytes(payload[off : off + 2], bo)
+    (SHORT or LONG, either byte order) via the shared `_iter_ifd0` walk,
+    or None when the payload is not TIFF / either tag is absent."""
     w = h = 0
-    for i in range(n):
-        e = off + 2 + 12 * i
-        if e + 12 > len(payload):
-            return None
-        tag = int.from_bytes(payload[e : e + 2], bo)
-        typ = int.from_bytes(payload[e + 2 : e + 4], bo)
+    for tag, typ, _count, vf, bo in _iter_ifd0(payload):
         if tag in (256, 257) and typ in (3, 4):
-            width_bytes = payload[e + 8 : e + 10] if typ == 3 else payload[e + 8 : e + 12]
-            val = int.from_bytes(width_bytes, bo)
+            # SHORT inline values are left-justified in the 4-byte field
+            val = int.from_bytes(vf[:2] if typ == 3 else vf, bo)
             if tag == 256:
                 w = val
             else:
@@ -553,36 +559,48 @@ def tiff_dims(payload: bytes) -> tuple[int, int] | None:
 _EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0132: "shot_at"}
 
 
-def _tiff_ascii_tags(tiff: bytes, wanted: dict[int, str]) -> dict[str, str]:
-    """ASCII-typed IFD0 entries from a TIFF blob (both byte orders):
-    {name: text} for the ``wanted`` {tag: name} map. Values ≤4 bytes are
-    inline, longer ones sit at an offset from the TIFF header start
-    (TIFF 6.0 §2); trailing NULs strip. Malformed walks return what
-    parsed so far."""
+def _iter_ifd0(tiff: bytes):
+    """Yield (tag, type, count, value_field, byte_order) for each IFD0
+    entry of a TIFF blob, both byte orders — the ONE IFD walk both
+    tiff_dims and the EXIF tag reader share (TIFF 6.0 §2). Malformed
+    bounds stop the iteration instead of raising."""
     if tiff[:4] == b"II*\x00":
         bo = "little"
     elif tiff[:4] == b"MM\x00*":
         bo = "big"
     else:
-        return {}
-    out: dict[str, str] = {}
+        return
     off = int.from_bytes(tiff[4:8], bo)
     if off + 2 > len(tiff):
-        return out
+        return
     n = int.from_bytes(tiff[off : off + 2], bo)
     for i in range(n):
         e = off + 2 + 12 * i
         if e + 12 > len(tiff):
-            return out
-        tag = int.from_bytes(tiff[e : e + 2], bo)
-        typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+            return
+        yield (
+            int.from_bytes(tiff[e : e + 2], bo),
+            int.from_bytes(tiff[e + 2 : e + 4], bo),
+            int.from_bytes(tiff[e + 4 : e + 8], bo),
+            tiff[e + 8 : e + 12],
+            bo,
+        )
+
+
+def _tiff_ascii_tags(tiff: bytes, wanted: dict[int, str]) -> dict[str, str]:
+    """ASCII-typed IFD0 entries from a TIFF blob (both byte orders):
+    {name: text} for the ``wanted`` {tag: name} map. Values ≤4 bytes are
+    inline in the value field, longer ones sit at an offset from the
+    TIFF header start; trailing NULs strip. Malformed walks return what
+    parsed so far."""
+    out: dict[str, str] = {}
+    for tag, typ, count, vf, bo in _iter_ifd0(tiff):
         if tag not in wanted or typ != 2:
             continue
-        count = int.from_bytes(tiff[e + 4 : e + 8], bo)
         if count <= 4:
-            raw = tiff[e + 8 : e + 8 + count]
+            raw = vf[:count]
         else:
-            voff = int.from_bytes(tiff[e + 8 : e + 12], bo)
+            voff = int.from_bytes(vf, bo)
             raw = tiff[voff : voff + count]
         out[wanted[tag]] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
     return out
@@ -666,13 +684,7 @@ def id3_tags(payload: bytes) -> dict[str, str]:
         if not fid.isalnum() or not fid.isupper():
             break
         b = payload[pos + 4 : pos + 8]
-        if major == 4:
-            size = (
-                ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14)
-                | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
-            )
-        else:
-            size = int.from_bytes(b, "big")
+        size = _syncsafe(b) if major == 4 else int.from_bytes(b, "big")
         body = payload[pos + 10 : pos + 10 + size]
         if len(body) < size:
             break
@@ -696,18 +708,12 @@ def render_id3v2(frames: dict[str, str], version: int = 4) -> bytes:
     for fid, text in frames.items():
         if version == 4:
             fbody = b"\x03" + text.encode("utf-8")
-            n = len(fbody)
-            size = bytes(
-                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
-            )
+            size = _syncsafe_bytes(len(fbody))
         else:
             fbody = b"\x00" + text.encode("latin-1")
             size = len(fbody).to_bytes(4, "big")
         body += fid.encode("ascii") + size + b"\x00\x00" + fbody
-    n = len(body)
-    header = b"ID3" + bytes([version, 0, 0]) + bytes(
-        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
-    )
+    header = b"ID3" + bytes([version, 0, 0]) + _syncsafe_bytes(len(body))
     return header + body
 
 
@@ -1156,14 +1162,29 @@ def _mp3_frame_header(
     return frame_len, spf, rate, channels
 
 
+def _syncsafe(b: bytes) -> int:
+    """Decode a 28-bit ID3v2 syncsafe integer (4 bytes, 7 bits each)."""
+    return (
+        ((b[0] & 0x7F) << 21)
+        | ((b[1] & 0x7F) << 14)
+        | ((b[2] & 0x7F) << 7)
+        | (b[3] & 0x7F)
+    )
+
+
+def _syncsafe_bytes(n: int) -> bytes:
+    """Encode ``n`` as a 28-bit syncsafe integer — `_syncsafe`'s inverse,
+    so the reader and writer halves stay provably symmetric."""
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
 def _id3v2_size(payload: bytes) -> int:
     """Bytes to skip for a leading ID3v2 tag (syncsafe size), else 0."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return 0
-    b = payload[6:10]
-    return 10 + (
-        ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
-    )
+    return 10 + _syncsafe(payload[6:10])
 
 
 def mp3_metadata(payload: bytes) -> tuple[int, int, int, int, int]:
@@ -1334,7 +1355,8 @@ def ogg_metadata(payload: bytes) -> tuple[str, int, int, int]:
         dur_ms = max(0, last_granule - pre_skip) * 1000 // 48000
     else:
         dur_ms = last_granule * 1000 // rate
-    return codec, rate, channels, dur_ms
+    # a 63-bit granule with a rate of 1 exceeds int64 ms — cap
+    return codec, rate, channels, min(dur_ms, _MS_CAP)
 
 
 def render_flac(

@@ -2163,11 +2163,14 @@ def media_dims(spark, sf_dir):
                 elif v == 2:
                     p = render_webp(w, h, "vp8")
                 elif v == 3:
-                    p = render_tiff(w, h, big_endian=doc_id % 2 == 1)
+                    # key the variant off doc_id // 8: doc_id % 2 is
+                    # constant within a %8 residue class, which would
+                    # silently drop one byte order from the oracle sweep
+                    p = render_tiff(w, h, big_endian=(doc_id // 8) % 2 == 1)
                 elif v == 4:
                     p = render_mp4(w, h, (doc_id % 7 + 1) * 1000)
                 elif v == 5:
-                    p = render_bmp(w, h, top_down=doc_id % 4 == 1)
+                    p = render_bmp(w, h, top_down=(doc_id // 8) % 2 == 1)
                 elif v == 6:
                     p = render_webm(w, h, (doc_id % 9 + 1) * 500)
                 else:
@@ -2284,7 +2287,7 @@ _AUDIO_META_SQL = """
                             ELSE 32000 END
                      WHEN doc_id % 6 = 1 THEN 44100
                      WHEN doc_id % 6 = 3 THEN 48000
-                     ELSE CASE (doc_id // 2) % 3 WHEN 0 THEN 44100
+                     ELSE CASE (doc_id // 6) % 3 WHEN 0 THEN 44100
                                WHEN 1 THEN 48000 ELSE 96000 END
                 END AS INT) AS sample_rate,
            CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
@@ -2304,7 +2307,7 @@ _AUDIO_META_SQL = """
                        // 48000
                      ELSE
                        ((44100 * (1 + doc_id % 4) + doc_id % 777) * 1000)
-                       // (CASE (doc_id // 2) % 3 WHEN 0 THEN 44100
+                       // (CASE (doc_id // 6) % 3 WHEN 0 THEN 44100
                                 WHEN 1 THEN 48000 ELSE 96000 END)
                 END AS BIGINT) AS duration_ms
     FROM documents WHERE doc_id < 250
@@ -2353,7 +2356,9 @@ def audio_container_meta(spark, sf_dir):
                     granule = 48000 * (1 + doc_id % 3) + 312 + doc_id % 500
                     p = render_ogg(granule, 48000, ch, "opus")
                 else:
-                    sr = (44100, 48000, 96000)[(doc_id // 2) % 3]
+                    # (doc_id // 2) % 3 is constant 2 on the %6==5 class;
+                    # doc_id // 6 actually cycles all three rates
+                    sr = (44100, 48000, 96000)[(doc_id // 6) % 3]
                     total = 44100 * (1 + doc_id % 4) + doc_id % 777
                     p = render_flac(total, sr, ch)
                 payloads.append(p)
