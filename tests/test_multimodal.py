@@ -466,9 +466,33 @@ def test_mp4_metadata_box_walk():
     # version-1 (64-bit) mvhd/tkhd layout
     p1 = _mp4_fixture(w=1280, h=720, timescale=90000, duration=90000 * 7, v1=True)
     assert mp4_metadata(p1) == (1280, 720, 7000)
-    # largesize (size==1 + 64-bit length) moov wrapper still walks
+    # largesize (size==1 + 64-bit length) moov wrapper still walks:
+    # rewrite the fixture's moov header to the 16-byte largesize form
     body = _mp4_fixture()
     moov_at = body.find(b"moov") - 4
+    moov_size = int.from_bytes(body[moov_at : moov_at + 4], "big")
+    large = (
+        body[:moov_at]
+        + (1).to_bytes(4, "big")
+        + b"moov"
+        + (moov_size + 8).to_bytes(8, "big")
+        + body[moov_at + 8 : moov_at + moov_size]
+        + body[moov_at + moov_size :]
+    )
+    assert mp4_metadata(large) == (640, 360, 5400)
+    # v1 mvhd SHORTER than its fixed layout: skipped, never read at v0
+    # offsets (which would report timestamp bytes as a real duration)
+    from multi_format_document_extractor_spark.multimodal.media import _box as mbox
+
+    short_v1 = mbox(b"ftyp", b"isom") + mbox(
+        b"moov", mbox(b"mvhd", b"\x01" + bytes(23))
+    )
+    assert mp4_metadata(short_v1) == (0, 0, 0)
+    # empty tkhd box (no version byte): degrade, not IndexError
+    empty_tkhd = mbox(b"ftyp", b"isom") + mbox(
+        b"moov", mbox(b"trak", mbox(b"tkhd", b""))
+    )
+    assert mp4_metadata(empty_tkhd) == (0, 0, 0)
     # not ISO-BMFF → None; truncated box tree → degrades to zero fields
     assert mp4_metadata(b"\x89PNG\r\n\x1a\nxxxx") is None
     trunc = p[: moov_at + 20]
