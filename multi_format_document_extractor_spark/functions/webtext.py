@@ -610,11 +610,12 @@ def whatwg_canonical(label: Column) -> Column:
 # \x27 is the apostrophe, spelled as an escape so the pattern can be
 # interpolated into a single-quoted DuckDB SQL literal unchanged (the
 # oracle SQL and this constant must stay character-identical).
-# The attribute name must be preceded by whitespace or a closing quote —
+# The attribute name must be preceded by whitespace, a closing quote, or
+# the HTML5 self-closing-flag '/' (<script/type=...> is valid markup) —
 # \btype would also match inside data-type="..." or a src URL's ?type=
-# query, lifting plain JS as a JSON-LD island (round-5 review finding).
+# query, lifting plain JS as a JSON-LD island (round-5 review findings).
 JSONLD_SCRIPT_RE = (
-    r'(?is)<script\b[^>]*[\s"\x27]type\s*=\s*["\x27]?application/ld\+json'
+    r'(?is)<script\b[^>]*[\s"\x27/]type\s*=\s*["\x27]?application/ld\+json'
     r'["\x27]?[^>]*>(.*?)</script\s*>'
 )
 

@@ -61,6 +61,7 @@ _RIFF_FORMS = {b"WAVE": "audio/wav", b"AVI ": "video/avi", b"WEBP": "image/webp"
 # int64 Arrow columns, which would fail the whole mapInPandas batch.
 _DIM_CAP = 1 << 20
 _MS_CAP = 1 << 53
+_RATE_CAP = 8_000_000  # Hz — no real container exceeds 768 kHz; int32-safe
 
 
 def _is_bmff(payload: bytes) -> bool:
@@ -257,7 +258,9 @@ def webm_metadata(payload: bytes) -> tuple[int, int, int]:
             end = b if unknown else min(pos + size, b)
             if eid in _EBML_MASTERS:
                 walk(pos, end, depth + 1)
-            elif eid == 0x2AD7B1 and end > pos:  # TimestampScale
+            elif eid == 0x2AD7B1 and 0 < end - pos <= 8:  # TimestampScale
+                # real scales are u64; an oversized element would push
+                # the ns→ms float division past OverflowError territory
                 state["scale"] = int.from_bytes(payload[pos:end], "big") or state["scale"]
             elif eid == 0x4489:  # Duration (float32 or float64)
                 raw = payload[pos:end]
@@ -554,6 +557,8 @@ def tiff_dims(payload: bytes) -> tuple[int, int] | None:
         if tag in (256, 257) and typ in (3, 4):
             # SHORT inline values are left-justified in the 4-byte field
             val = int.from_bytes(vf[:2] if typ == 3 else vf, bo)
+            if val > _DIM_CAP:  # hostile 32-bit LONG: malformed, not data
+                return None
             if tag == 256:
                 w = val
             else:
@@ -1099,6 +1104,8 @@ def wav_features(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         n_frames = wf.getnframes()
         if width not in (1, 2):
             raise ValueError(f"unsupported WAV sample width {width}")
+        if rate > _RATE_CAP:  # 4-byte fmt field: bound before the int32 column
+            raise ValueError("implausible sample rate")
         frames = wf.readframes(n_frames)
     n = len(frames) // width
     if width == 1:
@@ -1362,6 +1369,8 @@ def ogg_metadata(payload: bytes) -> tuple[str, int, int, int]:
         pos = body_start + body_len
     if not codec or not rate:
         raise ValueError("no known Ogg identification header")
+    if rate > _RATE_CAP:  # hostile 4-byte rate would overflow the int32 column
+        raise ValueError("implausible sample rate")
     if codec == "opus":
         dur_ms = max(0, last_granule - pre_skip) * 1000 // 48000
     else:

@@ -1051,3 +1051,51 @@ def test_registry_variant_selectors_not_degenerate():
     # ...and both channel counts on every branch
     for cls in (0, 1):
         assert {1 + (i // 2) % 2 for i in ids if i % 2 == cls} == {1, 2}
+
+
+def test_hostile_rate_and_tiff_dims_degrade():
+    """Follow-up to the overflow class: TIFF 32-bit LONG dims, Ogg/WAV
+    4-byte sample rates, and oversized EBML TimestampScale elements must
+    degrade (None / ValueError / field skip), not overflow the int32
+    columns or raise OverflowError."""
+    import pytest
+
+    from multi_format_document_extractor_spark.multimodal.media import (
+        _ebml_el,
+        _ogg_page,
+        ogg_metadata,
+        tiff_dims,
+        webm_metadata,
+    )
+
+    bo = "little"
+    e1 = (
+        (256).to_bytes(2, bo) + (4).to_bytes(2, bo)
+        + (1).to_bytes(4, bo) + (0xFFFFFFFF).to_bytes(4, bo)
+    )
+    e2 = (
+        (257).to_bytes(2, bo) + (3).to_bytes(2, bo)
+        + (1).to_bytes(4, bo) + (1).to_bytes(2, bo) + b"\x00\x00"
+    )
+    tiff = (
+        b"II*\x00" + (8).to_bytes(4, bo) + (2).to_bytes(2, bo)
+        + e1 + e2 + bytes(4)
+    )
+    assert tiff_dims(tiff) is None
+    ident = (
+        b"\x01vorbis" + bytes(4) + bytes([2]) + b"\xff\xff\xff\xff"
+        + bytes(12) + bytes([0xB8]) + b"\x01"
+    )
+    hostile = _ogg_page(1, 0, 0, ident, bos=True) + _ogg_page(1, 1, 9, b"\x00", eos=True)
+    with pytest.raises(ValueError):
+        ogg_metadata(hostile)
+    # 150-byte TimestampScale: skipped at field level, dims survive
+    p = b"\x1a\x45\xdf\xa3\x82hi" + _ebml_el(
+        0x18538067,
+        _ebml_el(0x1549A966, _ebml_el(0x2AD7B1, b"\xff" * 150))
+        + _ebml_el(
+            0x1654AE6B,
+            _ebml_el(0xAE, _ebml_el(0xE0, _ebml_el(0xB0, (640).to_bytes(2, "big")))),
+        ),
+    )
+    assert webm_metadata(p) == (640, 0, 0)
